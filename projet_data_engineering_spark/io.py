@@ -1,0 +1,83 @@
+"""Sources and sinks (SURVEY.md §2.1).
+
+The reference reads/writes three stores: a MongoDB collection, an
+Elasticsearch index and a JSON backup file (reference ``scraper/main.py:246-280``,
+``restore_data.py:15-54``). Here every store is a columnar table:
+
+- S1 scan+filter  -> ``spark.read.parquet`` + ``filter`` (pushdown automatic)
+- S2 JSON source  -> ``spark.read.json(schema=...)`` (explicit schema, no inference)
+- S3 JSON sink    -> ``df.write.json``
+- S4 keyed upsert -> ``merge_upsert`` (full-outer join + per-column coalesce;
+                     the plain-Spark equivalent of Delta ``MERGE``)
+- S5 truncate+load-> ``overwrite_table``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1 — columnar scan. Filters/projections composed on top of this reach
+    the parquet reader (PushedFilters / ReadSchema) via Catalyst.
+
+    ``events.ts`` is TIMESTAMP(NANOS) on disk; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as long nanos and is
+    converted here to a micro-resolution timestamp (integer division, exactly
+    DuckDB's nanos→micros truncation)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def read_json_source(spark: SparkSession, path: str, schema) -> DataFrame:
+    """S2 — JSON array-of-objects source with an explicit schema.
+
+    Reference ``restore_data.py:22-24`` does ``json.load`` of the whole backup;
+    here the file is splittable per-line or multiLine for array files, and the
+    explicit StructType replaces dynamic inference (SURVEY.md §1.3).
+    """
+    return spark.read.json(path, schema=schema, multiLine=True)
+
+
+def write_json_sink(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S3 — JSON sink (reference ``scraper/main.py:254-257``).
+
+    ``single_file`` mirrors the reference's one-file backup; at 100 TB you
+    never coalesce(1) — leave False to write one file per partition.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def overwrite_table(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S5 — truncate-and-load (reference ``restore_data.py:31-33``)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def merge_upsert(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """S4/J1 — idempotent keyed upsert as a relational merge.
+
+    Reference ``scraper/main.py:263-264`` issues Mongo
+    ``UpdateOne({'product_id': id}, {'$set': doc}, upsert=True)`` per record.
+    Set-oriented equivalent: full-outer join on the key, new values win
+    (``coalesce(new.c, old.c)``).  On a cluster with Delta this is
+    ``MERGE INTO old USING new ON old.key = new.key WHEN MATCHED UPDATE *
+    WHEN NOT MATCHED INSERT *``; the join form below is engine-neutral and
+    shuffle-partitions on the key (AQE handles skew).
+    """
+    o = old.alias("o")
+    n = new.alias("n")
+    cols = [key] + [c for c in old.columns if c != key]
+    merged = o.join(n, on=F.col(f"o.{key}") == F.col(f"n.{key}"), how="full_outer")
+    return merged.select(
+        *[
+            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+            for c in cols
+        ]
+    )

@@ -1,0 +1,272 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's exact dedup (``scraper/main.py:88,114-116`` seen-set;
+``product_id = md5(url)`` at ``scraper/main.py:139``), this module adds the
+near-dup family a training-data pipeline needs — each expressed as shuffle-
+bounded DataFrame algebra, no UDFs, no driver-side collection:
+
+- exact:          hash-groupBy on a content hash — one shuffle of (hash, id);
+- MinHash + LSH:  shingle → K minhashes → band → bucket self-join. Candidate
+                  generation is O(sum of bucket^2) not O(n^2): the classic
+                  scale path for 100 TB corpora;
+- SimHash:        64->16-bit signed-sum signature; equal signatures bucket
+                  near-dups with a single groupBy;
+- n-gram Jaccard: exact verification on (lang, length-bucket)-blocked pairs —
+                  the verify stage downstream of MinHash candidates.
+
+Determinism note: all hashing is md5-based (identical hex in Spark and
+DuckDB), so every operator here is oracle-checkable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.registry import query
+
+N_HASHES = 8
+BAND_SIZE = 2  # 8 hashes / 2 per band = 4 bands
+
+
+def _shingles(tokens: Column) -> Column:
+    """Distinct word 3-grams. element_at is 1-based; caller guarantees
+    size(tokens) >= 3 so indices stay in range under ANSI mode."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tokens, i),
+                F.element_at(tokens, i + 1),
+                F.element_at(tokens, i + 2),
+            ),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, h0..h{K-1}) — minhash k = lexicographic min of md5('k|'+shingle).
+
+    min(md5) over a uniform hash is a valid Jaccard-preserving minhash; hex
+    strings compare identically everywhere. Narrow map-only stage."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.filter(F.size(toks) >= 3).select(
+        F.col(id_col), _shingles(toks).alias("sh")
+    )
+    def sig(k: int) -> Column:
+        # NB: the lambda must stay single-argument — a second parameter would
+        # make Spark's transform() pass the element index into it.
+        prefix = f"{k}|"
+        return F.array_min(
+            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+        ).alias(f"h{k}")
+
+    return base.select(id_col, *[sig(k) for k in range(N_HASHES)])
+
+
+def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
+    """Explode signatures into (id, band_idx, band_val) — bucket key rows."""
+    n_bands = N_HASHES // BAND_SIZE
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|", *[F.col(f"h{b * BAND_SIZE + r}") for r in range(BAND_SIZE)]
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(
+        id_col, F.posexplode(bands).alias("band_idx", "band_val")
+    )
+
+
+def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: ids sharing any band bucket.
+
+    The self-join shuffles on (band_idx, band_val) — co-locating only docs
+    whose signatures collide. At 100 TB this is the only join that matters;
+    AQE splits hot buckets (boilerplate-heavy corpora produce them)."""
+    bands = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc1"), F.col(f"b.{id_col}").alias("doc2")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    GROUP BY content_hash
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content hash (reference D2: ``md5(url)`` key).
+    Groups of identical docs; ``keeper`` = canonical survivor. One shuffle
+    of (32-byte hash, id) pairs regardless of document size."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _minhash_oracle() -> str:
+    h_cols = ",\n               ".join(
+        f"list_aggregate(list_transform(sh, x -> md5(concat('{k}|', x))), 'min') AS h{k}"
+        for k in range(N_HASHES)
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        f"concat_ws('|', h{b * BAND_SIZE}, h{b * BAND_SIZE + 1}) AS band_val FROM sigs"
+        for b in range(N_HASHES // BAND_SIZE)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    shingled AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(t) - 2),
+                   i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) AS sh
+        FROM toks WHERE len(t) >= 3
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {h_cols}
+        FROM shingled
+    ),
+    bands AS (
+{band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle())
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs over ``documents`` (8 hashes,
+    4 bands × 2 rows ⇒ catches pairs with Jaccard ≳ 0.7)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(d, "doc_id", "text")
+
+
+def _simhash_bit(j: int) -> Column:
+    hexed = F.substring(F.md5("term"), j + 1, 1)
+    return F.when(hexed.isin(*"89abcdef"), 1).otherwise(-1)
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n           ".join(
+        "CASE WHEN SUM(CASE WHEN substr(md5(u.term), {p}, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) > 0 "
+        "THEN '1' ELSE '0' END AS b{j}".format(p=j + 1, j=j)
+        for j in range(16)
+    )
+    concat_bits = " || ".join(f"b{j}" for j in range(16))
+    return f"""
+    WITH bits AS (
+        SELECT d.doc_id,
+           {sums}
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents) d,
+             UNNEST(d.t) AS u(term)
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, {concat_bits} AS simhash FROM bits
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, tf-weighted): per token, bit j of md5 contributes
+    ±1; signature bit = sign of the sum. Equal signatures ⇒ near-dup bucket.
+    One explode + one groupBy; signature comparison is then a cheap
+    equality/hamming join — the memory-light alternative to MinHash."""
+    d = load_table(spark, sf_dir, "documents")
+    exploded = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    sums = exploded.groupBy("doc_id").agg(
+        *[F.sum(_simhash_bit(j)).alias(f"s{j}") for j in range(16)]
+    )
+    bits = [
+        F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(16)
+    ]
+    return sums.select("doc_id", F.concat(*bits).alias("simhash"))
+
+
+@query(
+    "q_dedup_jaccard",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS bkt,
+               list_distinct(str_split(lower(text), ' ')) AS ws
+        FROM documents
+    )
+    SELECT doc1, doc2, jaccard FROM (
+        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+               ROUND(len(list_intersect(a.ws, b.ws))
+                     / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+                     4) AS jaccard
+        FROM t a JOIN t b
+          ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+    )
+    WHERE jaccard >= 0.2
+    """,
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram (word-set) Jaccard verification on blocked pairs.
+
+    Blocking on (lang, 50-char length bucket) bounds the candidate set —
+    near-dups share both — so the join is O(block²), not O(n²). This is the
+    exact-verify stage you run after MinHash candidates at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 50).cast("bigint").alias("bkt"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("ws"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
+    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
+    j = F.round(inter / union, 4)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+    )

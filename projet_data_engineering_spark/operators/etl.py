@@ -1,0 +1,368 @@
+"""Scalar / ETL functions (SURVEY.md §2.7, F1–F20).
+
+The reference's densest capability area: the scraper's row-at-a-time Python
+cleaning logic (``scraper/main.py:139-235``). Every function here compiles to
+built-in Column expressions — no UDFs — so the whole chain stays inside
+whole-stage codegen and is embarrassingly parallel (zero shuffles).
+
+Driver queries run the same expression shapes over the TPC-H-ish columns so
+DuckDB can oracle them; the recipe-shaped chain itself lives in
+``recipes/pipeline.py`` and is golden-tested (FIXTURES.md §B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.registry import query
+
+
+@query(
+    "q_md5_key",
+    oracle="SELECT c_custkey, md5(c_name) AS key_md5 FROM customer",
+)
+def q_md5_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/D2 — content-hash key (reference ``scraper/main.py:139``:
+    ``product_id = md5(url)`` for cross-run dedup/upsert)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.md5("c_name").alias("key_md5")
+    )
+
+
+@query(
+    "q_string_clean",
+    oracle="""
+    SELECT p_partkey, trim(lower(p_name)) AS name_clean,
+           upper(p_brand) AS brand_upper
+    FROM part
+    """,
+)
+def q_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3 — lower + trim normalization (reference ``scraper/main.py:160``,
+    ``app/main.py:107``)."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.trim(F.lower("p_name")).alias("name_clean"),
+        F.upper("p_brand").alias("brand_upper"),
+    )
+
+
+@query(
+    "q_split",
+    oracle="""
+    SELECT c_custkey, str_split(c_name, '#')[1] AS name_prefix,
+           str_split(c_name, '#')[2] AS name_suffix
+    FROM customer
+    """,
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 — split-to-array + element extraction (reference ``app/main.py:107``:
+    ``ingredients_input.split(",")``). 1-based ``element_at`` on both sides."""
+    c = load_table(spark, sf_dir, "customer")
+    parts = F.split(F.col("c_name"), "#")
+    return c.select(
+        "c_custkey",
+        F.element_at(parts, 1).alias("name_prefix"),
+        F.element_at(parts, 2).alias("name_suffix"),
+    )
+
+
+@query(
+    "q_array_join",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(str_split(p_name, ' '), '-') AS name_joined
+    FROM part
+    """,
+)
+def q_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — array join (reference ``scraper/main.py:275-276``:
+    ``", ".join(ingredients)`` building the ES text fields)."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.array_join(F.split(F.col("p_name"), " "), "-").alias("name_joined"),
+    )
+
+
+@query(
+    "q_contains",
+    oracle="""
+    SELECT p_partkey, p_name FROM part WHERE contains(p_name, 'widget')
+    """,
+)
+def q_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — substring containment (reference ``scraper/main.py:171-181``:
+    ``"très facile" in info``; ES wildcard ``*ing*``)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("widget"))
+        .select("p_partkey", "p_name")
+    )
+
+
+@query(
+    "q_replace",
+    oracle="""
+    SELECT c_custkey, replace(c_name, 'Customer#', 'C-') AS short_name
+    FROM customer
+    """,
+)
+def q_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — literal replace (reference ``scraper/main.py:186,219``:
+    ``.replace("heure", "h")``, ``.replace(",", ".")``)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_replace("c_name", "Customer#", "C-").alias("short_name"),
+    )
+
+
+@query(
+    "q_duration_parse",
+    oracle="""
+    WITH raw AS (
+        SELECT p_partkey,
+               concat(CAST(p_size AS VARCHAR), ' h ',
+                      CAST(p_partkey % 60 AS VARCHAR), ' min') AS header_text
+        FROM part
+    )
+    SELECT p_partkey, header_text,
+           CASE WHEN regexp_matches(header_text, '[0-9]')
+                THEN COALESCE(TRY_CAST(regexp_extract(header_text, '(\\d+)\\s*h', 1) AS INTEGER), 0) * 60
+                     + COALESCE(TRY_CAST(regexp_extract(header_text, '(\\d+)\\s*min', 1) AS INTEGER), 0)
+                ELSE 0 END AS duration_min
+    FROM raw
+    """,
+)
+def q_duration_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/F10/F12/F13 — the reference's duration parser
+    (``scraper/main.py:185-205``): regex-extract hours and minutes from free
+    text, ``h*60 + min``, digit-presence gate, 0 sentinel on failure.
+    Here the header text is synthesized from part columns so the oracle sees
+    identical inputs; ``recipes/pipeline.py`` applies the same expression to
+    real recipe headers."""
+    p = load_table(spark, sf_dir, "part")
+    raw = p.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_size").cast("string"),
+            F.lit(" h "),
+            (F.col("p_partkey") % 60).cast("string"),
+            F.lit(" min"),
+        ).alias("header_text"),
+    )
+    hours = F.regexp_extract("header_text", r"(\d+)\s*h", 1)
+    mins = F.regexp_extract("header_text", r"(\d+)\s*min", 1)
+    duration = F.when(
+        F.col("header_text").rlike("[0-9]"),
+        F.coalesce(hours.try_cast("int"), F.lit(0)) * 60
+        + F.coalesce(mins.try_cast("int"), F.lit(0)),
+    ).otherwise(0)
+    return raw.select(
+        "p_partkey", "header_text", duration.alias("duration_min")
+    )
+
+
+@query(
+    "q_regex_first_int",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT) AS first_int
+    FROM customer
+    """,
+)
+def q_regex_first_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — first-integer extraction (reference ``scraper/main.py:212-213``:
+    ``re.findall(r'\\d+', text)[0]`` for reviews_count)."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).cast("bigint").alias("first_int"),
+    )
+
+
+@query(
+    "q_cast_rating",
+    oracle="""
+    WITH raw AS (
+        SELECT o_orderkey,
+               concat(CAST(o_orderkey % 5 AS VARCHAR), ',',
+                      CAST(o_custkey % 10 AS VARCHAR), '/5') AS rating_text
+        FROM orders
+    )
+    SELECT o_orderkey, rating_text,
+           CAST(replace(replace(rating_text, '/5', ''), ',', '.') AS DOUBLE) AS rating
+    FROM raw
+    """,
+)
+def q_cast_rating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — locale-fixed float cast (reference ``scraper/main.py:219``:
+    ``float(text.replace(",", "."))`` for '4,8/5'-style ratings)."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.concat(
+            (F.col("o_orderkey") % 5).cast("string"),
+            F.lit(","),
+            (F.col("o_custkey") % 10).cast("string"),
+            F.lit("/5"),
+        ).alias("rating_text"),
+    )
+    rating = F.regexp_replace(
+        F.regexp_replace("rating_text", "/5", ""), ",", "."
+    ).cast("double")
+    return raw.select("o_orderkey", "rating_text", rating.alias("rating"))
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN contains(lower(o_orderpriority), 'urgent') THEN 'rush'
+                WHEN contains(lower(o_orderpriority), 'high') THEN 'fast'
+                WHEN contains(lower(o_orderpriority), 'low') THEN 'slow'
+                ELSE 'normal' END AS priority_class
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — order-sensitive conditional cascade (reference
+    ``scraper/main.py:167-182``: difficulty normalization where 'très facile'
+    must be tested before 'facile'). ``when`` chains short-circuit in order."""
+    o = load_table(spark, sf_dir, "orders")
+    lo = F.lower("o_orderpriority")
+    cls = (
+        F.when(lo.contains("urgent"), "rush")
+        .when(lo.contains("high"), "fast")
+        .when(lo.contains("low"), "slow")
+        .otherwise("normal")
+    )
+    return o.select("o_orderkey", cls.alias("priority_class"))
+
+
+@query(
+    "q_blacklist_default",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN p_name IS NULL OR p_name = ''
+                     OR regexp_matches(lower(p_name), 'widget|gear|cog')
+                THEN 'https://images.example.com/placeholder'
+                ELSE p_name END AS image_url
+    FROM part
+    """,
+)
+def q_blacklist_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — blacklist→default substitution (reference
+    ``scraper/main.py:155-164``: banned image URLs swapped for a placeholder)."""
+    p = load_table(spark, sf_dir, "part")
+    bad = (
+        F.col("p_name").isNull()
+        | (F.col("p_name") == "")
+        | F.lower("p_name").rlike("widget|gear|cog")
+    )
+    return p.select(
+        "p_partkey",
+        F.when(bad, F.lit("https://images.example.com/placeholder"))
+        .otherwise(F.col("p_name"))
+        .alias("image_url"),
+    )
+
+
+@query(
+    "q_substring",
+    oracle="SELECT p_partkey, substr(p_name, 1, 5) AS name_head FROM part",
+)
+def q_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 — truncate (reference ``scraper/main.py:189,238``: first 1000 chars
+    fallback, ``title[:20]``)."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.substring("p_name", 1, 5).alias("name_head")
+    )
+
+
+@query(
+    "q_timestamp",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS updated_at,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           CAST(month(o_orderdate) AS INTEGER) AS m
+    FROM orders
+    """,
+)
+def q_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 — timestamp formatting (reference ``scraper/main.py:234``:
+    ``time.strftime("%Y-%m-%d %H:%M:%S")`` → ``updated_at``) + calendar
+    extraction for partition-pruning-friendly derived columns."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("updated_at"),
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+    )
+
+
+@query(
+    "q_concat",
+    oracle="""
+    SELECT o_orderkey,
+           concat('https://www.example.org/search?aqt=', lower(o_orderpriority),
+                  '&page=', CAST(o_orderkey % 33 + 1 AS VARCHAR)) AS page_url
+    FROM orders
+    """,
+)
+def q_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18 — URL building by concat (reference ``scraper/main.py:93,113``)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("https://www.example.org/search?aqt="),
+            F.lower("o_orderpriority"),
+            F.lit("&page="),
+            (F.col("o_orderkey") % 33 + 1).cast("string"),
+        ).alias("page_url"),
+    )
+
+
+@query(
+    "q_posexplode",
+    oracle="""
+    SELECT d.doc_id, u.i AS pos, str_split(d.text, ' ')[u.i] AS word
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0) d,
+         UNNEST(generate_series(1, len(str_split(d.text, ' ')))) AS u(i)
+    """,
+)
+def q_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 — positional explode (reference ``app/main.py:200-201``:
+    ``enumerate(steps)`` for 1-based step numbering). posexplode is Spark's
+    UDTF-free table generator; positions made 1-based to match SQL."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 50 == 0)
+        .select("doc_id", F.split("text", " ").alias("words"))
+    )
+    return d.select(
+        "doc_id", F.posexplode("words").alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+@query(
+    "q_datediff",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           date_diff('day', o.o_orderdate, l.l_shipdate) AS ship_delay_days
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic — days between order and ship date (extends F17;
+    the join shuffles on the shared key once, then pure column math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("ship_delay_days"),
+    )

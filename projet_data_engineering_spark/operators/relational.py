@@ -1,0 +1,689 @@
+"""Relational operators: scans, filters, projections, aggregations, joins,
+windows, set ops (SURVEY.md §2.1–2.6).
+
+The reference delegates these to MongoDB + client-side pandas
+(``app/main.py:41-68``): predicate executes server-side, everything else after
+full materialization. Here each is one declarative DataFrame chain — Catalyst
+pushes the predicate into the parquet scan, prunes columns, and plans
+partial+final hash aggregation; only aggregated results reach the driver.
+
+Scale notes per operator are inline. Conventions for oracle parity:
+- every computed column is aliased identically in Spark and SQL;
+- floating aggregates are rounded (4 dp; money 2 dp) on BOTH sides so
+  summation-order differences between engines can't flip the value hash;
+- top-k / limit queries carry a deterministic total order (unique tie-break
+  key) so the returned SET matches the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table, merge_upsert
+from projet_data_engineering_spark.registry import query
+
+
+# ---------------------------------------------------------------------------
+# §2.2 Projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_filter_isin",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+)
+def q_filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — IN-list predicate (reference ``app/main.py:41``:
+    ``{"category": {"$in": cats}}``). Pushes to the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "q_project",
+    oracle="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — column projection (reference ``app/main.py:68``). Catalyst prunes
+    the parquet ReadSchema to exactly these columns."""
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_filter_neq",
+    oracle="""
+    SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def q_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — inequality/validity filter (reference ``scraper/main.py:141-142``
+    drops rows whose title failed to parse)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") != "BUILDING")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "q_coalesce",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           COALESCE(NULLIF(l_discount, 0.0), 0.05) AS discount_eff
+    FROM lineitem
+    """,
+)
+def q_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — default-on-missing (reference ``app/main.py:52,167,182-184``:
+    ``.get('duration_min', 0)`` column-fallback semantics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce(F.nullif(F.col("l_discount"), F.lit(0.0)), F.lit(0.05)).alias(
+            "discount_eff"
+        ),
+    )
+
+
+@query(
+    "q_filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20 AND l_discount >= 0.02
+    """,
+)
+def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — range predicate (reference README.md:133-134 declares rating /
+    duration_min range searchability). Both bounds push down to row-groups."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity").between(10, 20)) & (F.col("l_discount") >= 0.02)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@query(
+    "q_filter_prefix",
+    oracle="SELECT p_partkey, p_name FROM part WHERE p_name LIKE 'small%'",
+)
+def q_filter_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — prefix predicate (reference ``app/main.py:177``:
+    ``img_url.startswith("http")``). StartsWith pushes down to parquet."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith("small"))
+        .select("p_partkey", "p_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 Aggregations
+# ---------------------------------------------------------------------------
+
+
+@query("q_count", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+def q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — COUNT(*) KPI (reference ``app/main.py:48``: ``len(df)``).
+    Plans as partial counts per partition + one final sum — no data movement
+    beyond one long per partition, at any scale."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("n_rows"))
+
+
+@query(
+    "q_avg",
+    oracle="""
+    SELECT ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    """,
+)
+def q_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — mean KPIs (reference ``app/main.py:49,56-57``)."""
+    return load_table(spark, sf_dir, "lineitem").agg(
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+    )
+
+
+@query(
+    "q_mode",
+    oracle="""
+    SELECT o_orderpriority AS mode_value
+    FROM (
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY n DESC, o_orderpriority ASC
+        LIMIT 1
+    )
+    """,
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — mode / most frequent value (reference ``app/main.py:52``:
+    ``df['difficulty'].mode()[0]``). Deterministic tie-break on the value
+    itself. Hash-agg then a 1-row top-k: the heavy lifting is the group-by,
+    which partial-aggregates map-side; the sort sees only |distinct| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+    return (
+        counted.orderBy(F.desc("n"), F.asc("o_orderpriority"))
+        .limit(1)
+        .select(F.col("o_orderpriority").alias("mode_value"))
+    )
+
+
+@query(
+    "q_value_counts",
+    oracle="""
+    SELECT l_returnflag AS value, COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — value_counts (reference ``app/main.py:61``). Classic partial+final
+    hash aggregation; low-cardinality key means the shuffle is tiny."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("value"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_value_counts_num",
+    oracle="""
+    SELECT l_quantity AS value, COUNT(*) AS n
+    FROM lineitem GROUP BY l_quantity
+    """,
+)
+def q_value_counts_num(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — value_counts over a numeric key (reference ``app/main.py:65``)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_quantity").alias("value"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — distinct count per group (reference ``scraper/main.py:108-124``
+    dedups URLs per category via a ``seen`` set). Spark expands to a
+    two-phase aggregate; at 100 TB prefer ``approx_count_distinct`` (HLL)
+    when exactness isn't required."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "q_should_score",
+    oracle="""
+    SELECT o_orderkey, matched_clauses
+    FROM (
+        SELECT o_orderkey,
+               (CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END
+                + CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                + CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS matched_clauses
+        FROM orders
+    )
+    WHERE matched_clauses >= 1
+    """,
+)
+def q_should_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — bool.should clause-hit scoring with minimum_should_match
+    (reference ``app/main.py:142-154``): score = number of matching clauses,
+    keep rows with >= 1. Pure column algebra, no shuffle at all."""
+    o = load_table(spark, sf_dir, "orders")
+    clauses = [
+        F.col("o_totalprice") > 100000,
+        F.col("o_orderpriority") == "1-URGENT",
+        F.col("o_orderstatus") == "F",
+    ]
+    score = sum(F.when(c, 1).otherwise(0) for c in clauses)
+    return (
+        o.withColumn("matched_clauses", score)
+        .filter(F.col("matched_clauses") >= 1)
+        .select("o_orderkey", "matched_clauses")
+    )
+
+
+@query(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary — the dashboard-KPI pattern
+    (§3.1: filter → groupBy → many aggregates) at fact-table scale.
+
+    Scale: filter pushes to parquet; 6 aggregates over 4 groups partial-
+    aggregate map-side, so the shuffle carries ~|groups| rows per partition
+    regardless of SF. This is the plan shape that survives 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 Windows / sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 — top-K by score (reference ``app/main.py:96,153``: ES ``size: 500``
+    heap top-k). ``orderBy().limit()`` plans as TakeOrderedAndProject — each
+    partition keeps a 100-row heap, no full sort, at any scale. Unique
+    tie-break (o_orderkey) makes the result set deterministic."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_limit",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10",
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — head/limit preview (reference ``app/main.py:68``: ``head(10)``),
+    made deterministic by ordering on the unique key."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_first",
+    oracle="""
+    SELECT MIN(o_orderkey) AS first_key, MAX(o_orderkey) AS last_key,
+           CAST(MIN(o_orderdate) AS VARCHAR) AS first_date
+    FROM orders
+    """,
+)
+def q_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — first-match extraction (reference ``app/main.py:52``,
+    ``scraper/main.py:213``: ``mode()[0]``, ``nums[0]``)."""
+    return load_table(spark, sf_dir, "orders").agg(
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("first_date"),
+    )
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — rank within group (reference ``app/main.py:52``'s mode is rank-1
+    by count; SURVEY registers top-k-per-category). One shuffle on the
+    partition key; at scale, skewed partition keys are split by AQE."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "q_window_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - COALESCE(LAG(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS delta
+    FROM events
+    """,
+)
+def q_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window (lag) over the events stream table — the per-user
+    delta pattern the streaming surface needs (SURVEY.md §2.5 note)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4
+        ).alias("delta"),
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_sum
+    FROM events
+    """,
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame window — running sum per user (cumulative-metric pattern)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join fact→dim + aggregate. Customer is the small side —
+    ``broadcast()`` eliminates the fact-table shuffle entirely; on a cluster
+    this is the difference between moving 100 TB and moving 100 MB."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_join_multi",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star join (local-supplier revenue by nation).
+
+    Scale: region/nation/supplier broadcast (tiny dims); customer⋈orders and
+    orders⋈lineitem are the only shuffles, both on their natural keys, and
+    Catalyst reorders so the region filter prunes before the fact join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT n.n_name, COUNT(c.c_custkey) AS n_customers
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving empty groups (nations with 0 customers)."""
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        n.join(c, c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS). Ships only the key column of the probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS) — customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_upsert_merge",
+    oracle="""
+    WITH new_batch AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice
+        FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
+           COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
+           COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice
+    FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders) o
+    FULL OUTER JOIN new_batch n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/S4 — keyed upsert as full-outer merge (reference
+    ``scraper/main.py:263-264``: Mongo UpdateOne upsert per product_id).
+    The new batch (every 3rd order, price bumped by a flat 1000 — exact IEEE
+    addition, so no rounding divergence) overwrites matching keys; unmatched
+    old rows survive. See ``io.merge_upsert``; with Delta this is MERGE INTO.
+    Shuffles both sides on the key once."""
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+    )
+    return merge_upsert(old, new, "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# §2.6 Set operations / dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — distinct (reference ``scraper/main.py:88,114-116``: ``seen`` set
+    dedup during collection). Partial-aggregates map-side before the shuffle."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus"
+    ).distinct()
+
+
+@query(
+    "q_union",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 — union of per-category batches (reference ``scraper/main.py:68,237``
+    accumulates 3 category loops). ``unionByName`` = UNION ALL, zero shuffle."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT")
+    b = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    return a.unionByName(b)
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — free Spark built-in (SURVEY.md §2.6 note)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.intersect(o)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — customers minus order-placing customers."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return c.exceptAll(o).distinct()

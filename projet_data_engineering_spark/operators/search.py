@@ -1,0 +1,287 @@
+"""Full-text search as DataFrame algebra (SURVEY.md §2.8, T1–T8).
+
+The reference delegates search to Elasticsearch (``app/main.py:88-154``):
+multi_match fuzzy queries, per-ingredient bool/should clauses with
+``minimum_should_match: 1``, BM25 scoring, top-500. Spark gives none of that
+for free; this module re-derives it:
+
+- analysis:    ``tokenize`` = lower + split on non-alphanumerics + drop empties
+               (the client-side tokenizer at ``app/main.py:107,111`` and ES's
+               standard analyzer, approximated);
+- fuzzy match: ``levenshtein() <= fuzz(len)`` with ES AUTO fuzziness
+               (0 for len<=2, 1 for len 3-5, 2 for len>=6);
+- bool/should: per-clause match columns + ``sum(int(match_i)) >= min_should``;
+- scoring:     BM25 (k1=1.2, b=0.75) computed with explode + groupBy doc-freq
+               aggregation — pure DataFrame ops, no UDF;
+- top-k:       ``orderBy(desc(score)).limit(k)`` → TakeOrderedAndProject.
+
+Scale: the scan form below is O(docs) per query — right for one-off queries
+over parquet. For repeated queries at 100 TB, ``build_posting_lists`` (T7)
+materializes ``(term, doc_id, tf)`` partitioned+bucketed by term, turning each
+search into a broadcast join of the (tiny) query-term table against a
+term-pruned scan instead of a full-corpus pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.registry import query
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+
+def tokenize(col: Column) -> Column:
+    """Analyzer: lower → split on non-alphanumerics → drop empty tokens
+    (reference ``app/main.py:107,111``)."""
+    return F.array_remove(F.split(F.lower(col), TOKEN_PATTERN), "")
+
+
+def auto_fuzziness(term: str) -> int:
+    """ES ``fuzziness: AUTO`` (reference ``app/main.py:94``): edit distance by
+    term length — 0 for len<=2, 1 for 3-5, 2 for >=6."""
+    n = len(term)
+    return 0 if n <= 2 else (1 if n <= 5 else 2)
+
+
+def fuzzy_term_match(tokens: Column, term: str) -> Column:
+    """T2 — does any token fuzzy-match ``term``? exists() keeps it JVM-side."""
+    fuzz = auto_fuzziness(term)
+    if fuzz == 0:
+        return F.array_contains(tokens, term)
+    return F.exists(tokens, lambda t: F.levenshtein(t, F.lit(term)) <= fuzz)
+
+
+def contains_match(text: Column, term: str) -> Column:
+    """T3 — case-insensitive wildcard ``*term*`` (reference
+    ``app/main.py:128-136`` — catches glued tokens like '1oeuf')."""
+    return F.lower(text).contains(term.lower())
+
+
+def clause_match(text: Column, tokens: Column, clause: str) -> Column:
+    """T4 — one bool.should clause: (all terms fuzzy-AND-match) OR wildcard
+    (reference ``app/main.py:115-139``)."""
+    terms = [t for t in clause.lower().split() if t]
+    fuzzy_and = None
+    for t in terms:
+        m = fuzzy_term_match(tokens, t)
+        fuzzy_and = m if fuzzy_and is None else (fuzzy_and & m)
+    if fuzzy_and is None:
+        fuzzy_and = F.lit(False)
+    return fuzzy_and | contains_match(text, clause.strip())
+
+
+def should_search(
+    docs: DataFrame,
+    text_col: str,
+    clauses: list[str],
+    min_should_match: int = 1,
+) -> DataFrame:
+    """T5 — bool.should with minimum_should_match (reference
+    ``app/main.py:142-154``). Adds ``matched_clauses``; keeps qualifying docs.
+    One narrow map stage — no shuffle."""
+    toks = tokenize(F.col(text_col))
+    matches = [clause_match(F.col(text_col), toks, c) for c in clauses]
+    n_matched = None
+    for m in matches:
+        x = F.when(m, 1).otherwise(0)
+        n_matched = x if n_matched is None else (n_matched + x)
+    return docs.withColumn("matched_clauses", n_matched).filter(
+        F.col("matched_clauses") >= min_should_match
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """T1 — BM25 scoring as a DataFrame aggregation.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); score(d) = sum_t idf *
+    tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen)). Doc frequencies come from an
+    explode+groupBy over the (tiny) query-term-filtered token stream, then a
+    broadcast join back — the corpus is scanned once, stats shuffle only
+    |terms| rows.
+    """
+    toks = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
+    ).withColumn("dl", F.size("tokens"))
+    toks.cache()
+
+    stats = toks.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+
+    terms = [t.lower() for t in query_terms]
+    tf = (
+        toks.select(id_col, "dl", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_counts = tf.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+    return scored
+
+
+def search_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_string: str,
+    k: int = 500,
+) -> DataFrame:
+    """T1+W1 — end-to-end classic search (reference ``app/main.py:84-97``):
+    analyze query → BM25 → deterministic top-k."""
+    terms = [t for t in query_string.lower().split() if t]
+    scored = bm25_scores(docs, id_col, text_col, terms)
+    return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def build_posting_lists(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """T7 — materialized inverted index ``(term, doc_id, tf)``.
+
+    The 100-TB path: persist partitioned/bucketed by ``term`` so a search
+    becomes (query terms ⋈ postings) — a broadcast join touching only matching
+    buckets — instead of a full-corpus scan. Rebuilt by the pipeline exactly
+    like ES re-indexing (reference ``scraper/main.py:271-277``)."""
+    return (
+        docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_search_boolean",
+    oracle="""
+    SELECT doc_id, matched_clauses
+    FROM (
+        SELECT doc_id,
+               (CASE WHEN contains(lower(text), 'spark')
+                      AND contains(lower(text), 'join') THEN 1 ELSE 0 END
+                + CASE WHEN contains(lower(text), 'stream') THEN 1 ELSE 0 END
+                + CASE WHEN contains(lower(text), 'vector') THEN 1 ELSE 0 END
+               ) AS matched_clauses
+        FROM documents
+    )
+    WHERE matched_clauses >= 1
+    """,
+)
+def q_search_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 boolean subset — which docs qualify, and with how many clauses
+    (fridge-mode search, reference ``app/main.py:101-154``). Wildcard-contains
+    semantics so the oracle is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    lo = F.lower("text")
+    clauses = [
+        lo.contains("spark") & lo.contains("join"),
+        lo.contains("stream"),
+        lo.contains("vector"),
+    ]
+    n = None
+    for c in clauses:
+        x = F.when(c, 1).otherwise(0)
+        n = x if n is None else n + x
+    return (
+        d.withColumn("matched_clauses", n)
+        .filter(F.col("matched_clauses") >= 1)
+        .select("doc_id", "matched_clauses")
+    )
+
+
+@query(
+    "q_term_join",
+    oracle="""
+    WITH terms AS (
+        SELECT * FROM (VALUES ('spark'), ('join'), ('stream'), ('vector')) t(term)
+    ),
+    doc_terms AS (
+        SELECT DISTINCT d.doc_id, u.term
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) d,
+             UNNEST(d.toks) AS u(term)
+    )
+    SELECT dt.doc_id, COUNT(*) AS n_terms
+    FROM doc_terms dt JOIN terms t ON dt.term = t.term
+    GROUP BY dt.doc_id
+    """,
+)
+def q_term_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/T7 — search terms ⋈ documents via exploded tokens (the reference's
+    ES postings intersection, ``app/main.py:115-154``). The term table is tiny
+    → broadcast hash join; the explode never leaves its stage."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame([("spark",), ("join",), ("stream",), ("vector",)], ["term"])
+    doc_terms = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .distinct()
+    )
+    return (
+        doc_terms.join(F.broadcast(terms), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"))
+    )
+
+
+@query(
+    "q_search_fuzzy",
+    oracle="""
+    SELECT d.doc_id, MIN(levenshtein(u.term, 'strem')) AS best_dist
+    FROM (SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents) d,
+         UNNEST(d.toks) AS u(term)
+    GROUP BY d.doc_id
+    HAVING MIN(levenshtein(u.term, 'strem')) <= 1
+    """,
+)
+def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — fuzzy term match, ES AUTO fuzziness (edit distance 1 for the
+    5-letter typo 'strem' ~ 'stream'). Oracled exactly via levenshtein on
+    both engines; returns each doc's best edit distance."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("doc_id")
+        .agg(F.min(F.levenshtein("term", F.lit("strem"))).alias("best_dist"))
+        .filter(F.col("best_dist") <= 1)
+    )
+
+
+@query("q_bm25_topk")  # scores are engine-specific → rows-only driver check
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/W1 — full BM25 classic search, top-50 for 'spark join stream'.
+
+    Not oracle-declared: BM25 is our scoring formula, not ANSI SQL; the driver
+    records a rows-only check and pytest property-tests monotonicity
+    (SURVEY.md §5.2.3)."""
+    d = load_table(spark, sf_dir, "documents")
+    return search_topk(d, "doc_id", "text", "spark join stream", k=50)

@@ -1,0 +1,225 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+North-star operator family (BASELINE.json): approximate-nearest-neighbor over
+the ``embeddings`` table. Two tiers:
+
+- brute-force cosine top-k — the exactness baseline. All math stays JVM-side
+  (``zip_with`` + ``aggregate`` fold, whole-stage codegen); the query side is
+  broadcast so the big side never shuffles;
+- sign-LSH bucketed ANN — buckets on the sign pattern of the leading
+  dimensions (random-hyperplane LSH with axis-aligned planes, deterministic so
+  the oracle can replicate it). At 100 TB: bucket once at write time,
+  partition by bucket, and each query touches only its bucket's partitions.
+
+Floats are cast to double before any arithmetic (exact widening) and scores
+rounded to 4 dp on both engines so fold-order ulps can't flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.registry import query
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def sign_bucket(vec: Column, n_bits: int = 8) -> Column:
+    """Deterministic sign-LSH bucket: '1'/'0' per leading dimension's sign."""
+    return F.concat(
+        *[
+            F.when(F.element_at(vec, i + 1) >= 0, "1").otherwise("0")
+            for i in range(n_bits)
+        ]
+    )
+
+
+def knn_brute_force(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k per query: broadcast the (small) query set against the
+    corpus, rank per query. Corpus-side data never moves; the only shuffle is
+    the per-query top-k, which TakeOrdered-style keeps at k rows/partition."""
+    from pyspark.sql import Window
+
+    e = embeddings.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("ev")
+    )
+    q = queries.select(
+        F.col(query_id_col), as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .withColumn("score", F.round(cosine(F.col("ev"), F.col("qv")), 4))
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_knn",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, score FROM (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 neighbors of vector 0 — the ANN exactness
+    baseline. Deterministic order: rounded score desc, then id."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", as_double(F.col("embedding")).alias("ev"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", F.round(cosine(F.col("ev"), F.col("qv")), 4).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_ann_lsh",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+    scored AS (
+        SELECT q.query_id, b.vec_id,
+               ROUND(list_cosine_similarity(b.v, q.qv), 4) AS score
+        FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT query_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH ANN: candidates share the 8-bit sign bucket (~1/256 of the
+    corpus per query at scale), then exact cosine re-rank, top-5 per query.
+
+    The scale path: bucket assignment is a map-only stage; persisting the
+    corpus partitioned by bucket turns each query into a partition-pruned
+    scan + broadcast join."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding")).alias("bucket"),
+    )
+    q = (
+        b.filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket"),
+        )
+    )
+    scored = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+@query(
+    "q_embed_dup_pairs",
+    oracle="""
+    SELECT v1, v2, cos FROM (
+        SELECT a.vec_id AS v1, b.vec_id AS v2,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    WHERE cos >= 0.95
+    """,
+)
+def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the cluster/bucket
+    column) so the pair join is O(block²) — the embedding analogue of
+    q_dedup_jaccard's blocked verification."""
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("v1"),
+            F.col("b.vec_id").alias("v2"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.95)
+    )

@@ -1,0 +1,192 @@
+"""Text analysis operators over the ``documents`` table.
+
+North-star family (BASELINE.json): language-ID, quality scoring, token
+counting, document fingerprinting — the per-document featurization stage of a
+training-data pipeline. All map-only column algebra (no UDFs, no shuffles
+except the final group-bys), so throughput is scan-bound at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.registry import query
+
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "fr": ("le", "la", "et", "de", "un"),
+    "es": ("el", "los", "y", "en", "una"),
+    "de": ("der", "die", "und", "ein", "mit"),
+}
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.lower(col), " ")
+
+
+def stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def _lang_case_sql() -> str:
+    cnts = {
+        lang: "len(list_filter(t, x -> x in ({})))".format(
+            ", ".join(f"'{w}'" for w in ws)
+        )
+        for lang, ws in STOPWORDS.items()
+    }
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    cnts AS (
+        SELECT doc_id, lang,
+               {cnts['en']} AS c_en, {cnts['fr']} AS c_fr,
+               {cnts['es']} AS c_es, {cnts['de']} AS c_de
+        FROM toks
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN c_en + c_fr + c_es + c_de = 0 THEN 'und'
+                WHEN c_en >= c_fr AND c_en >= c_es AND c_en >= c_de THEN 'en'
+                WHEN c_fr >= c_es AND c_fr >= c_de THEN 'fr'
+                WHEN c_es >= c_de THEN 'es'
+                ELSE 'de' END AS predicted_lang
+    FROM cnts
+    """
+
+
+@query("q_lang_id", oracle=_lang_case_sql())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by stopword-hit argmax (n-gram-free heuristic tier; a
+    fastText-style model would slot in as a pandas_udf over the same frame).
+    Deterministic tie-break order en > fr > es > de; 'und' when no evidence."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    c = {lang: stopword_hits(t, ws) for lang, ws in STOPWORDS.items()}
+    pred = (
+        F.when(c["en"] + c["fr"] + c["es"] + c["de"] == 0, "und")
+        .when(
+            (c["en"] >= c["fr"]) & (c["en"] >= c["es"]) & (c["en"] >= c["de"]), "en"
+        )
+        .when((c["fr"] >= c["es"]) & (c["fr"] >= c["de"]), "fr")
+        .when(c["es"] >= c["de"], "es")
+        .otherwise("de")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars, str_split(lower(text), ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_chars,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(n_chars / n_tokens, 4) AS avg_token_len,
+           ROUND(n_stop / n_tokens, 4) AS stop_ratio,
+           ROUND(LEAST(n_tokens / 50.0, 1.0)
+                 * (0.5 + LEAST(n_stop / n_tokens, 0.5)), 4) AS quality
+    FROM m
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length-normalized score favoring docs with natural
+    stopword density (boilerplate/word-salad scores low) — the heuristic
+    filter tier of a C4/Gopher-style cleaning pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_stop = stopword_hits(toks, STOPWORDS["en"])
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(F.col("n_chars") / n_tokens, 4).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 4).alias("stop_ratio"),
+        F.round(
+            F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+            * (0.5 + F.least(n_stop / n_tokens, F.lit(0.5))),
+            4,
+        ).alias("quality"),
+    )
+
+
+@query(
+    "q_token_count",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(len(str_split(text, ' '))) AS total_tokens,
+           SUM(n_chars) AS total_chars,
+           ROUND(AVG(len(str_split(text, ' '))), 4) AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language — the budgeting query every
+    training-data pipeline runs first. Whitespace tokenizer here; a BPE-ish
+    regex tokenizer drops in by swapping the split pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", " "))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(str_split(lower(text), ' '))), ' '))
+               AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set — a
+    word-order-insensitive content signature (catches shuffled boilerplate
+    that exact-hash dedup misses). Map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.array_join(
+                F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+            )
+        ).alias("fingerprint"),
+    )
+
+
+@query(
+    "q_binary_meta",
+    oracle="""
+    SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+           substr(md5(text), 1, 8) AS checksum
+    FROM documents
+    """,
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata extraction (multimodal plumbing pattern — see
+    ``operators/multimodal.py``): byte length + short checksum of the payload,
+    computed without decoding."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length(F.col("text").cast("binary")).cast("bigint").alias("n_bytes"),
+        F.substring(F.md5("text"), 1, 8).alias("checksum"),
+    )

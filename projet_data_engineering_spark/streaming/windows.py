@@ -1,0 +1,230 @@
+"""Streaming / incremental semantics (SURVEY.md §2.9).
+
+The reference is batch-only but carries incremental semantics: idempotent
+keyed re-ingest (``scraper/main.py:263-264``) and a continuous-refresh claim
+(``README.md:24``). Here both are first-class:
+
+- batch window queries (tumbling / sliding / session) registered with DuckDB
+  oracles — the exact aggregation a streaming job would emit, verifiable;
+- real Structured Streaming constructors (``stream_events``,
+  ``windowed_stream``, ``run_stream_upsert``) over the same transform DAG:
+  file source → watermark → windowed agg → foreachBatch MERGE sink, so
+  at-least-once input becomes exactly-once storage (ST1).
+
+Scale: state size is bounded by the watermark horizon × key cardinality;
+sliding windows multiply state by (window/slide); session state is per-key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table, merge_upsert
+from projet_data_engineering_spark.registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 — tumbling 1-hour window aggregation (batch twin of the streaming
+    query below; epoch-aligned, so window.start == date_trunc('hour'))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH grid AS (
+        SELECT *, date_trunc('hour', ts)
+               + CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+                      ELSE INTERVAL 0 MINUTE END AS g
+        FROM events
+    ),
+    assigned AS (
+        SELECT g AS ws, value FROM grid
+        UNION ALL
+        SELECT g - INTERVAL 30 MINUTE AS ws, value FROM grid
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM assigned
+    GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2 — sliding window (1 h length, 30 min slide): every event lands in
+    two windows. The oracle materializes the same assignment as a 2-way
+    union on the 30-minute grid."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), _TS_FMT).alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                        > 1800 * 1000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_idx
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a 30-minute inactivity gap — the lag-islands batch
+    twin of ``session_window`` (used in the streaming path below). Microsecond
+    epoch arithmetic on both engines so gap boundaries agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_us = 1800 * 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_idx", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.date_format(F.min("ts"), _TS_FMT).alias("session_start"),
+        F.date_format(F.max("ts"), _TS_FMT).alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real Structured Streaming constructors (exercised by tests/test_streaming.py)
+# ---------------------------------------------------------------------------
+
+
+def stream_events(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-source stream over event parquet drops (ST2: the reference's
+    'continuous refresh' done right — new files picked up incrementally,
+    exactly-once per file)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling aggregation: late events beyond the watermark are
+    dropped deterministically; state is evicted per watermark advance, so
+    long-running state stays bounded at any throughput."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_upsert(
+    stream_df: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    checkpoint: str,
+) -> None:
+    """ST1 — foreachBatch MERGE sink: each micro-batch upserts into the
+    parquet target keyed on ``key_cols`` (the streaming twin of the
+    reference's Mongo bulk UpdateOne-upsert, ``scraper/main.py:263-264``).
+    With Delta this becomes a transactional MERGE; plain parquet rewrite here
+    keeps the container dependency-free."""
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.withColumn(
+            "_merge_key", F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+        )
+        try:
+            old = spark.read.parquet(target_path).withColumn(
+                "_merge_key",
+                F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]),
+            )
+            merged = merge_upsert(old, batch, "_merge_key")
+        except Exception:
+            merged = batch
+        merged.drop("_merge_key").write.mode("overwrite").parquet(target_path + "_next")
+        # atomic-ish swap for the test harness; Delta/Iceberg do this natively
+        import shutil
+
+        shutil.rmtree(target_path, ignore_errors=True)
+        shutil.move(target_path + "_next", target_path)
+
+    (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
