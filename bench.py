@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": sf}
+
+Each query is forced end-to-end with a noop-format write (evaluates every
+column — a bare .count() would let Catalyst prune the computed columns).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from projet_data_engineering_spark.session import get_spark
+
+# One headline per operator family (SURVEY.md §2 + north-star extensions).
+BENCH_QUERIES = [
+    "q_tpch_q1",        # scan + multi-aggregate (flagship)
+    "q_join_multi",     # 6-table star join
+    "q_join_inner",     # broadcast fact->dim join
+    "q_upsert_merge",   # full-outer keyed merge
+    "q_topk",           # TakeOrderedAndProject
+    "q_window_rank",    # partitioned window
+    "q_dedup",          # distinct
+    "q_duration_parse", # regex ETL chain
+    "q_search_boolean", # bool/should qualification
+    "q_term_join",      # explode + broadcast term join
+    "q_bm25_topk",      # full BM25 scoring + top-k
+    "q_dedup_exact",    # content-hash dedup
+    "q_dedup_minhash",  # MinHash-LSH candidate pairs
+    "q_dedup_simhash",  # SimHash signatures
+    "q_embed_knn",      # brute-force cosine top-k
+    "q_ann_lsh",        # sign-LSH bucketed ANN
+    "q_lang_id",        # text analysis
+    "q_token_count",    # corpus accounting
+    "q_stream_tumbling",# windowed aggregation
+    "q_stream_session", # sessionization
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        # warm the file-listing/metadata path once so timings measure compute
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

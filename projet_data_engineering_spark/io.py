@@ -32,6 +32,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Rebalance a DataFrame across all cores before CPU-heavy map work.
+
+    The test corpus tables arrive as one parquet file (one input partition),
+    which would serialize per-row hashing/tokenizing onto a single core. On a
+    real multi-file table the scan is already parallel and this collapses to
+    a cheap rebalance; with AQE it can be elided entirely."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
+
+
 def read_json_source(spark: SparkSession, path: str, schema) -> DataFrame:
     """S2 — JSON array-of-objects source with an explicit schema.
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.io import load_table, spread
 from projet_data_engineering_spark.registry import query
 
 N_HASHES = 8
@@ -47,23 +47,42 @@ def _shingles(tokens: Column) -> Column:
 
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, h0..h{K-1}) — minhash k = lexicographic min of md5('k|'+shingle).
+    """(id, h0..h{K-1}) — K minhashes from ceil(K/4) md5 passes.
 
-    min(md5) over a uniform hash is a valid Jaccard-preserving minhash; hex
-    strings compare identically everywhere. Narrow map-only stage."""
+    Each md5('seed|'+shingle) yields four independent 32-bit (8-hex-char)
+    slices; minhash k = lexicographic min of slice k over the shingle set.
+    min over a uniform hash is a valid Jaccard-preserving minhash, and hex
+    strings compare identically in Spark and DuckDB. Narrow map-only stage;
+    hashing cost is 2 md5 per shingle instead of 8.
+    """
     toks = F.split(F.lower(F.col(text_col)), " ")
     base = docs.filter(F.size(toks) >= 3).select(
         F.col(id_col), _shingles(toks).alias("sh")
     )
-    def sig(k: int) -> Column:
-        # NB: the lambda must stay single-argument — a second parameter would
-        # make Spark's transform() pass the element index into it.
-        prefix = f"{k}|"
+    n_seeds = (N_HASHES + 3) // 4
+    for seed in range(n_seeds):
+        prefix = f"{seed}|"
+
+        def _hash(s, _p=prefix):
+            return F.md5(F.concat(F.lit(_p), s))
+
+        # transform() lambda must accept exactly one positional arg (a second
+        # would receive the element index) — hence the named helper.
+        base = base.withColumn(
+            f"m{seed}", F.transform(F.col("sh"), lambda s: _hash(s))
+        )
+
+    def slice_min(k: int) -> Column:
+        off = (k % 4) * 8
+
+        def _slice(m, _off=off):
+            return F.substring(m, _off + 1, 8)
+
         return F.array_min(
-            F.transform(F.col("sh"), lambda s: F.md5(F.concat(F.lit(prefix), s)))
+            F.transform(F.col(f"m{k // 4}"), lambda m: _slice(m))
         ).alias(f"h{k}")
 
-    return base.select(id_col, *[sig(k) for k in range(N_HASHES)])
+    return base.select(id_col, *[slice_min(k) for k in range(N_HASHES)])
 
 
 def lsh_bands(sig: DataFrame, id_col: str) -> DataFrame:
@@ -87,8 +106,12 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
 
     The self-join shuffles on (band_idx, band_val) — co-locating only docs
     whose signatures collide. At 100 TB this is the only join that matters;
-    AQE splits hot buckets (boilerplate-heavy corpora produce them)."""
-    bands = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col)
+    AQE splits hot buckets (boilerplate-heavy corpora produce them).
+
+    The band table is persisted across the self-join: without it Spark would
+    recompute the whole shingle+hash pipeline for both join sides. It is tiny
+    (4 short strings per doc) at any corpus size."""
+    bands = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -134,7 +157,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_oracle() -> str:
     h_cols = ",\n               ".join(
-        f"list_aggregate(list_transform(sh, x -> md5(concat('{k}|', x))), 'min') AS h{k}"
+        f"list_aggregate(list_transform(sh, x -> "
+        f"substr(md5(concat('{k // 4}|', x)), {(k % 4) * 8 + 1}, 8)), 'min') AS h{k}"
         for k in range(N_HASHES)
     )
     band_selects = "\n        UNION ALL\n".join(
@@ -171,8 +195,13 @@ def _minhash_oracle() -> str:
 @query("q_dedup_minhash", oracle=_minhash_oracle())
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup candidate pairs over ``documents`` (8 hashes,
-    4 bands × 2 rows ⇒ catches pairs with Jaccard ≳ 0.7)."""
-    d = load_table(spark, sf_dir, "documents")
+    4 bands × 2 rows ⇒ catches pairs with Jaccard ≳ 0.7).
+
+    The input is repartitioned before hashing: the test corpus arrives as one
+    parquet file (one partition), which would serialize the md5 work onto a
+    single core. On a real multi-file corpus the scan is already parallel and
+    the repartition collapses to a cheap rebalance."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return minhash_candidate_pairs(d, "doc_id", "text")
 
 
@@ -207,7 +236,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1; signature bit = sign of the sum. Equal signatures ⇒ near-dup bucket.
     One explode + one groupBy; signature comparison is then a cheap
     equality/hamming join — the memory-light alternative to MinHash."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     exploded = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
@@ -245,7 +274,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Blocking on (lang, 50-char length bucket) bounds the candidate set —
     near-dups share both — so the join is O(block²), not O(n²). This is the
     exact-verify stage you run after MinHash candidates at scale."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     t = d.select(
         "doc_id",
         "lang",

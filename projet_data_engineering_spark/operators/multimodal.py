@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Treats image/audio/video as ``binary`` columns with a typed metadata struct,
+processed via Arrow-batched ``mapInPandas`` — the only operator family where
+Python is the right tool (codec libraries). The Spark-side plumbing (schemas,
+batch shapes, partitioning) is real and tested; the codec call itself is
+STUBBED behind ``_decode_stub`` because image/audio libraries are not in this
+container — swap ``_decode_stub`` for PIL/torchaudio/pyav in production.
+
+Scale notes:
+- payloads stay in executor memory exactly one Arrow batch at a time
+  (``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds peak memory);
+- decode is embarrassingly parallel — no shuffle anywhere in the family;
+- metadata-only queries (see ``q_binary_meta`` in textanalysis.py) never
+  touch the payload bytes thanks to parquet column pruning.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("checksum", StringType(), False),
+        StructField("features", ArrayType(FloatType()), False),
+    ]
+)
+
+N_FEATURES = 8
+
+
+def _decode_stub(payload: bytes) -> list[float]:
+    """Deterministic fake 'decode + featurize'.
+
+    Production swap-in: PIL decode → resize → CNN embed (images),
+    torchaudio load → mel features (audio), pyav frame-sample (video).
+    The fake derives N_FEATURES floats from the payload digest so tests are
+    reproducible and the full Arrow round-trip is exercised."""
+    if payload is None:
+        raise NotImplementedError("real codecs unavailable in this container")
+    digest = hashlib.md5(payload).digest()
+    return [digest[i] / 255.0 for i in range(N_FEATURES)]
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode/featurize via mapInPandas: Arrow batches in, Arrow batches out.
+
+    Column pruning upstream means only (media_id, kind, payload) cross the
+    Python boundary; the returned frame is narrow (id + small feature vector),
+    so downstream joins/aggregations are cheap regardless of payload size."""
+    src = media.select("media_id", "kind", "payload")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()[:8]
+                    ),
+                    "features": payloads.map(
+                        lambda b: _decode_stub(b) if b is not None else [0.0] * N_FEATURES
+                    ),
+                }
+            )
+
+    return src.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one output row per sampled timestamp.
+
+    The timestamp grid is computed JVM-side (sequence + explode) from
+    duration metadata — the expensive per-frame decode happens only after
+    sampling, on the reduced row set, via ``extract_features``."""
+    return (
+        media.filter(F.col("kind") == "video")
+        .withColumn(
+            "sample_ms",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ),
+        )
+        .select("media_id", "sample_ms", "payload")
+    )
+
+
+def resize_plan(media: DataFrame, max_px: int = 256) -> DataFrame:
+    """Resize planning: JVM-side computation of target dims (aspect-preserving
+    clamp to ``max_px``); the pixel work itself belongs in the decode stub."""
+    scale = F.least(
+        F.lit(1.0),
+        max_px / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return media.withColumn(
+        "target_width", F.ceil(F.col("width") * scale).cast("int")
+    ).withColumn("target_height", F.ceil(F.col("height") * scale).cast("int"))

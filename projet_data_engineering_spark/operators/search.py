@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.io import load_table, spread
 from projet_data_engineering_spark.registry import query
 
 TOKEN_PATTERN = "[^a-z0-9]+"
@@ -283,5 +283,5 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Not oracle-declared: BM25 is our scoring formula, not ANSI SQL; the driver
     records a rows-only check and pytest property-tests monotonicity
     (SURVEY.md §5.2.3)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return search_topk(d, "doc_id", "text", "spark join stream", k=50)

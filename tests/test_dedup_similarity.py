@@ -1,0 +1,75 @@
+"""Dedup + similarity behavior on planted fixtures: MinHash must recall
+planted near-dups, exact dedup exact copies; merge upsert is idempotent."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import merge_upsert
+from projet_data_engineering_spark.operators.dedup import (
+    minhash_candidate_pairs,
+    minhash_signatures,
+)
+from projet_data_engineering_spark.operators.similarity import knn_brute_force
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    rows = [
+        Row(doc_id=1, text=BASE),
+        Row(doc_id=2, text=BASE.replace("warm", "cold")),      # near-dup of 1
+        Row(doc_id=3, text=BASE),                               # exact dup of 1
+        Row(doc_id=4, text="completely different content about spark sql "
+                           "query optimization and shuffle partitioning at scale"),
+        Row(doc_id=5, text="another unrelated document discussing streaming "
+                           "watermarks state stores and exactly once semantics"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_minhash_recalls_planted_near_dups(planted):
+    pairs = {(r["doc1"], r["doc2"]) for r in
+             minhash_candidate_pairs(planted, "doc_id", "text").collect()}
+    assert (1, 3) in pairs          # exact dup always collides
+    assert (1, 2) in pairs          # 1-word-out-of-22 near dup
+    assert (4, 5) not in pairs      # unrelated docs don't
+
+
+def test_minhash_signature_deterministic(planted):
+    a = sorted(map(tuple, minhash_signatures(planted, "doc_id", "text").collect()))
+    b = sorted(map(tuple, minhash_signatures(planted, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_merge_upsert_semantics_and_idempotence(spark):
+    old = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    new = spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")])
+    once = merge_upsert(old, new, "k")
+    got = {r["k"]: r["v"] for r in once.collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}      # new wins, old survives, insert
+    twice = merge_upsert(once, new, "k")
+    assert {tuple(r) for r in twice.collect()} == {tuple(r) for r in once.collect()}
+
+
+def test_knn_self_similarity_excluded_and_ranked(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1, 0.0]),   # closest to 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0, 0.0]),  # opposite
+    ]
+    e = spark.createDataFrame(rows)
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_brute_force(e, q, k=3)
+    ranked = [r["vec_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    assert 0 not in ranked

@@ -1,0 +1,103 @@
+"""Golden tests for the recipe ETL chain (SURVEY.md §5.2.2): the reference's
+behavioral quirks — cascade ordering, duration fallbacks, sentinels,
+blacklist substitution — locked in against hand-computed expectations."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import Row
+
+from projet_data_engineering_spark.recipes.pipeline import (
+    PLACEHOLDER_IMG,
+    clean_recipes,
+)
+
+
+def raw_row(**kw):
+    base = dict(
+        url="https://www.example.org/r/1",
+        title="Tarte aux pommes",
+        category="dessert",
+        header_text="facile 45 min",
+        rating_text="4,8/5",
+        reviews_text="127 avis",
+        image_url="https://img.example.org/tarte.jpg",
+        ingredients=["3 pommes", "1 pâte"],
+        steps=["Préchauffer le four.", "Cuire 45 min."],
+        updated_at="2026-01-01 10:00:00",
+    )
+    base.update(kw)
+    return Row(**base)
+
+
+@pytest.fixture(scope="module")
+def cleaned(spark):
+    rows = [
+        raw_row(),
+        # order-sensitive cascade: 'très facile' must NOT normalize to 'Facile'
+        raw_row(url="u2", title="Oeufs", header_text="très facile 1 h 30 min"),
+        raw_row(url="u3", title="Ragoût", header_text="difficile 2 h"),
+        raw_row(url="u4", title="Mystère", header_text="aucun temps indiqué"),
+        raw_row(url="u5", title="Fallback", header_text="temps : 20 m"),
+        raw_row(url="u6", title="Recette Inconnue"),  # filtered out
+        raw_row(url="u7", title="SansImage", image_url=""),
+        raw_row(url="u8", title="LogoImg", image_url="https://cdn/logo-big.png"),
+        raw_row(url="u9", title="SansNote", rating_text="aucune note"),
+        raw_row(url="u10", title="SansAvis", reviews_text="pas d'avis"),
+        # duplicate url: only the newest survives
+        raw_row(title="Tarte v2", updated_at="2026-02-01 10:00:00"),
+        raw_row(url="u11", title="Heure", header_text="moyen 1 heure 15 min"),
+    ]
+    df = spark.createDataFrame(rows)
+    return {r["name"]: r for r in clean_recipes(df).collect()}
+
+
+def test_unknown_title_filtered(cleaned):
+    assert "Recette Inconnue" not in cleaned
+
+
+def test_dedup_keeps_newest(cleaned):
+    assert "Tarte v2" in cleaned and "Tarte aux pommes" not in cleaned
+
+
+def test_product_id_is_md5_of_url(cleaned):
+    assert cleaned["Oeufs"]["product_id"] == hashlib.md5(b"u2").hexdigest()
+
+
+def test_difficulty_cascade_order(cleaned):
+    assert cleaned["Oeufs"]["difficulty"] == "Très facile"
+    assert cleaned["Tarte v2"]["difficulty"] == "Facile"
+    assert cleaned["Ragoût"]["difficulty"] == "Difficile"
+    assert cleaned["Mystère"]["difficulty"] == "Moyen"
+
+
+def test_duration_parse(cleaned):
+    assert cleaned["Oeufs"]["duration_min"] == 90
+    assert cleaned["Ragoût"]["duration_min"] == 120
+    assert cleaned["Tarte v2"]["duration_min"] == 45
+    assert cleaned["Heure"]["duration_min"] == 75  # 'heure' normalized to 'h'
+    assert cleaned["Mystère"]["duration_min"] == 0  # no digits → sentinel
+    assert cleaned["Fallback"]["duration_min"] == 20  # 'temps : N m' fallback
+
+
+def test_rating_locale_cast_and_sentinel(cleaned):
+    assert cleaned["Tarte v2"]["rating"] == 4.8
+    assert cleaned["SansNote"]["rating"] == 0.0
+
+
+def test_reviews_first_int_and_sentinel(cleaned):
+    assert cleaned["Tarte v2"]["reviews_count"] == 127
+    assert cleaned["SansAvis"]["reviews_count"] == 0
+
+
+def test_image_blacklist(cleaned):
+    assert cleaned["SansImage"]["image_url"] == PLACEHOLDER_IMG
+    assert cleaned["LogoImg"]["image_url"] == PLACEHOLDER_IMG
+    assert cleaned["Oeufs"]["image_url"].startswith("https://img.example.org")
+
+
+def test_derived_text_fields(cleaned):
+    assert cleaned["Oeufs"]["ingredients_text"] == "3 pommes, 1 pâte"
+    assert cleaned["Oeufs"]["steps_text"] == "Préchauffer le four. Cuire 45 min."
