@@ -228,3 +228,60 @@ def run_stream_upsert(
         .start()
         .awaitTermination()
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+def running_user_totals(events: DataFrame, timeout_ms: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count and
+    value total, maintained across micro-batches with
+    ``applyInPandasWithState`` — the extension point for operators Structured
+    Streaming lacks natively (SURVEY.md §2.10).
+
+    State is one (count, total) pair per user — O(|users|) store size,
+    partitioned by the grouping key so it scales horizontally with executors.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("n_events", LongType(), False),
+            StructField("total_value", DoubleType(), False),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("total", DoubleType(), False),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

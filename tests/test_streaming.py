@@ -96,3 +96,35 @@ def test_stream_upsert_idempotent(spark, event_dir):
     assert first == second
     shutil.rmtree(chk1, ignore_errors=True)
     shutil.rmtree(chk2, ignore_errors=True)
+
+
+def test_stateful_running_totals(spark, event_dir):
+    """applyInPandasWithState accumulates per-user state across micro-batches:
+    final emitted totals must equal the batch groupBy."""
+    from projet_data_engineering_spark.streaming.windows import running_user_totals
+
+    batch_df = spark.read.parquet(event_dir)
+    expected = {
+        r["user_id"]: (r["n"], round(r["t"], 4))
+        for r in batch_df.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+
+    emitted = []
+    chk = tempfile.mkdtemp(prefix="chk_")
+    q = (
+        running_user_totals(stream_events(spark, event_dir, batch_df.schema))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)
+    # last emission per user wins (update mode)
+    final = {}
+    for r in emitted:
+        final[r["user_id"]] = (r["n_events"], round(r["total_value"], 4))
+    assert final == expected
