@@ -191,6 +191,161 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ann_ivf",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cent_id, v AS cv FROM b WHERE vec_id < 8),
+    assign AS (
+        SELECT vec_id, cent_id, v FROM (
+            SELECT b.vec_id, c.cent_id, b.v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(b.v, c.cv), 4) DESC,
+                                c.cent_id ASC) AS rn
+            FROM b CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, cent_id, qv FROM (
+            SELECT b.vec_id AS query_id, c.cent_id, b.v AS qv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(b.v, c.cv), 4) DESC,
+                                c.cent_id ASC) AS rn
+            FROM b CROSS JOIN cent c WHERE b.vec_id < 3
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id,
+               ROUND(list_cosine_similarity(a.v, p.qv), 4) AS score
+        FROM assign a JOIN probe p
+          ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, score, rank FROM (
+        SELECT query_id, vec_id, score,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: the data-dependent alternative to sign-LSH bucketing.
+
+    Coarse quantizer = 8 deterministic centroids (vec_id < 8 — a k-means fit
+    would slot in identically; centroids are a small model artifact). Every
+    vector is assigned to its nearest centroid with a MAP-ONLY argmax over a
+    broadcast centroid array — no shuffle touches the corpus, so at 100 TB
+    assignment cost is one scan. Queries probe their nprobe=2 nearest lists,
+    exact-cosine re-rank, top-5. Persisting the corpus partitioned by
+    ``cent_id`` turns each probe into a partition-pruned scan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = (
+        b.filter(F.col("vec_id") < 8)
+        .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")).alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+    )
+
+    # per-vector scored centroid list: struct(cos, -cent_id) so array_max /
+    # array_sort tie-break toward the LOWEST centroid id (struct order is max)
+    def scored_cents():
+        return F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.round(cosine(F.col("v"), c["cv"]), 4).alias("cos"),
+                (-c["cent_id"]).alias("neg_id"),
+            ),
+        )
+
+    assigned = (
+        b.crossJoin(F.broadcast(cents))
+        .withColumn("best", F.array_max(scored_cents()))
+        .select("vec_id", (-F.col("best.neg_id")).alias("cent_id"), "v")
+    )
+    probes = (
+        b.filter(F.col("vec_id") < 3)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("top2", F.slice(F.reverse(F.array_sort(scored_cents())), 1, 2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.col("top2.neg_id")).alias("neg_id"),
+        )
+        .select("query_id", "qv", (-F.col("neg_id")).alias("cent_id"))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+@query(
+    "q_embed_knn_arrow",
+    oracle="""
+    WITH q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT vec_id, score FROM (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 20
+    """,
+)
+def q_embed_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same top-20 as ``q_embed_knn`` but scored through the Arrow path:
+    ``mapInPandas`` with a vectorized numpy matmul per batch — the drop-in
+    pattern for wide vectors / real model scoring where per-element JVM
+    folds lose to BLAS. Oracle-checked to the identical result."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qrow = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    import numpy as np
+
+    qv = np.asarray(qrow["embedding"], dtype=np.float64)
+    qn = float(np.sqrt(qv @ qv))
+    out_schema = "vec_id bigint, score double"
+
+    def score_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # float64 math; 4-dp rounding absorbs fold-order ulps (the same
+            # tolerance that already reconciles the JVM and DuckDB folds)
+            scores = (m * qv).sum(axis=1) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "score": np.round(scores, 4)}
+            )
+
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(score_batches, schema=out_schema)
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
+@query(
     "q_embed_dup_pairs",
     oracle="""
     SELECT v1, v2, cos FROM (

@@ -58,6 +58,7 @@ def _load_all() -> None:
         relational,
         search,
         similarity,
+        skew,
         textanalysis,
     )
     from projet_data_engineering_spark.streaming import windows  # noqa: F401
