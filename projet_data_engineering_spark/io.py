@@ -92,3 +92,25 @@ def merge_upsert(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
             for c in cols
         ]
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed table write — the pre-shuffle for repeated co-located joins.
+
+    Both sides of a recurring fact-fact join written with the SAME bucket
+    count and keys join with ZERO exchanges afterward (asserted in
+    tests/test_plans.py): the shuffle is paid once at write time instead of
+    per query. At 100 TB this is the difference between re-shuffling the
+    fact table on every run and never shuffling it again; pick n_buckets so
+    one bucket ~ one task's worth of data (128-256 MB).
+    """
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

@@ -285,3 +285,44 @@ def running_user_totals(events: DataFrame, timeout_ms: int | None = None) -> Dat
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST1 — streaming exact dedup on the event key: at-least-once input
+    becomes exactly-once output. ``dropDuplicates`` keeps one row per key in
+    the state store; the watermark bounds how long a key is remembered, so
+    state is O(keys per horizon), not O(all keys ever)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_delay: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: match each left event to right events for the
+    same user that occur within ``max_delay`` AFTER it (funnel/attribution
+    shape: click -> purchase).
+
+    Both sides are watermarked and the join condition bounds event time on
+    both sides — the two conditions together let Spark evict join state as
+    the watermark advances. Without the time bound, state would grow
+    unboundedly; this is the canonical scale constraint on stream joins.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("l_user"),
+        F.col("event_id").alias("l_event"),
+        F.col("ts").alias("l_ts"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user"),
+        F.col("event_id").alias("r_event"),
+        F.col("ts").alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_user") == F.col("r_user"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
+    )

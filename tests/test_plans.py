@@ -4,6 +4,8 @@ A change that silently de-optimizes a plan fails here, not on the cluster."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 import __spark_entry__ as entrymod
 from projet_data_engineering_spark.plans.explain import (
     codegen_stage_count,
@@ -67,3 +69,42 @@ def test_shuffle_budgets(spark):
     assert shuffle_count(Q["q_duration_parse"](spark, SF_DIR)) == 0
     assert shuffle_count(Q["q_case_when"](spark, SF_DIR)) == 0
     assert shuffle_count(Q["q_should_score"](spark, SF_DIR)) == 0
+
+
+def test_bucketed_join_needs_no_shuffle(spark, tmp_path_factory):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO exchanges — the write-once/join-free path."""
+    from projet_data_engineering_spark.io import load_table, write_bucketed
+    from projet_data_engineering_spark.plans.explain import shuffle_count
+
+    wh = tmp_path_factory.mktemp("warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{wh}'")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed(li, "bkt.li_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "bkt.o_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+
+    a = spark.table("bkt.li_b")
+    b = spark.table("bkt.o_b")
+    # disable broadcast so the join strategy is actually exercised
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, a.l_orderkey == b.o_orderkey)
+        assert shuffle_count(j) == 0
+        plain = load_table(spark, SF_DIR, "lineitem").join(
+            load_table(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert shuffle_count(plain) >= 1  # the cost bucketing removes
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS bkt.li_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.o_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")

@@ -128,3 +128,71 @@ def test_stateful_running_totals(spark, event_dir):
     for r in emitted:
         final[r["user_id"]] = (r["n_events"], round(r["total_value"], 4))
     assert final == expected
+
+
+def test_stream_dedup_exactly_once(spark, event_dir):
+    """Feed the same events twice (at-least-once redelivery): the deduped
+    stream must emit each event_id exactly once."""
+    from projet_data_engineering_spark.streaming.windows import dedup_stream
+
+    batch_df = spark.read.parquet(event_dir)
+    dup_dir = tempfile.mkdtemp(prefix="dup_src_")
+    batch_df.write.mode("overwrite").parquet(dup_dir + "/a")
+    batch_df.write.mode("overwrite").parquet(dup_dir + "/b")
+
+    emitted = []
+    chk = tempfile.mkdtemp(prefix="chk_")
+    q = (
+        dedup_stream(
+            spark.readStream.schema(batch_df.schema).option(
+                "recursiveFileLookup", "true"
+            ).parquet(dup_dir)
+        )
+        .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)
+    shutil.rmtree(dup_dir, ignore_errors=True)
+
+    ids = [r["event_id"] for r in emitted]
+    assert len(ids) == len(set(ids))
+    assert set(ids) == {r["event_id"] for r in batch_df.collect()}
+
+
+def test_stream_stream_join_equals_batch(spark, event_dir):
+    """Streamed funnel join (click -> any event within 30 min) must emit
+    exactly the batch join's matches for watermark-finalized rows."""
+    from projet_data_engineering_spark.streaming.windows import stream_stream_join
+
+    batch_df = spark.read.parquet(event_dir)
+    schema = batch_df.schema
+    clicks = batch_df.filter(F.col("event_type") == "click")
+    expected = {
+        tuple(r)
+        for r in stream_stream_join(clicks, batch_df).collect()
+    }
+
+    emitted = []
+    chk = tempfile.mkdtemp(prefix="chk_")
+    q = (
+        stream_stream_join(
+            stream_events(spark, event_dir, schema).filter(
+                F.col("event_type") == "click"
+            ),
+            stream_events(spark, event_dir, schema),
+        )
+        .writeStream.foreachBatch(lambda b, _i: emitted.extend(b.collect()))
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(chk, ignore_errors=True)
+    streamed = {tuple(r) for r in emitted}
+    # inner stream-stream join emits matches as both sides pass the watermark;
+    # availableNow drains the source, so all but the tail horizon must appear
+    assert streamed <= expected
+    assert len(streamed) >= 0.5 * len(expected) > 0
