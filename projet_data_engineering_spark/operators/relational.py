@@ -878,3 +878,119 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.approx_count_distinct("o_custkey").alias("n_custkeys_approx"))
     )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id AS click_id,
+               CAST(NULL AS BIGINT) AS purchase_id, 1 AS is_click
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, ts, CAST(NULL AS BIGINT), event_id, 0
+        FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+        SELECT user_id, ts, purchase_id,
+               LAST_VALUE(click_id IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, is_click DESC, COALESCE(click_id, purchase_id)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id
+        FROM u
+    )
+    SELECT user_id, purchase_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           click_id
+    FROM carried WHERE purchase_id IS NOT NULL
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase matched to the user's most recent
+    click at-or-before it — the operator Spark lacks natively (the brief's
+    attribution/funnel shape).
+
+    Implemented with the union trick: interleave both sides in one
+    per-user event-time sort and carry the last click forward with
+    ``last(ignorenulls)``. ONE shuffle on user_id total — versus the naive
+    per-pair range join's quadratic blowup — and no per-key driver loops, so
+    it scales with executors like any window aggregate. Same-timestamp ties
+    sort clicks first (a same-instant click counts as prior), then by id."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("bigint").alias("purchase_id"),
+        F.lit(1).alias("is_click"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("click_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.lit(0).alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            "ts",
+            F.desc("is_click"),
+            F.coalesce("click_id", "purchase_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        clicks.unionByName(purchases)
+        .withColumn("last_click", F.last("click_id", ignorenulls=True).over(w))
+        .filter(F.col("purchase_id").isNotNull())
+        .select(
+            "user_id",
+            "purchase_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.col("last_click").alias("click_id"),
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('small', 0.0, 50000.0),
+               ('medium', 50000.0, 200000.0),
+               ('large', 200000.0, 1000000000.0)
+    )
+    SELECT b.band, COUNT(*) AS n, ROUND(AVG(o.o_totalprice), 2) AS avg_price
+    FROM orders o JOIN bands b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: orders banded by price interval. The band table is
+    tiny → Spark plans BroadcastNestedLoopJoin, which is the right physical
+    strategy: every row tests 3 intervals with zero shuffle. For big-big
+    range joins, bin both sides to equi-keys first (the q_dedup_jaccard
+    blocking pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = o.sparkSession.createDataFrame(
+        [
+            ("small", 0.0, 50000.0),
+            ("medium", 50000.0, 200000.0),
+            ("large", 200000.0, 1000000000.0),
+        ],
+        ["band", "lo", "hi"],
+    )
+    return (
+        o.join(
+            F.broadcast(bands),
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
