@@ -132,3 +132,33 @@ def resize_plan(media: DataFrame, max_px: int = 256) -> DataFrame:
     return media.withColumn(
         "target_width", F.ceil(F.col("width") * scale).cast("int")
     ).withColumn("target_height", F.ceil(F.col("height") * scale).cast("int"))
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from projet_data_engineering_spark.io import load_table, spread  # noqa: E402
+from projet_data_engineering_spark.registry import query  # noqa: E402
+
+
+@query("q_media_features")  # mapInPandas decode stub → rows-only driver check
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction end-to-end on driver data: documents'
+    text bytes stand in for opaque media payloads (this container has no
+    codec libraries — ``_decode_stub`` marks the swap point), flowing through
+    the real Arrow plumbing: column-pruned payload scan → mapInPandas
+    batches → narrow (id, meta, features) output ready for similarity joins.
+    Python-side math is per-batch vectorizable; no shuffle anywhere."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "checksum",
+        F.round(F.element_at("features", 1), 4).alias("f0"),
+        F.round(F.element_at("features", N_FEATURES), 4).alias("f7"),
+    )

@@ -285,3 +285,36 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SURVEY.md §5.2.3)."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return search_topk(d, "doc_id", "text", "spark join stream", k=50)
+
+
+@query(
+    "q_posting_lists",
+    oracle="""
+    SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf
+    FROM (
+        SELECT d.doc_id, u.term, COUNT(*) AS tf
+        FROM (SELECT doc_id,
+                     list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents) d,
+             UNNEST(d.toks) AS u(term)
+        WHERE u.term IN ('spark', 'join', 'stream', 'vector')
+        GROUP BY d.doc_id, u.term
+    )
+    GROUP BY term
+    """,
+)
+def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — the materialized-inverted-index build (term-pruned here to keep
+    the oracle small): per-term document frequency and corpus tf straight off
+    ``build_posting_lists``. At 100 TB the unpruned output is written once,
+    partitioned/bucketed by term, and every subsequent search joins against
+    it instead of re-scanning the corpus (the ES re-index analogue,
+    reference ``scraper/main.py:271-277``)."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    postings = build_posting_lists(d, "doc_id", "text")
+    return (
+        postings.filter(F.col("term").isin("spark", "join", "stream", "vector"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
+    )

@@ -55,6 +55,7 @@ def _load_all() -> None:
     from projet_data_engineering_spark.operators import (  # noqa: F401
         dedup,
         etl,
+        multimodal,
         relational,
         search,
         similarity,

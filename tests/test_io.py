@@ -1,0 +1,77 @@
+"""Sources/sinks (SURVEY.md §2.1): JSON round-trip with explicit schema,
+overwrite load, and single-file backup parity with the reference's format."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from projet_data_engineering_spark.io import (
+    load_table,
+    read_json_source,
+    write_json_sink,
+)
+from tests.conftest import SF_DIR
+
+RECIPE_LIKE_SCHEMA = StructType(
+    [
+        StructField("product_id", StringType()),
+        StructField("name", StringType()),
+        StructField("rating", LongType()),
+        StructField("ingredients", ArrayType(StringType())),
+    ]
+)
+
+
+def test_json_source_reads_array_file_with_schema(spark, tmp_path):
+    """S2 — the reference's array-of-objects backup file, read with an
+    explicit StructType (no inference), arrays preserved."""
+    payload = [
+        {"product_id": "a1", "name": "Tarte", "rating": 4, "ingredients": ["x", "y"]},
+        {"product_id": "b2", "name": "Soupe", "rating": 5, "ingredients": []},
+    ]
+    p = tmp_path / "backup.json"
+    p.write_text(json.dumps(payload, ensure_ascii=False, indent=4))
+    df = read_json_source(spark, str(p), RECIPE_LIKE_SCHEMA)
+    rows = {r["product_id"]: r for r in df.collect()}
+    assert set(rows) == {"a1", "b2"}
+    assert rows["a1"]["ingredients"] == ["x", "y"]
+    assert df.schema == RECIPE_LIKE_SCHEMA
+
+
+def test_json_sink_round_trip(spark, tmp_path):
+    """S3 → S2 — write a table to JSON, read it back with the source schema:
+    identical rows (the backup/restore cycle, restore_data.py:22-49)."""
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_json")
+    write_json_sink(docs, out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = spark.read.json(out, schema=schema)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, docs.collect())
+    )
+
+
+def test_json_sink_single_file_mode(spark, tmp_path):
+    """single_file=True mirrors the reference's one-file backup layout."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id").limit(5)
+    out = tmp_path / "one"
+    write_json_sink(docs, str(out), single_file=True)
+    parts = [f for f in out.iterdir() if f.name.startswith("part-")]
+    assert len(parts) == 1

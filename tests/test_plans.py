@@ -108,3 +108,23 @@ def test_bucketed_join_needs_no_shuffle(spark, tmp_path_factory):
         spark.sql("DROP TABLE IF EXISTS bkt.li_b")
         spark.sql("DROP TABLE IF EXISTS bkt.o_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
+    """A lang-partitioned table filtered on lang must scan only the matching
+    partition directories (PartitionFilters in the scan, not a post-filter)."""
+    from projet_data_engineering_spark.io import load_table, overwrite_table
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    out = str(tmp_path_factory.mktemp("part") / "docs")
+    overwrite_table(
+        load_table(spark, SF_DIR, "documents"), out, partition_by=["lang"]
+    )
+    df = spark.read.parquet(out).filter(F.col("lang") == "en")
+    plan = formatted_plan(df)
+    assert any(
+        "PartitionFilters" in ln and "lang" in ln for ln in plan.splitlines()
+    )
+    n_en = df.count()
+    total = spark.read.parquet(out).count()
+    assert 0 < n_en < total
