@@ -137,18 +137,30 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
     "q_dedup_exact",
     oracle="""
     SELECT content_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper
-    FROM (SELECT doc_id, md5(text) AS content_hash FROM documents)
+    FROM (SELECT doc_id,
+                 md5(array_to_string(
+                     list_sort(list_distinct(str_split(lower(text), ' '))), ' '))
+                     AS content_hash
+          FROM documents)
     GROUP BY content_hash
     HAVING COUNT(*) > 1
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup via content hash (reference D2: ``md5(url)`` key).
-    Groups of identical docs; ``keeper`` = canonical survivor. One shuffle
-    of (32-byte hash, id) pairs regardless of document size."""
+    """Exact dedup via canonicalized content hash (reference D2: ``md5(url)``
+    key): hash over the sorted distinct token set (the q_fingerprint
+    canonical form — raw-byte md5 finds zero duplicates in this corpus, which
+    would make the check vacuous). Groups of equivalent docs; ``keeper`` =
+    canonical survivor. One shuffle of (32-byte hash, id) pairs regardless of
+    document size."""
     d = load_table(spark, sf_dir, "documents")
+    canon = F.md5(
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), " "
+        )
+    )
     return (
-        d.select("doc_id", F.md5("text").alias("content_hash"))
+        d.select("doc_id", canon.alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_copies") > 1)

@@ -570,13 +570,20 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join (NOT EXISTS) — customers with no orders."""
+    """Left-anti join (NOT EXISTS) — customers who never placed a >400k
+    order. (The unfiltered form — customers with no orders at all — is
+    empty in this data: every customer has orders, which would make the
+    check vacuous.) The filter lands on the build side before the join."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
@@ -675,18 +682,22 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_except",
     oracle="""
-    SELECT c_custkey FROM customer
-    EXCEPT
     SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — customers minus order-placing customers."""
-    c = load_table(spark, sf_dir, "customer").select("c_custkey")
-    o = load_table(spark, sf_dir, "orders").select(
+    """EXCEPT — order-placing customers minus big-order (>400k) customers.
+    (customer-minus-orders would be empty here: every customer orders.)
+    ``subtract`` is EXCEPT DISTINCT: a customer with any big order drops out
+    entirely, matching ANSI set semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("c_custkey"))
+    big_c = o.filter(F.col("o_totalprice") > 400000).select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return c.exceptAll(o).distinct()
+    return all_c.subtract(big_c)
 
 
 @query(

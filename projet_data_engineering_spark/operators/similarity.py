@@ -128,11 +128,7 @@ def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END
                 || CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END
                 || CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END
-                || CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END
-                || CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END
-                || CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END
-                || CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END
-                || CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
+                || CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
         FROM embeddings
     ),
     q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
@@ -151,8 +147,11 @@ def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH ANN: candidates share the 8-bit sign bucket (~1/256 of the
-    corpus per query at scale), then exact cosine re-rank, top-5 per query.
+    """Sign-LSH ANN: candidates share the 4-bit sign bucket (1/16 of the
+    corpus per query), then exact cosine re-rank, top-5 per query. Bucket
+    width tunes the recall/cost trade: more bits = smaller candidate sets;
+    at this corpus size 8 bits left buckets near-singleton (vacuous top-5),
+    4 bits keeps ~n/16 real candidates per probe.
 
     The scale path: bucket assignment is a map-only stage; persisting the
     corpus partitioned by bucket turns each query into a partition-pruned
@@ -163,7 +162,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
-        sign_bucket(F.col("embedding")).alias("bucket"),
+        sign_bucket(F.col("embedding"), n_bits=4).alias("bucket"),
     )
     q = (
         b.filter(F.col("vec_id") < 3)
