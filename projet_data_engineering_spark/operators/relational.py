@@ -503,25 +503,34 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-table star join (local-supplier revenue by nation).
 
-    Scale: region/nation/supplier broadcast (tiny dims); customer⋈orders and
-    orders⋈lineitem are the only shuffles, both on their natural keys, and
-    Catalyst reorders so the region filter prunes before the fact join."""
+    Join order is dimension-first ON PURPOSE: region→nation→customer prunes
+    the customer side to one region (~1/5) via broadcasts BEFORE any fact
+    shuffle, so the customer⋈orders and orders⋈lineitem exchanges move only
+    surviving rows. Without table stats Catalyst keeps the written order —
+    at 100 TB the pre-pruned shuffle is the difference that matters.
+    supplier stays last (its condition needs both l_suppkey and
+    c_nationkey); it broadcasts like the other dims."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    asia_nations = n.join(
+        F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+        n.n_regionkey == r.r_regionkey,
+    )
+    asia_custs = c.join(
+        F.broadcast(asia_nations), c.c_nationkey == asia_nations.n_nationkey
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
+        asia_custs.join(o, asia_custs.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .join(
             F.broadcast(s),
-            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+            (li.l_suppkey == s.s_suppkey)
+            & (s.s_nationkey == F.col("c_nationkey")),
         )
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
