@@ -1014,3 +1014,65 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+@query(
+    "q_sql_correlated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           ROUND((SELECT SUM(o.o_totalprice) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey), 2) AS total_spend
+    FROM customer c
+    WHERE (SELECT SUM(o.o_totalprice) FROM orders o
+           WHERE o.o_custkey = c.c_custkey)
+          > (SELECT AVG(cust_total) FROM (
+                 SELECT SUM(o_totalprice) AS cust_total
+                 FROM orders GROUP BY o_custkey))
+    """,
+)
+def q_sql_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point (``spark.sql``) with a correlated scalar subquery:
+    customers whose total spend beats the average customer's total.
+
+    Catalyst decorrelates both subqueries into aggregations + joins
+    (RewriteCorrelatedScalarSubquery) — the per-customer re-scan a naive
+    executor would do never happens; the plan is two hash aggregates and a
+    broadcast of the 1-row global average (SURVEY.md §4: decorrelation is
+    built-in, nothing hand-written)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name,
+               ROUND((SELECT SUM(o.o_totalprice) FROM orders_v o
+                      WHERE o.o_custkey = c.c_custkey), 2) AS total_spend
+        FROM customer_v c
+        WHERE (SELECT SUM(o.o_totalprice) FROM orders_v o
+               WHERE o.o_custkey = c.c_custkey)
+              > (SELECT AVG(cust_total) FROM (
+                     SELECT SUM(o_totalprice) AS cust_total
+                     FROM orders_v GROUP BY o_custkey))
+        """
+    )
+
+
+@query(
+    "q_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(substr(text, 1, 4) AS INTEGER) AS maybe_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INTEGER) AS roundtrip
+    FROM documents
+    """,
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe casting: Spark 4 runs ANSI mode where a bad CAST throws
+    mid-job — ``try_cast`` yields NULL instead, the right semantics for
+    dirty-corpus ETL at scale (one malformed row must not kill a 1000-task
+    stage). Mirrors DuckDB TRY_CAST exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr("try_cast(substring(text, 1, 4) AS int)").alias("maybe_int"),
+        F.expr("try_cast(cast(n_chars AS string) AS int)").alias("roundtrip"),
+    )
