@@ -114,3 +114,28 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def read_csv_source(
+    spark: SparkSession, path: str, schema, header: bool = True, sep: str = ","
+) -> DataFrame:
+    """CSV source with an explicit schema (same no-inference stance as S2:
+    inference costs an extra full pass and guesses types per-file). CSV is
+    splittable when uncompressed, so scans parallelize like parquet —
+    minus columnar pruning/pushdown, which is why parquet is the default
+    interchange and CSV only an ingest boundary."""
+    return (
+        spark.read.option("header", str(header).lower())
+        .option("sep", sep)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_csv_sink(
+    df: DataFrame, path: str, header: bool = True, sep: str = ","
+) -> None:
+    """CSV sink (one file per partition; interchange/export boundary only)."""
+    df.write.mode("overwrite").option("header", str(header).lower()).option(
+        "sep", sep
+    ).csv(path)

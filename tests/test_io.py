@@ -75,3 +75,24 @@ def test_json_sink_single_file_mode(spark, tmp_path):
     write_json_sink(docs, str(out), single_file=True)
     parts = [f for f in out.iterdir() if f.name.startswith("part-")]
     assert len(parts) == 1
+
+
+def test_csv_round_trip(spark, tmp_path):
+    """CSV sink -> source with explicit schema: identical rows and types."""
+    from projet_data_engineering_spark.io import read_csv_source, write_csv_sink
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_csv")
+    write_csv_sink(docs, out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = read_csv_source(spark, out, schema)
+    assert back.schema == schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
