@@ -33,13 +33,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Rebalance a DataFrame across all cores before CPU-heavy map work.
+    """Rebalance a DataFrame across all cores before CPU-heavy map work —
+    but ONLY when the scan is actually under-parallel.
 
     The test corpus tables arrive as one parquet file (one input partition),
-    which would serialize per-row hashing/tokenizing onto a single core. On a
-    real multi-file table the scan is already parallel and this collapses to
-    a cheap rebalance; with AQE it can be elided entirely."""
+    which would serialize per-row hashing/tokenizing onto a single core. A
+    real multi-file corpus already scans with thousands of partitions; there
+    the repartition would be a full shuffle for nothing, so it is skipped
+    when the input already has >= half the cluster's parallelism. The check
+    reads only file-listing metadata, not data."""
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(n // 2, 1):
+        return df
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)
 
 
