@@ -101,3 +101,55 @@ def test_image_blacklist(cleaned):
 def test_derived_text_fields(cleaned):
     assert cleaned["Oeufs"]["ingredients_text"] == "3 pommes, 1 pâte"
     assert cleaned["Oeufs"]["steps_text"] == "Préchauffer le four. Cuire 45 min."
+
+
+@pytest.fixture(scope="module")
+def cleaned_df(spark):
+    rows = [
+        raw_row(),
+        raw_row(url="u2", title="Oeufs", header_text="très facile 1 h 30 min",
+                ingredients=["6 oeufs", "sel"]),
+        raw_row(url="u3", title="Ragoût", header_text="difficile 2 h",
+                ingredients=["1 kg boeuf", "2 pommes de terre"]),
+        raw_row(url="u5", title="Fallback", header_text="temps : 20 m"),
+        raw_row(url="u7", title="SansImage", image_url=""),
+    ]
+    return clean_recipes(spark.createDataFrame(rows))
+
+
+def test_dashboard_kpis_end_to_end(spark, cleaned_df):
+    """§3.1 parity: the KPI header over the cleaned frame equals the
+    hand-computed pandas-style values."""
+    from projet_data_engineering_spark.recipes.dashboard import (
+        dashboard_kpis,
+        value_distributions,
+    )
+
+    cleaned = cleaned_df
+    cats = [r["category"] for r in cleaned.select("category").distinct().collect()]
+    row = dashboard_kpis(cleaned, cats).collect()[0]
+    rows = cleaned.collect()
+    assert row["n_recipes"] == len(rows)
+    assert abs(row["avg_rating"] - sum(r["rating"] for r in rows) / len(rows)) < 1e-3
+    from collections import Counter
+
+    top = sorted(
+        Counter(r["difficulty"] for r in rows).items(),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[0][0]
+    assert row["top_difficulty"] == top
+    dist = value_distributions(cleaned, cats).collect()
+    assert sum(r["n"] for r in dist) == len(rows)
+
+
+def test_fridge_search_end_to_end(spark, cleaned_df):
+    """§3.3 parity: a two-ingredient fridge query ranks recipes matching
+    both clauses above single-clause matches; non-matching recipes drop."""
+    from projet_data_engineering_spark.recipes.dashboard import fridge_search
+
+    hits = fridge_search(cleaned_df, "pommes, pâte").collect()
+    assert len(hits) > 0
+    assert all(h["matched_clauses"] >= 1 for h in hits)
+    # ranking is by matched clause count desc
+    counts = [h["matched_clauses"] for h in hits]
+    assert counts == sorted(counts, reverse=True)
