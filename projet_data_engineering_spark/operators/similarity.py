@@ -248,6 +248,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.filter(F.col("vec_id") < 8)
         .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")).alias("c"))
         .agg(F.collect_list("c").alias("cents"))
+        # referenced by both the assignment and the probe branch — persist the
+        # 1-row centroid artifact so the corpus isn't re-scanned to rebuild it
+        .persist()
     )
 
     # per-vector scored centroid list: struct(cos, -cent_id) so array_max /
