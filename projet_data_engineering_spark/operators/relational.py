@@ -1076,3 +1076,66 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(substring(text, 1, 4) AS int)").alias("maybe_int"),
         F.expr("try_cast(cast(n_chars AS string) AS int)").alias("roundtrip"),
     )
+
+
+@query(
+    "q_string_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregation surfaced as a deterministic string:
+    ``collect_set`` -> ``array_sort`` -> ``array_join`` (collect_set order is
+    partition-dependent, so the sort is what makes the result stable and
+    oracle-comparable). The set stays tiny per group — this is the pattern
+    for building per-key vocabularies at scale, NOT for collecting unbounded
+    rows into one value."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderstatus")), ","
+            ).alias("statuses")
+        )
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 600000 THEN 13
+                ELSE CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1 END AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram binning via ``width_bucket`` — the distribution-chart
+    pattern (reference ``app/main.py:61-65``) generalized to continuous
+    values. Bucket assignment is map-side; the shuffle carries one row per
+    bucket."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

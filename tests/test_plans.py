@@ -128,3 +128,23 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path_factory):
     n_en = df.count()
     total = spark.read.parquet(out).count()
     assert 0 < n_en < total
+
+
+def test_range_join_broadcasts_nested_loop(spark):
+    """The tiny band table must broadcast (nested-loop), never shuffle the
+    orders side."""
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q["q_join_range"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """The union-trick as-of join must cost exactly one exchange (the
+    per-user window partitioning) — no per-pair join blowup."""
+    assert shuffle_count(Q["q_join_asof"](spark, SF_DIR)) <= 1
+
+
+def test_salted_agg_two_shuffles_max(spark):
+    """Two-stage salted aggregation: partial (keys+salt) + final (keys)."""
+    assert shuffle_count(Q["q_salted_agg"](spark, SF_DIR)) <= 2
