@@ -366,3 +366,29 @@ def q_datediff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("ship_delay_days"),
     )
+
+
+@query(
+    "q_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4)
+               AS avg_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from a string payload column (``events.props``) —
+    the semi-structured sidecar every event pipeline carries. ``get_json_object``
+    evaluates JVM-side inside codegen; for hot paths with many keys, parse once
+    with ``from_json`` into a struct column instead of N path extractions."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
