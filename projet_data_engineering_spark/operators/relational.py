@@ -1139,3 +1139,54 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, ROUND(value, 2) AS value
+    FROM (
+        SELECT l_orderkey, l_linenumber, 'price' AS measure,
+               l_extendedprice AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    WHERE l_orderkey % 100 = 0
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt — wide measures to long (id, measure, value) form, the
+    inverse of q_pivot and the shape feature stores and metric sinks want.
+    ``unpivot`` is a zero-shuffle narrow op: each row expands locally to one
+    row per measure."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % 100 == 0
+    )
+    return (
+        li.unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_tax", "l_discount"],
+            "measure",
+            "value",
+        )
+        .withColumn(
+            "measure",
+            F.when(F.col("measure") == "l_extendedprice", "price")
+            .when(F.col("measure") == "l_tax", "tax")
+            .otherwise("discount"),
+        )
+        .withColumn("value", F.round("value", 2))
+    )
+
+
+@query("q_sample")  # engine RNGs differ → rows-only; bounds tested in pytest
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample of the corpus (training-mix subsampling).
+    Deterministic per seed WITHIN Spark — re-runs return identical rows, a
+    property the mix-reproducibility story depends on — but RNG streams are
+    engine-specific, so no cross-engine oracle exists (rows-only check;
+    pytest asserts the fraction bound and the determinism)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.sample(fraction=0.2, seed=42).select("doc_id", "lang")

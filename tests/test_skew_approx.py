@@ -100,3 +100,13 @@ def test_ivf_neighbors_subset_of_bruteforce_universe(spark):
     }
     for r in Q["q_ann_ivf"](spark, SF_DIR).collect():
         assert all_pairs[(r["query_id"], r["vec_id"])] == r["score"]
+
+
+def test_sample_deterministic_and_bounded(spark):
+    """Seeded sample: identical rows across re-runs; fraction within loose
+    Bernoulli bounds."""
+    a = sorted(r["doc_id"] for r in Q["q_sample"](spark, SF_DIR).collect())
+    b = sorted(r["doc_id"] for r in Q["q_sample"](spark, SF_DIR).collect())
+    assert a == b
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert 0.1 * total <= len(a) <= 0.3 * total
