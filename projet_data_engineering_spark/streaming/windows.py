@@ -326,3 +326,72 @@ def stream_stream_join(
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay}")),
     )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               date_diff('day', f.cohort_day, date_trunc('day', e.ts)) AS day_n
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+           a.day_n,
+           COUNT(*) AS n_users
+    FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on each
+    subsequent active day — the event-analytics matrix behind every
+    retention chart. Two shuffles total (first-seen agg on user_id, final
+    cohort agg); the activity join stays on user_id so AQE can reuse the
+    partitioning. Day arithmetic is integer date_diff on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort_day")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.col("cohort_day")).alias(
+                "day_n"
+            ),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_n",
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@query(
+    "q_ntile",
+    oracle="""
+    SELECT user_id, event_id,
+           NTILE(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS quartile
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of each user's event timeline (per-user session
+    phases). The (ts, event_id) order key is unique, so tile assignment is
+    deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id", "event_id", F.ntile(4).over(w).alias("quartile")
+    )
