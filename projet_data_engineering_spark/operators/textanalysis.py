@@ -190,3 +190,106 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.col("text").cast("binary")).cast("bigint").alias("n_bytes"),
         F.substring(F.md5("text"), 1, 8).alias("checksum"),
     )
+
+
+@query(
+    "q_ngrams",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i+1])) AS bigram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM grams
+    GROUP BY bigram
+    HAVING COUNT(*) >= 20
+    """,
+)
+def q_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (boilerplate/collocation mining). The n-gram
+    expansion is a per-row transform + explode — never leaves its stage;
+    only (bigram, partial count) pairs shuffle, with map-side combine
+    doing the heavy reduction."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    grams = d.filter(F.size(t) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 20)
+    )
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, u.term, COUNT(*) AS tf
+        FROM toks, UNNEST(toks.t) AS u(term)
+        GROUP BY doc_id, u.term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM toks),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(n.n_docs / df.df), 4) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 3 AND doc_id < 100
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction classic and
+    the sparse ancestor of the embedding pipeline. Document frequencies are
+    one groupBy over the posting pairs and come back via broadcast join
+    (|vocab| rows); per-doc ranking is a bounded window. Deterministic
+    tie-break on the term."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    pairs = d.select("doc_id", F.explode(t).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # driver-side scalar: one long, the corpus row count
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tfidf")
+    )
