@@ -1190,3 +1190,47 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest asserts the fraction bound and the determinism)."""
     d = load_table(spark, sf_dir, "documents")
     return d.sample(fraction=0.2, seed=42).select("doc_id", "lang")
+
+
+@query(
+    "q_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per group: sample stddev/variance and
+    Pearson correlation — single-pass streaming moments (partial+final,
+    map-side combinable), so they scale exactly like sum/count."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+        )
+    )
+
+
+@query("q_percentile_approx")  # sketch estimates are engine-specific → rows-only
+def q_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's quantile sketch — the
+    bounded-memory path that replaces q_percentile's exact sort-based
+    aggregation at corpus scale. Estimates are engine-specific (rows-only
+    check); pytest bounds the error against the exact quantile."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 1000).alias("p50_approx"),
+            F.percentile_approx("l_extendedprice", 0.95, 1000).alias("p95_approx"),
+        )
+    )

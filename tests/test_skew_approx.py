@@ -110,3 +110,23 @@ def test_sample_deterministic_and_bounded(spark):
     assert a == b
     total = load_table(spark, SF_DIR, "documents").count()
     assert 0.1 * total <= len(a) <= 0.3 * total
+
+
+def test_percentile_approx_close_to_exact(spark):
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in Q["q_percentile_approx"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) / max(abs(e), 1) < 0.05, (k, a, e)
