@@ -242,12 +242,12 @@ def q_term_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     → broadcast hash join; the explode never leaves its stage."""
     d = load_table(spark, sf_dir, "documents")
     terms = spark.createDataFrame([("spark",), ("join",), ("stream",), ("vector",)], ["term"])
-    doc_terms = (
-        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
-        .distinct()
-    )
+    # broadcast-join BEFORE distinct: the dedup shuffle then carries only
+    # query-term matches instead of every (doc, token) pair in the corpus
     return (
-        doc_terms.join(F.broadcast(terms), "term")
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .join(F.broadcast(terms), "term")
+        .distinct()
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_terms"))
     )
