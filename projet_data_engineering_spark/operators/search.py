@@ -270,6 +270,11 @@ def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        # length pre-filter: dist<=1 vs a 5-char term needs len in [4,6], so
+        # dropping other tokens changes nothing for docs that survive the
+        # final best_dist<=1 cut — but keeps them out of the groupBy shuffle
+        # (the standard length-bound for edit-distance joins)
+        .filter(F.length("term").between(4, 6))
         .groupBy("doc_id")
         .agg(F.min(F.levenshtein("term", F.lit("strem"))).alias("best_dist"))
         .filter(F.col("best_dist") <= 1)
