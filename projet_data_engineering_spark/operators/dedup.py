@@ -311,3 +311,77 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.2)
     )
+
+
+def connected_components(
+    pairs: DataFrame, left: str = "doc1", right: str = "doc2", max_iter: int = 15
+) -> DataFrame:
+    """Connected components over candidate pairs → (node, root) with root =
+    the smallest id reachable: the clustering stage between near-dup pair
+    generation and keeper selection.
+
+    Iterative min-label propagation: each round every node takes the min of
+    its own label and its neighbors' labels; converges in O(component
+    diameter) rounds. Each round is one join + one groupBy — fully
+    data-parallel; the driver only orchestrates the loop and checks
+    convergence (a count, not a collect of data). Candidate-pair graphs are
+    sparse by construction (LSH bands), so rounds are cheap at any corpus
+    size; real billion-edge graphs would swap in the large-star/small-star
+    variant with checkpointing."""
+    e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
+    edges = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select("a").distinct()
+        .select(F.col("a").alias("node"), F.col("a").alias("root"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges.b == labels.node
+        ).select(F.col("a").alias("node"), "root")
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("root").alias("root"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    undirected AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    )
+    SELECT a AS node, LEAST(a, MIN(b)) AS root
+    FROM reach GROUP BY a
+    """
+
+
+@query("q_dedup_clusters", oracle=_clusters_oracle())
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash candidate pairs → connected components → (node, root) cluster
+    assignment (root = keeper id, the min of the cluster). The iterative
+    Spark fixpoint is oracle-checked against DuckDB's recursive-CTE
+    transitive closure — same clusters, bit for bit."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    pairs = minhash_candidate_pairs(d, "doc_id", "text")
+    return connected_components(pairs)

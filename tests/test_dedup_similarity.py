@@ -73,3 +73,31 @@ def test_knn_self_similarity_excluded_and_ranked(spark):
     ranked = [r["vec_id"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
     assert ranked == [1, 2, 3]
     assert 0 not in ranked
+
+
+def test_connected_components_properties(spark):
+    """Cluster labels are valid: every edge's endpoints share a root, and
+    every root is the minimum id of its cluster."""
+    from projet_data_engineering_spark.io import load_table, spread
+    from projet_data_engineering_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+    from tests.conftest import SF_DIR
+
+    d = spread(load_table(spark, SF_DIR, "documents"), "doc_id")
+    pairs = minhash_candidate_pairs(d, "doc_id", "text").persist()
+    labels = {
+        r["node"]: r["root"]
+        for r in connected_components(pairs).collect()
+    }
+    for r in pairs.collect():
+        assert labels[r["doc1"]] == labels[r["doc2"]]
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for node, root in labels.items():
+        members[root].append(node)
+    for root, nodes in members.items():
+        assert root == min(nodes)
+    pairs.unpersist()
