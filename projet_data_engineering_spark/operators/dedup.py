@@ -385,3 +385,45 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = minhash_candidate_pairs(d, "doc_id", "text")
     return connected_components(pairs)
+
+
+def _dedup_apply_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    undirected AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    clusters AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a
+    )
+    SELECT lang, COUNT(*) AS n_docs
+    FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM clusters WHERE node <> root)
+    GROUP BY lang
+    """
+
+
+@query("q_dedup_apply", oracle=_dedup_apply_oracle())
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline applied: MinHash candidates → connected
+    components → drop every non-keeper → surviving corpus counts per lang.
+    The final subtraction is a broadcast anti-join (the drop list is tiny
+    relative to the corpus — |near-dup nodes| rows), so applying dedup to
+    100 TB costs one scan plus the pair pipeline."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    labels = connected_components(minhash_candidate_pairs(d, "doc_id", "text"))
+    drop = labels.filter(F.col("node") != F.col("root")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
