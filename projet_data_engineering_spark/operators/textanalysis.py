@@ -293,3 +293,84 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
         .select("doc_id", "term", "tfidf")
     )
+
+
+def _curate_oracle() -> str:
+    from projet_data_engineering_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    undirected AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    drop_list AS (
+        SELECT a AS node FROM reach GROUP BY a
+        HAVING LEAST(a, MIN(b)) <> a
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(str_split(lower(text), ' ')) AS n_tokens,
+               len(list_filter(str_split(lower(text), ' '),
+                               x -> x IN ('the','a','of','and','is'))) AS n_stop
+        FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM drop_list)
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           ROUND(AVG(LEAST(n_tokens / 50.0, 1.0)
+                     * (0.5 + LEAST(CAST(n_stop AS DOUBLE) / n_tokens, 0.5))), 4)
+               AS avg_quality
+    FROM scored
+    WHERE LEAST(n_tokens / 50.0, 1.0)
+          * (0.5 + LEAST(CAST(n_stop AS DOUBLE) / n_tokens, 0.5)) >= 0.5
+    GROUP BY lang
+    """
+
+
+@query("q_curate", oracle=_curate_oracle())
+def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline — what a training-data run actually
+    executes: near-dup removal (MinHash → components → keepers) ∘ quality
+    floor ∘ per-language token accounting, in ONE plan.
+
+    Scale shape: the quality score is map-only; the dedup drop list is a
+    broadcast anti-join; the only corpus-wide shuffle is the final per-lang
+    aggregate. Every stage is individually oracle-checked elsewhere
+    (q_dedup_clusters, q_text_quality, q_token_count); this query checks
+    their composition."""
+    from projet_data_engineering_spark.io import spread
+    from projet_data_engineering_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    labels = connected_components(minhash_candidate_pairs(d, "doc_id", "text"))
+    drop = labels.filter(F.col("node") != F.col("root")).select(
+        F.col("node").alias("doc_id")
+    )
+    toks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = stopword_hits(toks, STOPWORDS["en"])
+    quality = F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * (
+        0.5 + F.least(n_stop.cast("double") / n_tokens, F.lit(0.5))
+    )
+    return (
+        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("lang", n_tokens.alias("n_tokens"), quality.alias("q"))
+        .filter(F.col("q") >= 0.5)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
