@@ -1,0 +1,345 @@
+"""Advanced analytic shapes: subquery decorrelation, grouping sets, analytic
+window frames, time-series gap-fill, and higher-order array functions.
+
+The reference never issues these (its single-collection model stops at
+value_counts, ``app/main.py:44-68``), but a user replacing its Mongo/pandas
+stack gets them from Spark for free — and each one locks in a distributed
+pattern that matters at 100 TB: EXISTS→left-semi (no fact-side fan-out),
+LEFT JOIN + count distribution (skew-tolerant, two shuffles on different
+keys), correlated-scalar-agg→pre-aggregate-then-join (the manual
+decorrelation Catalyst applies automatically in SQL form), date-spine
+gap-fill (the cross join is broadcast — the spine is tiny by construction),
+and whole-partition window stats (one shuffle, no self-join).
+
+Oracle conventions follow ``operators/relational.py``: identical aliases on
+both sides, floats rounded before hashing, deterministic result sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.registry import query
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — priority count with an EXISTS predicate against the
+    fact table. The EXISTS becomes a LEFT SEMI join (with the non-equi
+    ``l_shipdate > o_orderdate`` condition folded into the join), so lineitem
+    rows are probed, never duplicated — no fan-out, no post-join distinct.
+    The date filter cuts orders first, so the semi join's build side is the
+    small, already-filtered orders slice."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey) t
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution. LEFT OUTER join
+    keeps zero-order customers (COUNT over the null-extended side yields 0,
+    not 1 — the classic outer-join-count trap), then a second aggregation on
+    a different key. Two shuffles by necessity (custkey, then c_count); the
+    second input is one row per customer, already tiny."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_tpch_q17",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue, a correlated scalar
+    aggregate subquery on the fact table itself. Expressed decorrelated:
+    pre-aggregate avg(quantity) per partkey once, then join — the same
+    rewrite Catalyst applies to the SQL form. Both the pre-aggregate and the
+    join shuffle on ``l_partkey``, so the exchange is reused; the brand
+    filter broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_cut")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == avg_qty.ak)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING SUM(l_quantity) > 300)
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume orders via an IN subquery with HAVING.
+    The IN list is computed as an aggregate (sum(qty) per order > 300) and
+    applied as a LEFT SEMI join on orders; only qualifying orders ever reach
+    the customer join, which then broadcasts nothing large. The qualifying
+    set shrinks as selectivity bites, so at 100 TB this is a
+    filter-early/join-late plan, not a three-way fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders").join(
+        big, F.col("o_orderkey") == big.l_orderkey, "left_semi"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_name", "o_orderkey", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — two independent breakdowns (by status, by
+    priority) in ONE scan and one shuffle, completing the grouping surface
+    next to q_rollup/q_cube. At 100 TB this halves the cost vs. two separate
+    group-bys unioned: the expand happens after the scan, before the
+    exchange, and partial aggregation still applies."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "q_window_range",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cdist,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2
+           ) AS run_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics (PERCENT_RANK, CUME_DIST) plus a RANGE-frame
+    running total. RANGE (not ROWS) makes the running sum tie-stable: peers
+    with equal o_totalprice share one frame, so the result is deterministic
+    regardless of intra-tie order — required for cross-engine hashing, and
+    the correct semantics for cumulative-share reports. One shuffle on the
+    partition key serves all three window functions."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wr = w.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+        F.round(F.sum("o_totalprice").over(wr), 2).alias("run_total"),
+    )
+
+
+@query(
+    "q_gap_fill",
+    oracle="""
+    WITH bounds AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+                           MAX(CAST(ts AS DATE)) AS d1 FROM events),
+    days AS (SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+             FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM events),
+    spine AS (SELECT u.user_id, d.day FROM users u CROSS JOIN days d),
+    daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                     ROUND(SUM(value), 2) AS day_value
+              FROM events GROUP BY 1, 2)
+    SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a complete (user × day) spine with missing days
+    filled by last-observation-carried-forward. The spine is generated, not
+    stored — ``sequence()`` over the global date bounds, exploded, then a
+    broadcast cross join against the distinct users (the day list is tiny by
+    construction, so no shuffle). LOCF is ``last(value, ignorenulls=True)``
+    over an unbounded-preceding ROWS frame — one shuffle on user_id. Leading
+    gaps (before a user's first event) stay NULL by design."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.agg(
+            F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+        )
+        .select(F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"))
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(days))
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled"),
+        )
+    )
+
+
+@query(
+    "q_zscore",
+    oracle="""
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                 / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY event_type), 0),
+                 4) AS z
+    FROM events
+    """,
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score via whole-partition window aggregates — the standard
+    outlier-scoring step of a corpus-curation pipeline (flag |z| > k
+    downstream). No self-join: AVG and STDDEV over an unordered window share
+    one shuffle on the group key, and each row is scored in place. NULLIF
+    guards the degenerate single-value group."""
+    w = Window.partitionBy("event_type")
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("value") - F.avg("value").over(w))
+            / F.nullif(F.stddev_samp("value").over(w), F.lit(0.0)),
+            4,
+        ).alias("z"),
+    )
+
+
+@query(
+    "q_hof_arrays",
+    oracle="""
+    SELECT doc_id,
+           LEN(list_filter(string_split_regex(LOWER(text), '\\W+'),
+                           x -> LEN(x) >= 6)) AS n_long,
+           COALESCE(list_sum(list_transform(
+               list_filter(string_split_regex(LOWER(text), '\\W+'),
+                           x -> LEN(x) >= 6),
+               x -> LEN(x))), 0) AS long_chars
+    FROM documents
+    """,
+)
+def q_hof_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter / transform / aggregate lambdas
+    over a tokenized column, entirely inside codegen (no explode, no UDF, no
+    shuffle: a narrow map over the scan). This is the cheap path for per-doc
+    token statistics at corpus scale; explode+groupBy would shuffle the
+    whole token stream to compute the same numbers."""
+    d = load_table(spark, sf_dir, "documents")
+    long_toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\W+"), lambda x: F.length(x) >= 6
+    )
+    return d.select(
+        "doc_id",
+        F.size(long_toks).alias("n_long"),
+        F.aggregate(
+            F.transform(long_toks, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("long_chars"),
+    )

@@ -53,6 +53,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from projet_data_engineering_spark.operators import (  # noqa: F401
+        analytic,
         dedup,
         etl,
         multimodal,

@@ -148,3 +148,29 @@ def test_asof_join_single_shuffle(spark):
 def test_salted_agg_two_shuffles_max(spark):
     """Two-stage salted aggregation: partial (keys+salt) + final (keys)."""
     assert shuffle_count(Q["q_salted_agg"](spark, SF_DIR)) <= 2
+
+
+def test_exists_plans_as_semi_join(spark):
+    """Q4's EXISTS must execute as a semi join — probe-only, no fact-side
+    row duplication and no post-join distinct."""
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    assert "LeftSemi" in formatted_plan(Q["q_tpch_q4"](spark, SF_DIR))
+
+
+def test_hof_arrays_map_only(spark):
+    """Per-doc token stats via array lambdas: a narrow map over the scan —
+    zero shuffles (the explode+groupBy alternative shuffles every token)."""
+    assert shuffle_count(Q["q_hof_arrays"](spark, SF_DIR)) == 0
+
+
+def test_zscore_single_shuffle(spark):
+    """Whole-partition window stats: one exchange on the group key serves
+    both AVG and STDDEV — no self-join."""
+    assert shuffle_count(Q["q_zscore"](spark, SF_DIR)) == 1
+
+
+def test_grouping_sets_single_shuffle(spark):
+    """GROUPING SETS expands before the exchange: two breakdowns, one scan,
+    one shuffle."""
+    assert shuffle_count(Q["q_grouping_sets"](spark, SF_DIR)) <= 1
