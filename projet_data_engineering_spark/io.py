@@ -144,3 +144,21 @@ def write_csv_sink(
     df.write.mode("overwrite").option("header", str(header).lower()).option(
         "sep", sep
     ).csv(path)
+
+
+def read_orc_source(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar interchange format (Hive-ecosystem
+    counterpart to parquet). Same Catalyst treatment: predicate pushdown to
+    stripe/row-group stats, column pruning, vectorized reader. Schema comes
+    from the file footer (self-describing, unlike CSV/JSON)."""
+    return spark.read.orc(path)
+
+
+def write_orc_sink(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink with optional hive-style partitioning."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

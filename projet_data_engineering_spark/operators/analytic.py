@@ -312,6 +312,56 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_winsorized_mean",
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+               percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+        FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 4) AS wmean,
+           COUNT(*) AS n
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorized mean via ``applyInPandas`` — the grouped-map UDF
+    surface (SURVEY.md §2.10). Each group arrives as ONE Arrow-backed pandas
+    DataFrame; numpy computes the 5/95% cuts (linear interpolation — same
+    definition as ANSI percentile_cont), clips, and averages.
+
+    Scale contract of grouped-map: one shuffle on the group key, and a whole
+    group must fit in one executor's memory — right for many mid-sized
+    groups (per-language, per-source corpus slices), wrong for one giant
+    group (use the window/percentile_approx form then). Here it stands in
+    for per-group logic that genuinely needs imperative code (iterative
+    fits, model scoring); the oracle checks the Arrow round-trip exactly."""
+    import pandas as pd
+
+    def winsorize(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        v = pdf["value"].to_numpy()
+        lo, hi = np.quantile(v, 0.05), np.quantile(v, 0.95)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "wmean": [round(float(np.clip(v, lo, hi).mean()), 4)],
+                "n": [len(v)],
+            }
+        )
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(winsorize, "event_type string, wmean double, n bigint")
+    )
+
+
+@query(
     "q_hof_arrays",
     oracle="""
     SELECT doc_id,

@@ -96,3 +96,41 @@ def test_csv_round_trip(spark, tmp_path):
     back = read_csv_source(spark, out, schema)
     assert back.schema == schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    """ORC sink -> source: identical rows, self-described schema, and the
+    filter composed on the read reaches the ORC scan (pushdown works for
+    both columnar formats, not just parquet)."""
+    from projet_data_engineering_spark.io import read_orc_source, write_orc_sink
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = str(tmp_path / "docs_orc")
+    write_orc_sink(docs, out)
+    back = read_orc_source(spark, out)
+    assert back.schema == docs.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    filtered = back.filter(F.col("n_chars") > 100)
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,100)]" in (
+        formatted_plan(filtered)
+    )
+
+
+def test_orc_partitioned_write_prunes(spark, tmp_path):
+    """lang-partitioned ORC table filtered on lang scans only the matching
+    partition directories."""
+    from projet_data_engineering_spark.io import read_orc_source, write_orc_sink
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    out = str(tmp_path / "docs_orc_part")
+    write_orc_sink(docs, out, partition_by=["lang"])
+    df = read_orc_source(spark, out).filter(F.col("lang") == "en")
+    plan = formatted_plan(df)
+    assert any(
+        "PartitionFilters" in ln and "lang" in ln for ln in plan.splitlines()
+    )
+    assert 0 < df.count() < docs.count()
