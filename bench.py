@@ -42,6 +42,10 @@ BENCH_QUERIES = [
     "q_token_count",    # corpus accounting
     "q_stream_tumbling",# windowed aggregation
     "q_stream_session", # sessionization
+    "q_tpch_q4",        # EXISTS -> left-semi join
+    "q_tpch_q18",       # IN+HAVING -> semi join, filter-early
+    "q_gap_fill",       # date-spine + LOCF window
+    "q_hof_arrays",     # shuffle-free array lambdas
 ]
 
 

@@ -182,6 +182,26 @@ def q_regex_first_int(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_regex_extract_all",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract_all(text, '[0-9]+') AS nums,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_nums
+    FROM documents
+    """,
+)
+def q_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 generalized — ALL regex matches as an array (the full
+    ``re.findall`` the reference truncates to ``[0]``), plus the match
+    count. Codegen'd map over the scan; the array stays columnar — no
+    explode needed to count."""
+    nums = F.expr("regexp_extract_all(text, '[0-9]+', 0)")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", nums.alias("nums"), F.size(nums).alias("n_nums")
+    )
+
+
+@query(
     "q_cast_rating",
     oracle="""
     WITH raw AS (

@@ -710,6 +710,28 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_except_all",
+    oracle="""
+    SELECT o_custkey AS c_custkey FROM orders
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag semantics: each big order cancels exactly ONE
+    occurrence of its customer, the rest of the multiplicity survives
+    (vs. q_except's DISTINCT semantics, where one big order erases the
+    customer entirely). Spark plans this as a single hash aggregate over
+    per-side counts — one shuffle, no join."""
+    o = load_table(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("c_custkey"))
+    big_c = o.filter(F.col("o_totalprice") > 400000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return all_c.exceptAll(big_c)
+
+
+@query(
     "q_tpch_q3",
     oracle="""
     SELECT l.l_orderkey,
