@@ -148,14 +148,31 @@ from projet_data_engineering_spark.io import load_table, spread  # noqa: E402
 from projet_data_engineering_spark.registry import query  # noqa: E402
 
 
-@query("q_media_features")  # mapInPandas decode stub → rows-only driver check
+@query(
+    "q_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           substr(md5(text), 1, 8) AS checksum,
+           ROUND(CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) / 255.0, 4)
+               AS f0,
+           ROUND(CAST(concat('0x', substr(md5(text), 15, 2)) AS INT) / 255.0, 4)
+               AS f7
+    FROM documents
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction end-to-end on driver data: documents'
     text bytes stand in for opaque media payloads (this container has no
     codec libraries — ``_decode_stub`` marks the swap point), flowing through
     the real Arrow plumbing: column-pruned payload scan → mapInPandas
     batches → narrow (id, meta, features) output ready for similarity joins.
-    Python-side math is per-batch vectorizable; no shuffle anywhere."""
+    Python-side math is per-batch vectorizable; no shuffle anywhere.
+
+    The stub features are md5-digest bytes, so even this Python path is
+    oracle-checked exactly: DuckDB recomputes n_bytes/checksum/feature bytes
+    from the same UTF-8 payload — the Arrow round-trip is verified
+    bit-for-bit, not just rows-only."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     media = d.select(
         F.col("doc_id").alias("media_id"),

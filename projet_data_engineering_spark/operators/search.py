@@ -281,13 +281,44 @@ def q_search_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bm25_topk")  # scores are engine-specific → rows-only driver check
+@query(
+    "q_bm25_topk",
+    oracle="""
+    WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS dl,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tokens
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dl),
+    tf AS (
+        SELECT d.doc_id, d.dl, u.term, COUNT(*) AS tf
+        FROM dl d, UNNEST(d.tokens) AS u(term)
+        WHERE u.term IN ('spark', 'join', 'stream')
+        GROUP BY d.doc_id, d.dl, u.term
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+    SELECT t.doc_id,
+           ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avg_dl))),
+                 4) AS score
+    FROM tf t JOIN dfc f ON t.term = f.term CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id ASC
+    LIMIT 50
+    """,
+)
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1/W1 — full BM25 classic search, top-50 for 'spark join stream'.
 
-    Not oracle-declared: BM25 is our scoring formula, not ANSI SQL; the driver
-    records a rows-only check and pytest property-tests monotonicity
-    (SURVEY.md §5.2.3)."""
+    Score parity with Elasticsearch is a non-goal (SURVEY.md §7 — ES scores
+    are engine-specific), but OUR BM25 is deterministic DataFrame math
+    (k1=1.2, b=0.75, ln idf), so the oracle recomputes the identical formula
+    in SQL and the driver hash-checks scores and the top-k cut exactly;
+    pytest additionally property-tests monotonicity (SURVEY.md §5.2.3)."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return search_topk(d, "doc_id", "text", "spark join stream", k=50)
 
