@@ -312,6 +312,120 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH a AS (SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+               FROM customer),
+    b AS (SELECT seg, COUNT(*) AS seg_n FROM a GROUP BY seg)
+    SELECT a.c_custkey, a.seg, b.seg_n
+    FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): rows whose
+    key is NULL match the NULL group instead of silently dropping — the
+    semantics you want when joining on a derived, possibly-missing key
+    (here: segment with 'BUILDING' nulled out). A plain ``=`` join would
+    lose every NULL-keyed row; the plan is still an ordinary hash join
+    (NULL hashes like any value under null-safe equality)."""
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        "c_custkey", F.nullif("c_mktsegment", F.lit("BUILDING")).alias("seg")
+    )
+    # b derives from a — rename its key so the self-join is unambiguous
+    b = (
+        a.groupBy("seg")
+        .agg(F.count("*").alias("seg_n"))
+        .withColumnRenamed("seg", "seg_b")
+    )
+    return a.join(b, F.col("seg").eqNullSafe(F.col("seg_b"))).select(
+        "c_custkey", "seg", "seg_n"
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_orderkey % 103 <> 0),
+    new AS (SELECT o_orderkey,
+                   o_totalprice
+                   + CASE WHEN o_orderkey % 101 = 0 THEN 10.0 ELSE 0.0 END
+                       AS o_totalprice
+            FROM orders WHERE o_orderkey % 97 <> 0)
+    SELECT change_type, COUNT(*) AS n FROM (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                    WHEN n.o_orderkey IS NULL THEN 'delete'
+                    WHEN o.o_totalprice <> n.o_totalprice THEN 'update'
+                    ELSE 'unchanged' END AS change_type
+        FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) GROUP BY change_type
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two table versions
+    as insert / delete / update / unchanged via one full-outer join on the
+    key (synthetic old/new built from ``orders`` by modular key slicing so
+    the diff is deterministic). This is the change-detection step of an
+    incremental 100 TB pipeline — one key-partitioned shuffle, after which
+    downstream stages process only the insert/update slice instead of
+    recomputing the world. Pairs with ``io.merge_upsert`` for the apply
+    side."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 103 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 101 == 0, 10.0).otherwise(0.0)
+        ).alias("o_totalprice"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.o_orderkey") == F.col("n.o_orderkey"), "full_outer"
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .when(F.col("o.o_totalprice") != F.col("n.o_totalprice"), "update")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change_type"))
+        .groupBy("change_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INT)
+          % 100
+          < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling by content hash, not RNG: keep a row iff
+    ``md5(key) mod 100`` falls under its stratum's rate (10% of the dominant
+    'en' stratum, 40% elsewhere — downsampling the majority class is the
+    standard corpus-balancing move). Hash-gating makes the sample a pure
+    filter: reproducible across runs/engines (oracle hash-matches exactly,
+    unlike seeded RNG), stable under repartitioning, and pushdown-friendly —
+    properties ``sample()``'s per-partition RNG can't give you at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", 10).otherwise(40)
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+@query(
     "q_winsorized_mean",
     oracle="""
     WITH cuts AS (
