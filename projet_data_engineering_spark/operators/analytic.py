@@ -284,6 +284,61 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_ewma",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ROUND(SUM(value), 2) AS day_value
+        FROM events GROUP BY 1, 2
+    ),
+    seq AS (
+        SELECT user_id, day, day_value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                    AS DOUBLE) AS r
+        FROM daily
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           ROUND(
+               SUM(day_value * POWER(2.0, r)) OVER w / POWER(2.0, r)
+               / (SUM(POWER(2.0, r)) OVER w / POWER(2.0, r)),
+               4) AS ewma
+    FROM seq
+    WINDOW w AS (PARTITION BY user_id ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.5) of each user's daily
+    totals — the standard metric-smoothing op — as pure window algebra, no
+    recursion: weight (1-a)^(t-i) factors into (1/(1-a))^i / (1/(1-a))^t, so
+    one running weighted sum + one running weight sum (same frame, same
+    single shuffle) yield the EWMA. The 2^row_number rescaling bounds at the
+    series length — fine for bounded windows (daily series); for unbounded
+    streams the same recurrence runs in ``applyInPandasWithState`` (see
+    ``streaming.windows.running_user_totals`` for the pattern)."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("day_value"))
+    )
+    wo = Window.partitionBy("user_id").orderBy("day")
+    seq = daily.withColumn("r", F.row_number().over(wo).cast("double"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    scale = F.pow(F.lit(2.0), F.col("r"))
+    num = F.sum(F.col("day_value") * scale).over(w) / scale
+    den = F.sum(scale).over(w) / scale
+    return seq.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round(num / den, 4).alias("ewma"),
+    )
+
+
+@query(
     "q_zscore",
     oracle="""
     SELECT event_id, event_type,
