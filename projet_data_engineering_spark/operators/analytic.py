@@ -531,6 +531,44 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_map_funcs",
+    oracle="""
+    SELECT user_id,
+           COUNT(DISTINCT event_type) AS n_types,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+               AS types
+    FROM events GROUP BY user_id
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: per-user event_type→count maps built with
+    ``map_from_entries`` over collected (key, count) structs, then queried
+    with ``size`` (cardinality), ``try_element_at`` (NULL — not an ANSI
+    error — on a missing key), and sorted ``map_keys``. Maps keep a
+    variable per-row key set in ONE column — the schema-stable way to carry
+    per-entity feature counts through a pipeline (a pivot would hard-code
+    the key set into the schema). The oracle computes the same facts
+    relationally, checking construction + lookup exactly."""
+    per = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("counts")
+    )
+    return maps.select(
+        "user_id",
+        F.size("counts").alias("n_types"),
+        F.try_element_at("counts", F.lit("purchase")).alias("purchases"),
+        F.array_join(F.array_sort(F.map_keys("counts")), ",").alias("types"),
+    )
+
+
+@query(
     "q_hof_arrays",
     oracle="""
     SELECT doc_id,
