@@ -481,6 +481,32 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_union_evolve",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL BY NAME
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_union_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: batches written before a column existed union
+    with batches written after it, missing columns NULL-filled by NAME
+    (``unionByName(allowMissingColumns=True)`` ≡ UNION ALL BY NAME) — not by
+    position, which would silently misalign. The everyday reality of a
+    long-lived 100 TB table whose schema grew over time; zero shuffle, the
+    union is a plan-level concatenation."""
+    o = load_table(spark, sf_dir, "orders")
+    old_batch = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_batch = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    return old_batch.unionByName(new_batch, allowMissingColumns=True)
+
+
+@query(
     "q_winsorized_mean",
     oracle="""
     WITH cuts AS (

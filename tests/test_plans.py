@@ -174,3 +174,25 @@ def test_grouping_sets_single_shuffle(spark):
     """GROUPING SETS expands before the exchange: two breakdowns, one scan,
     one shuffle."""
     assert shuffle_count(Q["q_grouping_sets"](spark, SF_DIR)) <= 1
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Hash-gated sampling must stay a map-only filter — no shuffle, no RNG
+    exchange; the gate composes with scan pushdown."""
+    assert shuffle_count(Q["q_sample_stratified"](spark, SF_DIR)) == 0
+
+
+def test_union_evolve_no_shuffle(spark):
+    """Schema-evolution union is plan-level concatenation: zero exchanges."""
+    assert shuffle_count(Q["q_union_evolve"](spark, SF_DIR)) == 0
+
+
+def test_ewma_bounded_shuffles(spark):
+    """Daily pre-aggregate + one shared window frame: at most two exchanges
+    (user_id×day agg, then user_id window)."""
+    assert shuffle_count(Q["q_ewma"](spark, SF_DIR)) <= 2
+
+
+def test_map_funcs_bounded_shuffles(spark):
+    """Two-level aggregation into a map column: at most two exchanges."""
+    assert shuffle_count(Q["q_map_funcs"](spark, SF_DIR)) <= 2
