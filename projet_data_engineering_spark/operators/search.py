@@ -324,6 +324,46 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_search_fridge",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS lo,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id, matched_clauses FROM (
+        SELECT doc_id,
+               ((CASE WHEN (len(list_filter(toks,
+                                x -> levenshtein(x, 'spark') <= 1)) > 0
+                        AND len(list_filter(toks,
+                                x -> levenshtein(x, 'join') <= 1)) > 0)
+                        OR contains(lo, 'spark join') THEN 1 ELSE 0 END)
+                + (CASE WHEN len(list_filter(toks,
+                                x -> levenshtein(x, 'strem') <= 1)) > 0
+                        OR contains(lo, 'strem') THEN 1 ELSE 0 END)
+                + (CASE WHEN len(list_filter(toks,
+                                x -> levenshtein(x, 'vector') <= 2)) > 0
+                        OR contains(lo, 'vector') THEN 1 ELSE 0 END)
+               ) AS matched_clauses
+        FROM t
+    ) WHERE matched_clauses >= 1
+    """,
+)
+def q_search_fridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 end-to-end through ``should_search``/``clause_match``/
+    ``fuzzy_term_match`` — the reference's fridge mode (``app/main.py:
+    101-154``): per-clause (all-terms-fuzzy-AND OR wildcard-contains),
+    minimum_should_match=1. Clauses exercise every branch: a two-term
+    fuzzy-AND ('spark join'), a typo at AUTO fuzziness 1 ('strem'), and a
+    fuzziness-2 term ('vector'). One narrow map stage over the scan — the
+    N-clause query costs the same single corpus pass as one clause."""
+    d = load_table(spark, sf_dir, "documents")
+    result = should_search(d, "text", ["spark join", "strem", "vector"])
+    return result.select("doc_id", "matched_clauses")
+
+
+@query(
     "q_posting_lists",
     oracle="""
     SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf
