@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "q_tpch_q18",       # IN+HAVING -> semi join, filter-early
     "q_gap_fill",       # date-spine + LOCF window
     "q_hof_arrays",     # shuffle-free array lambdas
+    "q_bm25_multifield",# best_fields multi-column BM25 (r2)
+    "q_bm25_fuzzy",     # AUTO-fuzziness BM25 expansion (r2)
+    "q_curate",         # composed dedup∘quality∘token pipeline (r2)
 ]
 
 

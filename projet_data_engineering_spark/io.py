@@ -25,7 +25,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.ts`` is TIMESTAMP(NANOS) on disk; with
     ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as long nanos and is
     converted here to a micro-resolution timestamp (integer division, exactly
-    DuckDB's nanos→micros truncation)."""
+    DuckDB's nanos→micros truncation). The conf is runtime-settable SQL conf,
+    so it is set HERE — not only in the session factory — to make the read
+    work under any caller-supplied SparkSession (e.g. a harness that builds
+    its own vanilla session)."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -81,8 +86,11 @@ def merge_upsert(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
 
     Reference ``scraper/main.py:263-264`` issues Mongo
     ``UpdateOne({'product_id': id}, {'$set': doc}, upsert=True)`` per record.
-    Set-oriented equivalent: full-outer join on the key, new values win
-    (``coalesce(new.c, old.c)``).  On a cluster with Delta this is
+    Set-oriented equivalent: full-outer join on the key; when a NEW row
+    matched (its key is present), the new row's values win WHOLESALE — a
+    legitimate NULL in the new record overwrites an old non-NULL value,
+    exactly Mongo ``$set`` semantics (a per-column ``coalesce(new, old)``
+    would resurrect stale values). On a cluster with Delta this is
     ``MERGE INTO old USING new ON old.key = new.key WHEN MATCHED UPDATE *
     WHEN NOT MATCHED INSERT *``; the join form below is engine-neutral and
     shuffle-partitions on the key (AQE handles skew).
@@ -91,11 +99,16 @@ def merge_upsert(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     n = new.alias("n")
     cols = [key] + [c for c in old.columns if c != key]
     merged = o.join(n, on=F.col(f"o.{key}") == F.col(f"n.{key}"), how="full_outer")
+    new_present = F.col(f"n.{key}").isNotNull()
     return merged.select(
+        F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
         *[
-            F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+            F.when(new_present, F.col(f"n.{c}"))
+            .otherwise(F.col(f"o.{c}"))
+            .alias(c)
             for c in cols
-        ]
+            if c != key
+        ],
     )
 
 

@@ -640,7 +640,8 @@ def q_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(DISTINCT event_type) AS n_types,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+               AS purchases,
            array_to_string(list_sort(list_distinct(list(event_type))), ',')
                AS types
     FROM events GROUP BY user_id
@@ -679,10 +680,10 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            LEN(list_filter(string_split_regex(LOWER(text), '\\W+'),
                            x -> LEN(x) >= 6)) AS n_long,
-           COALESCE(list_sum(list_transform(
+           CAST(COALESCE(list_sum(list_transform(
                list_filter(string_split_regex(LOWER(text), '\\W+'),
                            x -> LEN(x) >= 6),
-               x -> LEN(x))), 0) AS long_chars
+               x -> LEN(x))), 0) AS BIGINT) AS long_chars
     FROM documents
     """,
 )
@@ -699,9 +700,14 @@ def q_hof_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(long_toks).alias("n_long"),
-        F.aggregate(
-            F.transform(long_toks, lambda x: F.length(x)),
+        F.coalesce(
+            F.aggregate(
+                F.transform(long_toks, lambda x: F.length(x)),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ),
             F.lit(0),
-            lambda acc, x: acc + x,
-        ).alias("long_chars"),
+        )
+        .cast("long")
+        .alias("long_chars"),
     )

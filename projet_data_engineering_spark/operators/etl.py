@@ -185,19 +185,24 @@ def q_regex_first_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_regex_extract_all",
     oracle="""
     SELECT doc_id,
-           regexp_extract_all(text, '[0-9]+') AS nums,
+           COALESCE(array_to_string(regexp_extract_all(text, '[0-9]+'), ','),
+                    '') AS nums,
            len(regexp_extract_all(text, '[0-9]+')) AS n_nums
     FROM documents
     """,
 )
 def q_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F9 generalized — ALL regex matches as an array (the full
-    ``re.findall`` the reference truncates to ``[0]``), plus the match
-    count. Codegen'd map over the scan; the array stays columnar — no
-    explode needed to count."""
+    """F9 generalized — ALL regex matches (the full ``re.findall`` the
+    reference truncates to ``[0]``), plus the match count. Codegen'd map
+    over the scan; the array stays columnar — no explode needed to count.
+    The array is serialized with ``array_join`` so the query's output
+    contract stays scalar (pandas-based canonicalizers cannot hash list
+    cells)."""
     nums = F.expr("regexp_extract_all(text, '[0-9]+', 0)")
     return load_table(spark, sf_dir, "documents").select(
-        "doc_id", nums.alias("nums"), F.size(nums).alias("n_nums")
+        "doc_id",
+        F.array_join(nums, ",").alias("nums"),
+        F.size(nums).alias("n_nums"),
     )
 
 

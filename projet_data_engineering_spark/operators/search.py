@@ -106,13 +106,18 @@ def bm25_scores(
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); score(d) = sum_t idf *
     tf*(k1+1) / (tf + k1*(1 - b + b*len/avglen)). Doc frequencies come from an
     explode+groupBy over the (tiny) query-term-filtered token stream, then a
-    broadcast join back — the corpus is scanned once, stats shuffle only
-    |terms| rows.
+    broadcast join back — corpus stats shuffle only |terms| rows.
+
+    The tokenized corpus is deliberately NOT cached: the two consumers
+    (corpus stats, tf) each prune to the columns they need, and a cached
+    token stream would (a) not fit executor storage at 100 TB and (b) leak
+    for the session's lifetime unless every caller remembered to unpersist.
+    Repeated-query workloads should use ``build_posting_lists`` instead of
+    re-scoring from the raw corpus.
     """
     toks = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
     ).withColumn("dl", F.size("tokens"))
-    toks.cache()
 
     stats = toks.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
@@ -161,6 +166,96 @@ def search_topk(
     terms = [t for t in query_string.lower().split() if t]
     scored = bm25_scores(docs, id_col, text_col, terms)
     return scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
+def bm25_best_fields(
+    docs: DataFrame,
+    id_col: str,
+    text_cols: list[str],
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """T1 multi-field — ES ``multi_match`` with ``best_fields`` semantics
+    (reference ``app/main.py:88-97``: one query against
+    ``["name", "ingredients_text", "steps_text"]``, doc score = max over
+    per-field scores, i.e. a dis_max).
+
+    Each field is scored as its own BM25 corpus (own df, own avg field
+    length — exactly how per-field postings work in ES), then the per-field
+    score columns meet in a full-outer join on the doc id and combine with
+    ``greatest(coalesce(score_f, 0)...)``. N fields = N passes over the
+    (column-pruned) corpus — the same work ES does per-field — and the join
+    carries only docs that matched at least one field."""
+    scored = None
+    for c in text_cols:
+        s = bm25_scores(docs, id_col, c, query_terms, k1, b).withColumnRenamed(
+            "score", f"score_{c}"
+        )
+        scored = s if scored is None else scored.join(s, id_col, "full_outer")
+    best = F.greatest(
+        *[F.coalesce(F.col(f"score_{c}"), F.lit(0.0)) for c in text_cols]
+    )
+    return scored.select(id_col, F.round(best, 4).alias("score"))
+
+
+def bm25_scores_fuzzy(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """T1+T2 — BM25 with ES ``fuzziness: AUTO`` term expansion (reference
+    ``app/main.py:94``): a corpus token matches a query term when its edit
+    distance is within the term's AUTO budget, so a typo'd query still
+    scores.
+
+    All fuzzy variants of a query term count as THAT term: tf sums variant
+    occurrences, df counts docs containing any variant. The expansion is a
+    broadcast theta-join of the (tiny) query-term table against the exploded
+    token stream, pre-filtered by the length band |len(tok) - len(term)| <=
+    fuzz (an edit of distance d changes length by at most d) so the
+    levenshtein only runs on candidate tokens. No UDFs — ``levenshtein`` is
+    a JVM builtin."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
+    ).withColumn("dl", F.size("tokens"))
+
+    stats = toks.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl"))
+
+    qt = spark.createDataFrame(
+        [(t.lower(), auto_fuzziness(t)) for t in query_terms], ["qterm", "fuzz"]
+    )
+    exploded = toks.select(id_col, "dl", F.explode("tokens").alias("term"))
+    matched = exploded.join(
+        F.broadcast(qt),
+        (
+            F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz")
+        )
+        & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("fuzz")),
+    )
+    tf = matched.groupBy(id_col, "dl", "qterm").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("qterm").agg(F.countDistinct(id_col).alias("df"))
+
+    return (
+        tf.join(F.broadcast(df_counts), "qterm")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
 
 
 def build_posting_lists(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -364,9 +459,119 @@ def q_search_fridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_bm25_multifield",
+    oracle="""
+    WITH tdl AS (
+        SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tokens
+        FROM documents
+    ),
+    tdl2 AS (SELECT doc_id, len(tokens) AS dl, tokens FROM tdl),
+    tstats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM tdl2),
+    ttf AS (
+        SELECT d.doc_id, d.dl, u.term, COUNT(*) AS tf
+        FROM tdl2 d, UNNEST(d.tokens) AS u(term)
+        WHERE u.term IN ('spark', 'join', 'src5')
+        GROUP BY d.doc_id, d.dl, u.term
+    ),
+    tdfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ttf GROUP BY term),
+    tscore AS (
+        SELECT t.doc_id,
+               ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * (t.tf * 2.2)
+                         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avg_dl))),
+                     4) AS score_text
+        FROM ttf t JOIN tdfc f ON t.term = f.term CROSS JOIN tstats s
+        GROUP BY t.doc_id
+    ),
+    sdl AS (
+        SELECT doc_id,
+               list_filter(str_split_regex(lower(source), '[^a-z0-9]+'),
+                           x -> x <> '') AS tokens
+        FROM documents
+    ),
+    sdl2 AS (SELECT doc_id, len(tokens) AS dl, tokens FROM sdl),
+    sstats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM sdl2),
+    stf AS (
+        SELECT d.doc_id, d.dl, u.term, COUNT(*) AS tf
+        FROM sdl2 d, UNNEST(d.tokens) AS u(term)
+        WHERE u.term IN ('spark', 'join', 'src5')
+        GROUP BY d.doc_id, d.dl, u.term
+    ),
+    sdfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM stf GROUP BY term),
+    sscore AS (
+        SELECT t.doc_id,
+               ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * (t.tf * 2.2)
+                         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avg_dl))),
+                     4) AS score_source
+        FROM stf t JOIN sdfc f ON t.term = f.term CROSS JOIN sstats s
+        GROUP BY t.doc_id
+    )
+    SELECT COALESCE(t.doc_id, s.doc_id) AS doc_id,
+           ROUND(GREATEST(COALESCE(t.score_text, 0),
+                          COALESCE(s.score_source, 0)), 4) AS score
+    FROM tscore t FULL OUTER JOIN sscore s ON t.doc_id = s.doc_id
+    """,
+)
+def q_bm25_multifield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 — multi-field ``best_fields`` search (reference ``app/main.py:
+    88-97``: one query over name/ingredients_text/steps_text, per-field max).
+    Here the fields are ``text`` (long body) and ``source`` (short keyword
+    field): 'spark join' scores via text, 'src5' via source, and each doc's
+    score is the per-field max — the dis_max shape. Oracle reproduces both
+    per-field BM25 corpora and the greatest() exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_best_fields(d, "doc_id", ["text", "source"], ["spark", "join", "src5"])
+
+
+@query(
+    "q_bm25_fuzzy",
+    oracle="""
+    WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS dl,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tokens
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dl),
+    q(qterm, fuzz) AS (
+        SELECT * FROM (VALUES ('strem', 1), ('join', 1), ('vectr', 1))
+    ),
+    m AS (
+        SELECT d.doc_id, d.dl, q.qterm, COUNT(*) AS tf
+        FROM dl d, UNNEST(d.tokens) AS u(term), q
+        WHERE abs(len(u.term) - len(q.qterm)) <= q.fuzz
+          AND levenshtein(u.term, q.qterm) <= q.fuzz
+        GROUP BY d.doc_id, d.dl, q.qterm
+    ),
+    dfc AS (SELECT qterm, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY qterm)
+    SELECT m.doc_id,
+           ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * (m.tf * 2.2)
+                     / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avg_dl))),
+                 4) AS score
+    FROM m JOIN dfc f ON m.qterm = f.qterm CROSS JOIN stats s
+    GROUP BY m.doc_id
+    """,
+)
+def q_bm25_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 — BM25 with AUTO-fuzziness expansion: the query 'strem join
+    vectr' carries two typos ('stream', 'vector') yet scores the same match
+    set the reference's ``multi_match fuzziness: AUTO`` would reach
+    (``app/main.py:94``). Oracle recomputes the expansion with DuckDB
+    levenshtein and the identical BM25 formula."""
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores_fuzzy(d, "doc_id", "text", ["strem", "join", "vectr"])
+
+
+@query(
     "q_posting_lists",
     oracle="""
-    SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf
+    SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
     FROM (
         SELECT d.doc_id, u.term, COUNT(*) AS tf
         FROM (SELECT doc_id,

@@ -127,8 +127,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(len(str_split(text, ' '))) AS total_tokens,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            ROUND(AVG(len(str_split(text, ' '))), 4) AS avg_tokens
     FROM documents
     GROUP BY lang
@@ -324,7 +324,7 @@ def _curate_oracle() -> str:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            ROUND(AVG(LEAST(n_tokens / 50.0, 1.0)
                      * (0.5 + LEAST(CAST(n_stop AS DOUBLE) / n_tokens, 0.5))), 4)
                AS avg_quality

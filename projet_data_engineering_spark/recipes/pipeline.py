@@ -129,3 +129,71 @@ def clean_recipes(raw: DataFrame) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Backup restore (reference restore_data.py)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+BACKUP_SCHEMA = StructType(
+    [
+        StructField("product_id", StringType()),
+        StructField("name", StringType()),
+        StructField("category", StringType()),
+        StructField("url", StringType()),
+        StructField("image_url", StringType()),
+        StructField("difficulty", StringType()),
+        StructField("rating", DoubleType()),
+        StructField("reviews_count", LongType()),
+        StructField("duration_min", LongType()),
+        StructField("ingredients", ArrayType(StringType())),
+        StructField("steps", ArrayType(StringType())),
+        StructField("updated_at", StringType()),
+    ]
+)
+
+
+def restore_backup(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """S4/S5 — the reference's disaster-recovery path (restore_data.py:29-49)
+    as two DataFrames:
+
+    - the COLLECTION view: truncate-and-load of every backup record
+      (``delete_many`` + ``insert_many``, restore_data.py:31-33) — duplicates
+      per ``product_id`` survive, exactly like Mongo with auto ``_id``;
+    - the INDEX view: one doc per ``product_id``, LAST write wins in file
+      order (``es.index(id=product_id)`` in a sequential loop,
+      restore_data.py:43-49), with the derived ``ingredients_text`` /
+      ``steps_text`` search fields (restore_data.py:45-47).
+
+    File order is reconstructed with ``monotonically_increasing_id`` over the
+    single-file multiLine read (ordering is well-defined within a file split;
+    a multi-file backup would carry an explicit ingest sequence column
+    instead).
+    """
+    from projet_data_engineering_spark.io import read_json_source
+
+    collection = read_json_source(spark, path, BACKUP_SCHEMA)
+    seq = collection.withColumn("_seq", F.monotonically_increasing_id())
+    index = (
+        seq.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("product_id").orderBy(F.desc("_seq"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_seq")
+        .withColumn("ingredients_text", F.array_join("ingredients", ", "))
+        .withColumn("steps_text", F.array_join("steps", " "))
+    )
+    return collection, index

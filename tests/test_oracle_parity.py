@@ -9,7 +9,7 @@ import pytest
 import __spark_entry__ as entrymod
 from projet_data_engineering_spark import TABLES
 from tests.conftest import SF_DIR
-from tools.check import table_hash
+from tools.check import canon, table_hash
 
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
@@ -30,15 +30,17 @@ def test_every_query_has_callable():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_oracle_parity(name, spark, duck):
-    sdf = QUERIES[name](spark, SF_DIR)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    assert len(srows) == len(drows), f"rowcount spark={len(srows)} duck={len(drows)}"
-    assert sorted(scols) == sorted(dcols)
-    assert table_hash(scols, srows) == table_hash(dcols, drows)
+    """Canonicalize BOTH sides through pandas exactly like the driver does —
+    array-typed cells and HUGEINT→float renders fail here, not just there."""
+    scols, slines = canon(QUERIES[name](spark, SF_DIR).toPandas())
+    dcols, dlines = canon(duck.execute(ORACLES[name]).fetchdf())
+    assert len(slines) == len(dlines), (
+        f"rowcount spark={len(slines)} duck={len(dlines)}"
+    )
+    assert scols == dcols
+    if table_hash(slines) != table_hash(dlines):
+        diff = next((a, b) for a, b in zip(slines, dlines) if a != b)
+        raise AssertionError(f"hash mismatch; first diff S={diff[0]!r} D={diff[1]!r}")
 
 
 @pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))

@@ -2,8 +2,19 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at the given sf dir, and compares row count, column names, and an
-order-insensitive value hash (floats rounded to 6 dp before hashing, mirroring
-the tolerance the registered queries already bake in at 4 dp).
+order-insensitive value hash.
+
+Deliberately mirrors the DRIVER environment, not the package's own session
+factory (round-1 lesson — the two diverged and local green hid driver red):
+
+- the SparkSession is a VANILLA ``local[*]`` builder: no
+  ``nanosAsLong``/ANSI/etc. confs pre-set, so any conf a query needs must be
+  set inside the query's own code path (``io.load_table``);
+- both result sets are canonicalized THROUGH PANDAS (``toPandas`` /
+  ``fetchdf`` + ``sort_values``), so array/map-typed output columns crash
+  here exactly like the driver's "unhashable type: 'list'", and DuckDB
+  HUGEINT→float64 rendering mismatches integer Spark output exactly like
+  the driver's hash compare.
 
 Usage: python tools/check.py [sf_dir] [query_name ...]
 """
@@ -19,31 +30,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
-
-import __spark_entry__ as entrymod
-from projet_data_engineering_spark import TABLES
-from projet_data_engineering_spark.session import get_spark
+import pandas as pd
 
 
 def norm_cell(v) -> str:
     if v is None:
         return "<NULL>"
-    if isinstance(v, bool):
-        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v:.6f}"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, bool):
+        return str(int(v))
     return str(v)
 
 
-def table_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows
-    )
+def canon(df: pd.DataFrame) -> tuple[list[str], list[str]]:
+    """Driver-shaped canonicalization: sort columns by name, sort rows via
+    pandas ``sort_values`` (raises on unhashable cells — intentionally), then
+    render every cell with float-6dp / NULL normalization."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    lines = [
+        "\x1f".join(
+            norm_cell(None if (isinstance(v, float) and pd.isna(v)) or v is pd.NA or v is None else v)
+            for v in row
+        )
+        for row in df.itertuples(index=False, name=None)
+    ]
+    return cols, sorted(lines)
+
+
+def table_hash(lines: list[str]) -> str:
     h = hashlib.sha256()
     for line in lines:
         h.update(line.encode())
@@ -55,13 +75,24 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import __spark_entry__ as entrymod
+    from projet_data_engineering_spark import TABLES
+
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("oracle-check")
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[*]")
+        .appName("oracle-check-vanilla")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -71,43 +102,43 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
+            scols, slines = canon(spdf)
         except Exception as e:
-            print(f"FAIL  {name}: spark error: {e}")
+            print(f"FAIL  {name}: spark/canon error: {str(e)[:300]}")
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"rows  {name}: {len(slines)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).fetchdf()
+            dcols, dlines = canon(dpdf)
         except Exception as e:
-            print(f"FAIL  {name}: duckdb error: {e}")
+            print(f"FAIL  {name}: duckdb/canon error: {str(e)[:300]}")
             n_fail += 1
             continue
         problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"schema spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(slines) != len(dlines):
+            problems.append(f"rowcount spark={len(slines)} duck={len(dlines)}")
+        if scols != dcols:
+            problems.append(f"schema spark={scols} duck={dcols}")
         if not problems:
-            hs, hd = table_hash(scols, srows), table_hash(dcols, drows)
+            hs, hd = table_hash(slines), table_hash(dlines)
             if hs != hd:
                 problems.append(f"hash spark={hs} duck={hd}")
-                for a, b in list(zip(sorted(map(str, srows)), sorted(map(str, drows))))[:3]:
+                for a, b in zip(slines, dlines):
                     if a != b:
-                        problems.append(f"  first diff:\n   S {a}\n   D {b}")
+                        problems.append(
+                            f"  first diff:\n   S {a!r}\n   D {b!r}"
+                        )
                         break
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
             n_fail += 1
         else:
-            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"ok    {name}: {len(slines)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAILED")
