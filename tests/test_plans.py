@@ -196,3 +196,65 @@ def test_ewma_bounded_shuffles(spark):
 def test_map_funcs_bounded_shuffles(spark):
     """Two-level aggregation into a map column: at most two exchanges."""
     assert shuffle_count(Q["q_map_funcs"](spark, SF_DIR)) <= 2
+
+
+# --- round 2: new TPC-H shapes + BM25 variants -----------------------------
+
+
+def test_tpch_q7_broadcasts_dims_and_pushes_dates(spark):
+    df = Q["q_tpch_q7"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "l_shipdate")
+    # lineitem⋈orders(⋈customer) are the only fact shuffles (+1 for the agg)
+    assert shuffle_count(df) <= 4
+
+
+def test_tpch_q8_part_filter_prunes_before_fact_join(spark):
+    df = Q["q_tpch_q8"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "p_type")
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_tpch_q9_reads_only_needed_lineitem_columns(spark):
+    df = Q["q_tpch_q9"](spark, SF_DIR)
+    cols = read_schema_columns(df, "lineitem.parquet")
+    assert set(cols) == {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+    }
+
+
+def test_tpch_q15_window_runs_on_aggregate_not_fact(spark):
+    # the global-max window must consume the |suppliers|-row aggregate:
+    # total shuffles = agg exchange + single-partition exchange (+AQE reuse)
+    df = Q["q_tpch_q15"](spark, SF_DIR)
+    assert shuffle_count(df) <= 3
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_tpch_q19_part_envelope_prefiltered(spark):
+    df = Q["q_tpch_q19"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "p_brand") or has_pushed_filter(df, "p_size")
+
+
+def test_tpch_q22_anti_join_on_pruned_orders(spark):
+    df = Q["q_tpch_q22"](spark, SF_DIR)
+    cols = read_schema_columns(df, "orders.parquet")
+    assert set(cols) == {"o_custkey", "o_orderdate"}
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_bm25_multifield_broadcasts_stats(spark):
+    df = Q["q_bm25_multifield"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_bm25_fuzzy_expansion_is_broadcast_not_shuffle(spark):
+    # the query-term theta-join must broadcast the 3-row term table; the
+    # corpus-side explode stays in its scan stage. Of the 5 shuffles only
+    # the tf groupBy carries matched-token volume — df/stats/final-score
+    # aggregates move |terms| or |matched docs| rows.
+    df = Q["q_bm25_fuzzy"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert shuffle_count(df) <= 5
