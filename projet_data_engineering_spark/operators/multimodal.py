@@ -187,3 +187,72 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("features", 1), 4).alias("f0"),
         F.round(F.element_at("features", N_FEATURES), 4).alias("f7"),
     )
+
+
+@query(
+    "q_media_resize",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CAST(n_chars % 1920 + 32 AS INT) AS width,
+               CAST((doc_id * 7) % 1080 + 32 AS INT) AS height
+        FROM documents
+    )
+    SELECT media_id, width, height,
+           CAST(CEIL(width * LEAST(1.0, 256.0 / GREATEST(width, height)))
+                AS INT) AS target_width,
+           CAST(CEIL(height * LEAST(1.0, 256.0 / GREATEST(width, height)))
+                AS INT) AS target_height
+    FROM media
+    """,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over typed media metadata: aspect-preserving clamp to
+    a 256-px long edge, computed ENTIRELY from the metadata struct — the
+    payload column is never read (parquet pruning), and the pixel work is
+    deferred to the decode stub on the already-planned dimensions. Synthetic
+    width/height derive from document columns so the oracle is exact."""
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 1920 + 32).cast("int").alias("width"),
+        ((F.col("doc_id") * 7) % 1080 + 32).cast("int").alias("height"),
+    )
+    return resize_plan(media, max_px=256).select(
+        "media_id", "width", "height", "target_width", "target_height"
+    )
+
+
+@query(
+    "q_media_frame_sample",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id, n_chars * 13 AS duration_ms
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT media_id,
+           COUNT(*) AS n_frames,
+           CAST(MAX(s) AS BIGINT) AS last_ms
+    FROM media, UNNEST(generate_series(0, GREATEST(duration_ms - 1, 0), 250))
+         AS t(s)
+    GROUP BY media_id
+    """,
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: the per-media timestamp grid is JVM
+    generated (sequence + explode over duration metadata) so the expensive
+    per-frame decode — stubbed here — runs only on the sampled subset. The
+    query returns the sampling plan's shape (frames per video, last sample
+    offset), which the oracle reproduces with generate_series."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("binary").alias("payload"),
+        (F.col("n_chars") * 13).alias("duration_ms"),
+    )
+    frames = frame_sample(media, every_ms=250)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("sample_ms").cast("long").alias("last_ms"),
+    )

@@ -374,3 +374,193 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("q"), 4).alias("avg_quality"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 2: the remaining standard LLM-curation passes — contamination check,
+# PII redaction, repetition filter, domain-mix rebalancing.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))) AS gram
+        FROM toks WHERE len(t) >= 5
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT corpus.doc_id, COUNT(DISTINCT corpus.gram) AS n_shared
+    FROM corpus JOIN ev ON corpus.gram = ev.gram
+    GROUP BY corpus.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination detection — the eval-overlap pass every
+    training-data pipeline runs before a model ships: flag training docs
+    sharing any word-5-gram with the (held-out) eval set, with the shared
+    distinct-gram count as evidence.
+
+    Scale shape: the eval set is tiny by construction, so its distinct gram
+    table BROADCASTS; the training corpus's grams are generated in-scan
+    (transform over a split array — no explode until the join input) and
+    never shuffle except the per-doc distinct count on surviving matches.
+    At 100 TB this is one corpus pass + a broadcast semi-probe."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 4),
+        lambda i: F.array_join(F.slice(t, i, 5), " "),
+    )
+    with_grams = d.filter(F.size(t) >= 5).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    ev = (
+        with_grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    corpus = with_grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+
+
+@query(
+    "q_pii_redact",
+    oracle="""
+    WITH raw AS (
+        SELECT c_custkey,
+               concat('contact ', lower(c_name), '@example.com or +1-555-',
+                      CAST(c_custkey % 10000 AS VARCHAR), ' today') AS txt
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+               regexp_replace(txt, '[a-z0-9#_]+@[a-z]+[.][a-z]+', '<EMAIL>', 'g'),
+               '[+]1-555-[0-9]+', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(txt, '[a-z0-9#_]+@[a-z]+[.][a-z]+'))
+                + len(regexp_extract_all(txt, '[+]1-555-[0-9]+'))
+                AS INT) AS n_pii
+    FROM raw
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — scrub emails and phone numbers before a corpus ships,
+    and count what was scrubbed (the audit column compliance wants).
+    Synthetic PII is built deterministically from customer columns so both
+    engines redact the identical text. All JVM-side regexp_replace (global
+    on both engines) — a narrow map over the scan, no Python, no shuffle."""
+    email = r"[a-z0-9#_]+@[a-z]+[.][a-z]+"
+    phone = r"[+]1-555-[0-9]+"
+    c = load_table(spark, sf_dir, "customer")
+    txt = F.concat(
+        F.lit("contact "),
+        F.lower("c_name"),
+        F.lit("@example.com or +1-555-"),
+        (F.col("c_custkey") % 10000).cast("string"),
+        F.lit(" today"),
+    )
+    raw = c.select("c_custkey", txt.alias("txt"))
+    n_pii = (
+        F.size(F.expr(f"regexp_extract_all(txt, '{email}', 0)"))
+        + F.size(F.expr(f"regexp_extract_all(txt, '{phone}', 0)"))
+    )
+    return raw.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("txt", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+        n_pii.alias("n_pii"),
+    )
+
+
+@query(
+    "q_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_max(list_transform(list_distinct(t),
+                x -> len(list_filter(t, y -> y = x)))) AS BIGINT) AS max_tf,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           ROUND(list_max(list_transform(list_distinct(t),
+                x -> len(list_filter(t, y -> y = x)))) * 1.0 / len(t), 4)
+               AS top_ratio
+    FROM toks WHERE len(t) > 0
+    """,
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (Gopher/C4-style quality signal): per-doc top-token
+    frequency ratio — degenerate docs dominated by one repeated token score
+    high and get culled.
+
+    Deliberately SHUFFLE-FREE: the per-doc ratio is computed with array
+    lambdas inside the scan stage (distinct tokens × containment counts —
+    bounded by doc length), not explode+groupBy, which would shuffle the
+    entire token stream to compute a per-row statistic. At 100 TB that's
+    the difference between a map pass and a trillion-row exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.lower("text"), " ")
+    max_tf = F.array_max(
+        F.transform(
+            F.array_distinct(t),
+            lambda x: F.size(F.filter(t, lambda y: y == x)),
+        )
+    )
+    return d.filter(F.size(t) > 0).select(
+        "doc_id",
+        max_tf.cast("long").alias("max_tf"),
+        F.size(t).cast("long").alias("n_tokens"),
+        F.round(max_tf / F.size(t), 4).alias("top_ratio"),
+    )
+
+
+@query(
+    "q_domain_mix",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    m AS (SELECT MIN(n) AS mn FROM c),
+    r AS (SELECT c.source, CAST(FLOOR(100.0 * m.mn / c.n) AS INT) AS pct
+          FROM c, m)
+    SELECT d.source, COUNT(*) AS n_kept
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+               AS INT) % 100 < r.pct
+    GROUP BY d.source
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing — downsample every source to the smallest
+    source's volume (uniform mix), the knob LLM pipelines turn to control
+    domain proportions. Per-source keep-rates derive from one tiny count
+    aggregate (broadcast back); the keep decision is the same hash-gate as
+    q_sample_stratified — a reproducible pure filter, no RNG, no extra scan
+    of the corpus. Rates are integer percents so both engines gate
+    identically."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        "source",
+        F.floor(100.0 * F.col("mn") / F.col("n")).cast("int").alias("pct"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(bucket < F.col("pct"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )

@@ -258,3 +258,34 @@ def test_bm25_fuzzy_expansion_is_broadcast_not_shuffle(spark):
     df = Q["q_bm25_fuzzy"](spark, SF_DIR)
     assert uses_broadcast_join(df)
     assert shuffle_count(df) <= 5
+
+
+# --- round 2: curation + multimodal plumbing -------------------------------
+
+
+def test_repetition_is_shuffle_free(spark):
+    # per-doc statistic via array lambdas — must NOT explode+groupBy
+    assert shuffle_count(Q["q_repetition"](spark, SF_DIR)) == 0
+
+
+def test_pii_redact_is_map_only(spark):
+    assert shuffle_count(Q["q_pii_redact"](spark, SF_DIR)) == 0
+
+
+def test_contamination_broadcasts_eval_grams(spark):
+    df = Q["q_contamination"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert shuffle_count(df) <= 3
+
+
+def test_domain_mix_broadcasts_rates(spark):
+    df = Q["q_domain_mix"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+
+
+def test_media_resize_never_reads_payload(spark):
+    # metadata-only planning: documents scan must not include `text`
+    df = Q["q_media_resize"](spark, SF_DIR)
+    cols = read_schema_columns(df, "documents.parquet")
+    assert "text" not in cols
+    assert shuffle_count(df) == 0
