@@ -417,3 +417,40 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(k), 4).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "q_map_enrich",
+    oracle="""
+    SELECT event_id,
+           CASE event_type
+               WHEN 'view' THEN 'browse'
+               WHEN 'click' THEN 'browse'
+               WHEN 'signup' THEN 'convert'
+               WHEN 'purchase' THEN 'convert'
+               ELSE 'other' END AS category
+    FROM events
+    """,
+)
+def q_map_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-map dimension enrichment: a small static mapping shipped as a
+    MAP literal inside the expression — the zero-cost tier below a broadcast
+    join (no table, no join operator, no memory beyond the codegen'd
+    constant). The right tool whenever the 'dimension' is a config-sized
+    lookup; reach for broadcast joins only when the mapping is data."""
+    mapping = {
+        "view": "browse",
+        "click": "browse",
+        "signup": "convert",
+        "purchase": "convert",
+    }
+    lit_map = F.create_map(
+        *[F.lit(x) for kv in mapping.items() for x in kv]
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.try_element_at(lit_map, F.col("event_type")), F.lit("other")
+        ).alias("category"),
+    )
