@@ -53,19 +53,34 @@ _R1_GREEN = {
     "q_coalesce", "q_filter_range", "q_filter_prefix", "q_count",
 }
 
-# Erred or hash-mismatched on the driver in r1 (now fixed) — highest payoff
-# per checked slot, so they lead the walk explicitly.
-_R1_RED = [
+# Names with a GREEN driver-side correctness row in round 2
+# (CORRECTNESS_r02.json, 50/50 green — includes the 8 round-1 reds, all
+# fixed). Together with _R1_GREEN these cover 92 of the registry; the
+# remaining never-driver-checked names lead the walk so a budget-limited
+# round-3 sweep lands on queries with no driver evidence yet.
+_R2_GREEN = {
     "q_gap_fill", "q_ewma", "q_zscore", "q_winsorized_mean", "q_map_funcs",
     "q_json_extract", "q_regex_extract_all", "q_hof_arrays",
-]
+    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+    "q_cohort_retention", "q_ntile", "q_search_boolean", "q_term_join",
+    "q_search_fuzzy", "q_bm25_topk", "q_search_fridge", "q_bm25_multifield",
+    "q_bm25_fuzzy", "q_posting_lists", "q_embed_knn", "q_ann_lsh",
+    "q_ann_ivf", "q_embed_knn_arrow", "q_embed_dup_pairs", "q_salted_agg",
+    "q_join_salted", "q_lang_id", "q_text_quality", "q_token_count",
+    "q_fingerprint", "q_binary_meta", "q_ngrams", "q_tfidf_topterms",
+    "q_curate", "q_contamination", "q_pii_redact", "q_repetition",
+    "q_domain_mix", "q_avg", "q_mode", "q_value_counts", "q_value_counts_num",
+    "q_count_distinct", "q_should_score", "q_tpch_q1", "q_topk", "q_limit",
+    "q_first",
+}
+
+_PROVEN = _R1_GREEN | _R2_GREEN
 
 
 def _ordered(names: list[str]) -> list[str]:
-    red = [n for n in _R1_RED if n in names]
-    unchecked = [n for n in names if n not in _R1_GREEN and n not in _R1_RED]
-    green = [n for n in names if n in _R1_GREEN]
-    return red + unchecked + green
+    unchecked = [n for n in names if n not in _PROVEN]
+    green = [n for n in names if n in _PROVEN]
+    return unchecked + green
 
 
 def all_queries() -> dict[str, QueryFn]:
