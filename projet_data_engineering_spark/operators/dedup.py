@@ -314,7 +314,11 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    pairs: DataFrame, left: str = "doc1", right: str = "doc2", max_iter: int = 15
+    pairs: DataFrame,
+    left: str = "doc1",
+    right: str = "doc2",
+    max_iter: int = 15,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Connected components over candidate pairs → (node, root) with root =
     the smallest id reachable: the clustering stage between near-dup pair
@@ -326,8 +330,16 @@ def connected_components(
     data-parallel; the driver only orchestrates the loop and checks
     convergence (a count, not a collect of data). Candidate-pair graphs are
     sparse by construction (LSH bands), so rounds are cheap at any corpus
-    size; real billion-edge graphs would swap in the large-star/small-star
-    variant with checkpointing."""
+    size.
+
+    Lineage is truncated with ``localCheckpoint(eager=True)`` every
+    ``checkpoint_every`` rounds: without it each round's plan builds on the
+    previous round's, so planning cost grows linearly with iterations even
+    when persist bounds recompute. On a real cluster with unreliable
+    executors, swap ``localCheckpoint`` (executor-local blocks) for a
+    reliable ``checkpoint()`` to the cluster FS; billion-edge graphs would
+    additionally swap the propagation step for the large-star/small-star
+    variant."""
     e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
     edges = e.union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -337,13 +349,19 @@ def connected_components(
         .select(F.col("a").alias("node"), F.col("a").alias("root"))
         .persist()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = edges.join(
             labels, edges.b == labels.node
         ).select(F.col("a").alias("node"), "root")
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("root").alias("root"))
-        ).persist()
+        )
+        if (i + 1) % checkpoint_every == 0:
+            # Truncates the logical plan to a scan of materialized blocks,
+            # so plan depth stays O(checkpoint_every) regardless of rounds.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

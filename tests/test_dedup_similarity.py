@@ -101,3 +101,23 @@ def test_connected_components_properties(spark):
     for root, nodes in members.items():
         assert root == min(nodes)
     pairs.unpersist()
+
+
+def test_connected_components_lineage_bounded(spark):
+    """A chain graph forces one propagation hop per round; the checkpointed
+    loop must converge with a logical plan whose depth reflects only the
+    rounds since the last localCheckpoint, not the full iteration count."""
+    from projet_data_engineering_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [Row(doc1=i, doc2=i + 1) for i in range(12)]
+    )
+    labels = connected_components(chain, max_iter=15, checkpoint_every=3)
+    got = {r["node"]: r["root"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(13)}     # single component rooted at 0
+
+    # Lineage bound: the surviving plan holds at most the joins accumulated
+    # since the last checkpoint (< 2 * checkpoint_every), never the ~12
+    # propagation rounds the chain needed.
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") < 6, plan
