@@ -267,23 +267,26 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document — the keyword-extraction classic and
     the sparse ancestor of the embedding pipeline. Document frequencies are
     one groupBy over the posting pairs and come back via broadcast join
-    (|vocab| rows); per-doc ranking is a bounded window. Deterministic
-    tie-break on the term."""
+    (|vocab| rows); the corpus size joins in as a broadcast 1-row aggregate
+    (same pattern as q_domain_mix) so the whole thing is ONE job — no
+    separate count() action scanning the corpus for a scalar; per-doc
+    ranking is a bounded window. Deterministic tie-break on the term."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split(F.lower("text"), " ")
     pairs = d.select("doc_id", F.explode(t).alias("term"))
     tf = pairs.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = d.count()  # driver-side scalar: one long, the corpus row count
+    n_row = d.agg(F.count("*").cast("double").alias("n_docs"))
     from pyspark.sql import Window
 
     scored = (
         tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(n_row))
         .select(
             "doc_id",
             "term",
             F.round(
-                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 4
             ).alias("tfidf"),
         )
     )

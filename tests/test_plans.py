@@ -289,3 +289,28 @@ def test_media_resize_never_reads_payload(spark):
     cols = read_schema_columns(df, "documents.parquet")
     assert "text" not in cols
     assert shuffle_count(df) == 0
+
+
+def test_tfidf_builds_lazily_no_count_action(spark):
+    """q_tfidf_topterms folds n_docs into the plan as a broadcast 1-row
+    aggregate: constructing the DataFrame must launch ZERO jobs (the old
+    shape ran a driver-side d.count() — a full wasted corpus scan at 100 TB)
+    and the corpus-size join must be a broadcast."""
+    from projet_data_engineering_spark.io import load_table
+
+    sc = spark.sparkContext
+    sc.setJobGroup("tfidf_baseline", "footer-read jobs inherent to a scan")
+    try:
+        load_table(spark, SF_DIR, "documents")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    baseline = len(sc.statusTracker().getJobIdsForGroup("tfidf_baseline"))
+
+    sc.setJobGroup("tfidf_build", "plan construction must be lazy")
+    try:
+        df = Q["q_tfidf_topterms"](spark, SF_DIR)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    built = len(sc.statusTracker().getJobIdsForGroup("tfidf_build"))
+    assert built <= baseline     # no count() job beyond the scan's own setup
+    assert uses_broadcast_join(df)
