@@ -7,7 +7,8 @@ Elasticsearch index and a JSON backup file (reference ``scraper/main.py:246-280`
 - S1 scan+filter  -> ``spark.read.parquet`` + ``filter`` (pushdown automatic)
 - S2 JSON source  -> ``spark.read.json(schema=...)`` (explicit schema, no inference)
 - S3 JSON sink    -> ``df.write.json``
-- S4 keyed upsert -> ``merge_upsert`` (full-outer join + per-column coalesce;
+- S4 keyed upsert -> ``merge_upsert`` (full-outer join; when the key matches,
+                     the new row wins WHOLESALE — Mongo ``$set`` semantics —
                      the plain-Spark equivalent of Delta ``MERGE``)
 - S5 truncate+load-> ``overwrite_table``
 """
@@ -81,7 +82,9 @@ def overwrite_table(df: DataFrame, path: str, partition_by: list[str] | None = N
     w.parquet(path)
 
 
-def merge_upsert(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+def merge_upsert(
+    old: DataFrame, new: DataFrame, key: str, order_col: str | None = None
+) -> DataFrame:
     """S4/J1 — idempotent keyed upsert as a relational merge.
 
     Reference ``scraper/main.py:263-264`` issues Mongo
@@ -94,7 +97,24 @@ def merge_upsert(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     ``MERGE INTO old USING new ON old.key = new.key WHEN MATCHED UPDATE *
     WHEN NOT MATCHED INSERT *``; the join form below is engine-neutral and
     shuffle-partitions on the key (AQE handles skew).
+
+    Intra-batch duplicate keys: Mongo's ordered bulk applies ops in sequence,
+    so the LAST write for a key wins. A DataFrame has no implicit order, so
+    the caller names the ordering column (``order_col`` — an ingest sequence
+    number or event timestamp) and the new batch is reduced to one row per
+    key (max ``order_col``, one window pass) before the merge. Without
+    ``order_col`` the new batch is assumed unique per key — duplicate keys
+    would fan out the full-outer join.
     """
+    if order_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key).orderBy(F.desc(order_col))
+        new = (
+            new.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
     o = old.alias("o")
     n = new.alias("n")
     cols = [key] + [c for c in old.columns if c != key]

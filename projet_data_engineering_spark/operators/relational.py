@@ -607,9 +607,12 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 3 = 0
     )
     SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
-           COALESCE(n.o_custkey, o.o_custkey) AS o_custkey,
-           COALESCE(n.o_orderstatus, o.o_orderstatus) AS o_orderstatus,
-           COALESCE(n.o_totalprice, o.o_totalprice) AS o_totalprice
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_custkey
+                ELSE o.o_custkey END AS o_custkey,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+                ELSE o.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_totalprice
+                ELSE o.o_totalprice END AS o_totalprice
     FROM (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders) o
     FULL OUTER JOIN new_batch n ON o.o_orderkey = n.o_orderkey
     """,

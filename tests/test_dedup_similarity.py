@@ -121,3 +121,31 @@ def test_connected_components_lineage_bounded(spark):
     # propagation rounds the chain needed.
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") < 6, plan
+
+
+def test_merge_upsert_null_overwrites_old_value(spark):
+    """Mongo $set semantics: a matched new row wins WHOLESALE — a legitimate
+    NULL in the new record must overwrite the old non-NULL value, not be
+    coalesced away (a per-column coalesce would resurrect stale values)."""
+    old = spark.createDataFrame([Row(k=1, v="a", w=10), Row(k=2, v="b", w=20)])
+    new = spark.createDataFrame(
+        [Row(k=2, v=None, w=99)],
+        schema="k bigint, v string, w bigint",
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in merge_upsert(old, new, "k").collect()}
+    assert got == {1: ("a", 10), 2: (None, 99)}
+
+
+def test_merge_upsert_intra_batch_duplicates_last_write_wins(spark):
+    """Mongo ordered bulk applies ops in sequence: with duplicate keys in
+    ONE new batch, the last write (by order_col) wins and exactly one row
+    per key survives the merge."""
+    old = spark.createDataFrame([Row(k=1, v="old", seq=0)])
+    new = spark.createDataFrame(
+        [Row(k=1, v="first", seq=1), Row(k=1, v="second", seq=2),
+         Row(k=2, v="x", seq=1), Row(k=2, v="y", seq=3)]
+    )
+    merged = merge_upsert(old, new, "k", order_col="seq")
+    got = {r["k"]: r["v"] for r in merged.collect()}
+    assert merged.count() == 2
+    assert got == {1: "second", 2: "y"}
