@@ -1,0 +1,173 @@
+"""Vanilla-session gate for the real Structured Streaming paths.
+
+The pytest suite runs the streaming constructors under the package's own
+session factory; the round-1 lesson is that a harness-built VANILLA
+SparkSession can diverge (conf drift). This script is the streaming twin of
+``tools/check.py``: it builds a bare ``local[*]`` session with NO package
+confs pre-set and drives every streaming constructor end-to-end with an
+``availableNow`` trigger, asserting output against the batch twin computed
+in the same session.
+
+Usage: python tools/check_streaming.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.streaming.windows import (
+    dedup_stream,
+    run_stream_upsert,
+    running_user_totals,
+    stream_events,
+    stream_stream_join,
+    windowed_stream,
+)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def drain(stream_df, chk: str, output_mode: str | None = None) -> list:
+    """Run a streaming DataFrame to exhaustion (availableNow) and collect
+    every micro-batch's rows."""
+    rows: list = []
+    w = stream_df.writeStream.foreachBatch(lambda b, _i: rows.extend(b.collect()))
+    if output_mode:
+        w = w.outputMode(output_mode)
+    q = (
+        w.option("checkpointLocation", chk)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def main() -> int:
+    # Deliberately vanilla: no nanosAsLong, no shuffle-partition tuning, no
+    # ANSI toggles — whatever a streaming path needs must be self-contained.
+    spark = SparkSession.builder.master("local[*]").appName(
+        "check_streaming_vanilla"
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    work = tempfile.mkdtemp(prefix="check_streaming_")
+    src = f"{work}/events"
+    # Stream source: the events table with the micro-timestamp materialized
+    # (a stream can't re-run load_table's nanos conversion on the raw file).
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(src)
+    batch = spark.read.parquet(src)
+    schema = batch.schema
+
+    failures = 0
+
+    def gate(name, fn):
+        nonlocal failures
+        t0 = time.time()
+        try:
+            fn()
+            print(f"ok    {name} [{time.time() - t0:.1f}s]", flush=True)
+        except Exception:
+            failures += 1
+            print(f"FAILED {name}", flush=True)
+            traceback.print_exc()
+
+    def check_windowed():
+        rows = drain(
+            windowed_stream(stream_events(spark, src, schema)),
+            f"{work}/chk_win",
+        )
+        expected = {
+            tuple(r)
+            for r in batch.groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+            .select(F.col("window.start"), "event_type", "n_events", "sum_value")
+            .collect()
+        }
+        got = {tuple(r) for r in rows}
+        assert got and got <= expected, (len(got), len(expected))
+
+    def check_dedup():
+        rows = drain(
+            dedup_stream(stream_events(spark, src, schema)), f"{work}/chk_dedup"
+        )
+        n_distinct = batch.select("event_id").distinct().count()
+        assert len(rows) == n_distinct, (len(rows), n_distinct)
+
+    def check_join():
+        joined = stream_stream_join(
+            stream_events(spark, src, schema),
+            stream_events(spark, src, schema),
+        )
+        rows = drain(joined, f"{work}/chk_join")
+        expected = (
+            batch.alias("l")
+            .join(
+                batch.alias("r"),
+                (F.col("l.user_id") == F.col("r.user_id"))
+                & (F.col("r.ts") > F.col("l.ts"))
+                & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 30 minutes")),
+            )
+            .count()
+        )
+        assert len(rows) == expected, (len(rows), expected)
+
+    def check_upsert():
+        target = f"{work}/upsert_target"
+        keyed = batch.select("event_id", "user_id", "event_type", "value")
+
+        def run(chk):
+            stream = spark.readStream.schema(keyed.schema).parquet(f"{work}/keyed")
+            run_stream_upsert(stream, target, ["event_id"], chk)
+
+        keyed.write.mode("overwrite").parquet(f"{work}/keyed")
+        run(f"{work}/chk_up1")
+        first = spark.read.parquet(target).count()
+        run(f"{work}/chk_up2")  # replay from a fresh checkpoint: must not dup
+        second = spark.read.parquet(target).count()
+        n_keys = keyed.select("event_id").distinct().count()
+        assert first == second == n_keys, (first, second, n_keys)
+
+    def check_stateful():
+        rows = drain(
+            running_user_totals(stream_events(spark, src, schema)),
+            f"{work}/chk_state",
+            output_mode="update",
+        )
+        # update-mode emits a running row per user per batch; the LAST row
+        # per user must equal the batch aggregate.
+        last = {r["user_id"]: (r["n_events"], r["total_value"]) for r in rows}
+        expected = {
+            r["user_id"]: (r["n"], r["t"])
+            for r in batch.groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("t"))
+            .collect()
+        }
+        assert set(last) == set(expected)
+        for u, (n, t) in expected.items():
+            assert last[u][0] == n and abs(last[u][1] - t) < 1e-6, u
+
+    gate("windowed_stream", check_windowed)
+    gate("dedup_stream", check_dedup)
+    gate("stream_stream_join", check_join)
+    gate("run_stream_upsert_idempotent", check_upsert)
+    gate("running_user_totals_stateful", check_stateful)
+
+    shutil.rmtree(work, ignore_errors=True)
+    print(f"\n{5 - failures} ok, {failures} FAILED")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
