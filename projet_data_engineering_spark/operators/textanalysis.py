@@ -411,11 +411,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     sharing any word-5-gram with the (held-out) eval set, with the shared
     distinct-gram count as evidence.
 
-    Scale shape: the eval set is tiny by construction, so its distinct gram
-    table BROADCASTS; the training corpus's grams are generated in-scan
-    (transform over a split array — no explode until the join input) and
-    never shuffle except the per-doc distinct count on surviving matches.
-    At 100 TB this is one corpus pass + a broadcast semi-probe."""
+    Scale shape: the corpus's grams are generated in-scan (transform over a
+    split array — no explode until the join input) and never shuffle except
+    the per-doc distinct count on surviving matches. The broadcast of the
+    eval grams ASSUMES a bounded eval set (real pipelines probe a fixed
+    benchmark suite — MMLU/GSM8K/… — a few million grams at most, far under
+    the broadcast threshold). The ``doc_id % 97`` eval selector here is a
+    stand-in proportional to the corpus, so at true 100 TB scale this exact
+    selector would outgrow the broadcast: drop the hint and let AQE pick a
+    shuffled semi join, or pin the eval set to a fixed doc list. At 100 TB
+    with a real (bounded) eval suite this is one corpus pass + a broadcast
+    semi-probe."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split(F.lower("text"), " ")
     grams = F.transform(

@@ -32,7 +32,7 @@ def dashboard_kpis(recipes: DataFrame, categories: list[str]) -> DataFrame:
         F.round(F.avg("rating"), 4).alias("avg_rating"),
         F.round(F.avg("duration_min"), 4).alias("avg_duration_min"),
     )
-    return kpis.crossJoin(mode_row)
+    return kpis.crossJoin(F.broadcast(mode_row))
 
 
 def value_distributions(recipes: DataFrame, categories: list[str]) -> DataFrame:
