@@ -51,6 +51,12 @@ BENCH_QUERIES = [
     "q_curate",         # composed dedup∘quality∘token pipeline (r2)
 ]
 
+# The 24-query set benched in round 1 (BENCH_r01/BASELINE.md anchor). The
+# three r2 additions above change the headline total, so the legacy-24
+# subtotal is reported alongside — the ≤2×-baseline gate compares THAT
+# number to the r1 anchor, like with like.
+LEGACY_24 = BENCH_QUERIES[:24]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,6 +97,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "legacy24_total": round(
+                    sum(timings[n] for n in LEGACY_24), 3
+                ),
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
             }
