@@ -376,6 +376,79 @@ def connected_components(
     return labels
 
 
+def connected_components_lss(
+    pairs: DataFrame, left: str = "doc1", right: str = "doc2", max_iter: int = 20
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    the production-scale variant of ``connected_components``.
+
+    Min-label propagation converges in O(component diameter) rounds; the
+    star algorithm converges in O(log n) rounds regardless of diameter, so a
+    billion-node path-shaped component costs ~30 rounds instead of a
+    billion. Each round is two groupBy-min + join passes over the (always
+    shrinking) edge set; edges are kept canonical as (hi, lo) with hi > lo,
+    and every round is localCheckpoint-ed so lineage stays constant-depth.
+
+    Returns (node, root) for every node in ``pairs``, root = component min —
+    same contract as ``connected_components`` (oracle-checked against the
+    same recursive-CTE transitive closure in ``q_dedup_clusters_lss``)."""
+    e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    edges = (
+        e.select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # Large-star: every node attaches its larger neighbors to the min of
+        # its full neighborhood (including itself).
+        sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # Small-star: every node rewires its smaller neighbors (and itself)
+        # to the min of those; operates on the (child > parent) edge list.
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        rewired = (
+            large.join(mins2, "hi")
+            .filter(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+        )
+        self_edges = mins2.select("hi", F.col("m").alias("lo"))
+        new_edges = (
+            rewired.union(self_edges)
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        stable = (
+            new_edges.count() == edges.count()
+            and new_edges.subtract(edges).count() == 0
+        )
+        edges = new_edges
+        if stable:
+            break
+    # Converged: depth-1 stars — every child row points at its component min.
+    child = edges.select(F.col("hi").alias("node"), F.col("lo").alias("root"))
+    return nodes.join(child, "node", "left").select(
+        "node", F.coalesce("root", F.col("node")).alias("root")
+    )
+
+
 def _clusters_oracle() -> str:
     return f"""
     WITH RECURSIVE pairs AS ({_minhash_oracle()}),

@@ -1,0 +1,420 @@
+"""TPC-H widening, round 3: Q2*, Q5, Q11*, Q12*, Q16*, Q20*, Q21*.
+
+The remaining classic warehouse shapes the synthetic schema supports
+(* = adapted: the corpus has no ``partsupp`` table and no
+``l_shipmode``/``l_commitdate``/``l_receiptdate`` columns, so supply-side
+relations derive from ``lineitem`` and Q12/Q21's date/mode logic maps onto
+the columns that exist; both engines compute the identical adapted query).
+
+Every query keeps the scale shape that matters at 100 TB: dimension filters
+broadcast onto the fact scan before any fact-fact shuffle, money sums
+accumulate in DECIMAL (order-independent — double partial-aggregate order
+differs between engines and drifts across cent boundaries), thresholds fold
+into the plan as broadcast 1-row aggregates instead of driver-side scalars,
+and integer comparisons replace float-fraction thresholds wherever possible
+(``2*x > max`` instead of ``x > 0.5*max``) so the predicate is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.registry import query
+
+_DEC = "decimal(18,6)"
+
+
+@query(
+    "q_tpch_q5",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(18, 6))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 — local-supplier volume: revenue per ASIA nation from orders
+    where the customer and supplier share the nation.
+
+    The region filter lands on nation (tiny) and broadcasts onto supplier
+    and customer; the one fact-fact shuffle is lineitem⋈orders. The
+    same-nation condition is an equi-condition between the two broadcast
+    sides, evaluated after both have annotated the fact row — no extra
+    shuffle. Money sums in DECIMAL (exact, order-independent)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(asia.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("s_nationkey").alias("supp_nk"), "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("supp_nk"))
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        _DEC
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q2",
+    oracle="""
+    WITH eu_sup AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ),
+    supply AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT p.p_partkey, p.p_brand, e.s_name, e.n_name,
+               ROUND(e.s_acctbal, 2) AS s_acctbal,
+               sp.cost,
+               MIN(sp.cost) OVER (PARTITION BY p.p_partkey) AS mincost
+        FROM supply sp
+        JOIN part p   ON sp.l_partkey = p.p_partkey
+        JOIN eu_sup e ON sp.l_suppkey = e.s_suppkey
+        WHERE p.p_size <= 10 AND p.p_type = 'ECONOMY'
+    )
+    SELECT p_partkey, p_brand, s_name, n_name, s_acctbal,
+           ROUND(cost, 2) AS cost
+    FROM cand WHERE cost = mincost
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted) — minimum-cost supplier: for each small ECONOMY
+    part, the EUROPE supplier(s) offering it cheapest. No partsupp table, so
+    the supply relation derives from lineitem (min extended price per
+    part-supplier pair — MIN is exact on doubles, so the argmin equality is
+    safe across engines).
+
+    Scale shape: part and supplier filters broadcast onto the supply
+    aggregate; the correlated min-cost subquery of the original becomes ONE
+    window over the part key — the same shuffle the groupBy already needs,
+    instead of a second aggregate + self-join. All argmin rows survive, so
+    output is deterministic without a tie-break."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(
+                    F.broadcast(r),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "ECONOMY")
+    )
+    supply = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("cost"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.join(
+            F.broadcast(p.select("p_partkey", "p_brand")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("mincost", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("mincost"))
+        .select(
+            "p_partkey", "p_brand", "s_name", "n_name", "s_acctbal",
+            F.round("cost", 2).alias("cost"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q11",
+    oracle="""
+    WITH value_by_part AS (
+        SELECT l.l_partkey,
+               SUM(CAST(l.l_extendedprice * l.l_quantity
+                        AS DECIMAL(18, 6))) AS part_value
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_3'
+        GROUP BY l.l_partkey
+    ),
+    total AS (
+        SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts
+        FROM value_by_part
+    )
+    SELECT v.l_partkey AS p_partkey,
+           CAST(ROUND(v.part_value, 2) AS DOUBLE) AS part_value
+    FROM value_by_part v, total t
+    WHERE v.part_value * t.n_parts > 2 * t.total_value
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted) — important stock: parts whose traded value
+    through NATION_3 suppliers exceeds 2× the average part's value in that
+    nation (the original's fixed 0.01% fraction is scale-DEpendent — at 10×
+    the parts no part clears it — so the adapted threshold is relative to
+    the average, selective at every corpus size). No partsupp, so value =
+    Σ extendedprice×quantity from lineitem.
+
+    The original's scalar subquery threshold folds into the plan as a
+    broadcast 1-row aggregate over the (already tiny) per-part value table —
+    no driver round-trip, no second corpus scan. The compare is
+    ``value*n_parts > 2*total`` in DECIMAL: integer-scaled decimal
+    arithmetic is exact, so the HAVING boundary can't drift between
+    engines."""
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    value = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_quantity")).cast(_DEC)
+            ).alias("part_value")
+        )
+    )
+    total = value.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count("*").alias("n_parts"),
+    )
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * F.col("n_parts") > 2 * F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("part_value", 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted) — priority counts per shipping class. The corpus
+    has no l_shipmode, so the class column is l_returnflag; the shape is the
+    point: a year's line items classified by order priority in ONE
+    conditional-sum pass (no per-priority scans), date filter pushed to the
+    lineitem scan, one orderkey shuffle."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q16",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted) — how many suppliers serve each qualifying part
+    class. No partsupp, so the part-supplier relation derives from lineitem.
+    The brand/size exclusion filters broadcast onto the fact scan; the
+    distinct supplier count is the one shuffle (partial distinct map-side)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q_tpch_q20",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS total_qty
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_type = 'PROMO'
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1996-01-01'
+        GROUP BY l.l_suppkey
+    ),
+    peak AS (SELECT MAX(total_qty) AS max_qty FROM shipped)
+    SELECT s.s_name, n.n_name, sh.total_qty
+    FROM shipped sh
+    JOIN supplier s ON sh.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    CROSS JOIN peak
+    WHERE 2 * sh.total_qty > peak.max_qty
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted) — heavy shippers: suppliers who moved more than
+    half the peak supplier's volume of PROMO parts in 1995. No partsupp, so
+    the availability threshold becomes a volume threshold over lineitem.
+
+    The threshold is a broadcast 1-row MAX over the per-supplier aggregate,
+    and the comparison is pure integer arithmetic (``2*qty > max``) — exact
+    on both engines, no float fraction at the boundary. Supplier/nation
+    names ride broadcasts after the aggregate, so only |suppliers| rows ever
+    join."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("total_qty"))
+    )
+    peak = shipped.agg(F.max("total_qty").alias("max_qty"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        shipped.crossJoin(F.broadcast(peak))
+        .filter(2 * F.col("total_qty") > F.col("max_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "total_qty")
+    )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_r
+        FROM lineitem GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supp,
+               SUM(has_r) AS n_r_supp
+        FROM per_supp GROUP BY l_orderkey
+    )
+    SELECT s.s_name,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s   ON ps.l_suppkey = s.s_suppkey
+    WHERE ps.has_r = 1 AND po.n_supp > 1 AND po.n_r_supp = 1
+    GROUP BY s.s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted) — the sole-blame supplier: on multi-supplier
+    orders, the one supplier whose items came back flagged 'R' while every
+    co-supplier's did not (the corpus has no commit/receipt dates, so the
+    late-delivery predicate maps onto the return flag).
+
+    The original's EXISTS + NOT-EXISTS pair of correlated self-joins
+    collapses into ONE aggregation tree: per-(order, supplier) flags, then
+    per-order counts via a second groupBy on the same key prefix — the
+    window/rollup trick for multi-correlation. One orderkey shuffle total;
+    the supplier-name join broadcasts."""
+    per_supp = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("has_r")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("has_r").alias("n_r_supp")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        per_supp.filter(F.col("has_r") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )

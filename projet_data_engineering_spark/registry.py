@@ -118,6 +118,8 @@ def _load_all() -> None:
         dedup,
         etl,
         multimodal,
+        warehouse,
+        sampling,
     )
 
     _LOADED = True
