@@ -393,10 +393,11 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late-delivery predicate maps onto the return flag).
 
     The original's EXISTS + NOT-EXISTS pair of correlated self-joins
-    collapses into ONE aggregation tree: per-(order, supplier) flags, then
-    per-order counts via a second groupBy on the same key prefix — the
-    window/rollup trick for multi-correlation. One orderkey shuffle total;
-    the supplier-name join broadcasts."""
+    collapses into per-(order, supplier) flags plus per-order counts as
+    WINDOWS over the orderkey — no second aggregate, no join back: the
+    window reuses the orderkey exchange, so the whole multi-correlation
+    costs two fact exchanges (pair agg, orderkey window) plus the final
+    per-supplier count; the supplier-name join broadcasts."""
     per_supp = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey", "l_suppkey")
@@ -406,14 +407,16 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("has_r")
         )
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("has_r").alias("n_r_supp")
-    )
+    w = Window.partitionBy("l_orderkey")
     s = load_table(spark, sf_dir, "supplier")
     return (
-        per_supp.filter(F.col("has_r") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_r_supp") == 1))
+        per_supp.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_r_supp", F.sum("has_r").over(w))
+        .filter(
+            (F.col("has_r") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_r_supp") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))

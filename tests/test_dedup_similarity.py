@@ -149,3 +149,36 @@ def test_merge_upsert_intra_batch_duplicates_last_write_wins(spark):
     got = {r["k"]: r["v"] for r in merged.collect()}
     assert merged.count() == 2
     assert got == {1: "second", 2: "y"}
+
+
+def test_lss_components_match_label_propagation(spark):
+    """Large-star/small-star must produce the identical (node, root) labels
+    as min-label propagation — on a long chain (worst case for propagation,
+    where LSS's O(log n) round bound is the whole point), a star, and two
+    disjoint components."""
+    from projet_data_engineering_spark.operators.dedup import (
+        connected_components,
+        connected_components_lss,
+    )
+
+    cases = [
+        [Row(doc1=i, doc2=i + 1) for i in range(20)],              # 21-chain
+        [Row(doc1=100, doc2=v) for v in (101, 102, 103)],          # star
+        [Row(doc1=1, doc2=2), Row(doc1=10, doc2=11),
+         Row(doc1=11, doc2=12), Row(doc1=2, doc2=1)],              # 2 comps + dup edge
+    ]
+    for rows in cases:
+        pairs = spark.createDataFrame(rows)
+        lss = {(r["node"], r["root"])
+               for r in connected_components_lss(pairs).collect()}
+        ref = {(r["node"], r["root"])
+               for r in connected_components(pairs, max_iter=25).collect()}
+        assert lss == ref, rows
+
+    # Lineage stays flat: every LSS round re-checkpoints, so the final label
+    # plan carries at most one round of joins regardless of graph shape.
+    labels = connected_components_lss(
+        spark.createDataFrame([Row(doc1=i, doc2=i + 1) for i in range(20)])
+    )
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 2, plan

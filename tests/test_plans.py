@@ -314,3 +314,56 @@ def test_tfidf_builds_lazily_no_count_action(spark):
     built = len(sc.statusTracker().getJobIdsForGroup("tfidf_build"))
     assert built <= baseline     # no count() job beyond the scan's own setup
     assert uses_broadcast_join(df)
+
+
+def test_tpch_q5_broadcasts_dims_single_fact_shuffle(spark):
+    """Q5's only fact-fact shuffle is lineitem⋈orders; supplier/customer/
+    nation/region all ride broadcasts, the date filter pushes to the orders
+    scan."""
+    df = Q["q_tpch_q5"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "o_orderdate")
+    assert shuffle_count(df) <= 3      # orderkey join + final agg
+
+def test_tpch_q2_argmin_reuses_groupby_shuffle(spark):
+    """Q2's correlated min-cost subquery must be a window over the partkey,
+    not a second aggregate + self-join: part/supplier sides broadcast, and
+    the whole plan holds ≤3 exchanges (supply groupBy + window partition)."""
+    df = Q["q_tpch_q2"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert shuffle_count(df) <= 3
+
+def test_tpch_q11_threshold_folds_into_plan(spark):
+    """The HAVING-fraction threshold is a broadcast 1-row aggregate, not a
+    driver-side scalar: constructing the DataFrame launches no jobs beyond
+    the scan's own footer reads."""
+    from projet_data_engineering_spark.io import load_table
+
+    sc = spark.sparkContext
+    sc.setJobGroup("q11_baseline", "footer reads")
+    try:
+        for t in ("lineitem", "supplier", "nation"):
+            load_table(spark, SF_DIR, t)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    baseline = len(sc.statusTracker().getJobIdsForGroup("q11_baseline"))
+    sc.setJobGroup("q11_build", "must be lazy")
+    try:
+        df = Q["q_tpch_q11"](spark, SF_DIR)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(sc.statusTracker().getJobIdsForGroup("q11_build")) <= baseline
+    assert uses_broadcast_join(df)
+
+def test_tpch_q21_one_fact_shuffle_no_self_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS pair must collapse into aggregation over ONE
+    orderkey shuffle (per-supp flags reuse the same partitioning for the
+    per-order rollup); only the tiny supplier join broadcasts."""
+    df = Q["q_tpch_q21"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert shuffle_count(df) <= 3      # orderkey agg, reused + s_name agg
+
+def test_sample_bottomk_is_topk_not_full_sort(spark):
+    df = Q["q_sample_bottomk"](spark, SF_DIR)
+    assert uses_take_ordered(df)
+    assert shuffle_count(df) == 0
