@@ -182,3 +182,46 @@ def test_lss_components_match_label_propagation(spark):
     )
     plan = labels._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Join") <= 2, plan
+
+
+def test_lss_components_match_union_find_on_random_graphs(spark):
+    """Property check: on random graphs, large-star/small-star labels must
+    equal a pure-Python union-find's component minima (an oracle with zero
+    shared code). Deterministic seed — the value is the graph variety, not
+    hypothesis shrinking (each example costs Spark jobs)."""
+    import random
+
+    from projet_data_engineering_spark.operators.dedup import (
+        connected_components_lss,
+    )
+
+    rng = random.Random(42)
+    for _ in range(6):
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]] or [(0, 1)]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        comp_min: dict[int, int] = {}
+        for v in touched:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {(v, comp_min[find(v)]) for v in touched}
+
+        pairs = spark.createDataFrame(
+            [Row(doc1=a, doc2=b) for a, b in edges]
+        )
+        got = {(r["node"], r["root"])
+               for r in connected_components_lss(pairs).collect()}
+        assert got == expected, edges
