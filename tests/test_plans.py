@@ -367,3 +367,39 @@ def test_sample_bottomk_is_topk_not_full_sort(spark):
     df = Q["q_sample_bottomk"](spark, SF_DIR)
     assert uses_take_ordered(df)
     assert shuffle_count(df) == 0
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Spark's runtime bloom-filter injection — the shuffle-join analogue of
+    broadcast pruning: a selective dim filter builds a bloom filter that
+    pre-filters the fact side BEFORE its shuffle. On by default since Spark
+    3.4; the application-side threshold (10 GB) is met naturally at real
+    scale, so the test lowers it to exercise the path on test data."""
+    from projet_data_engineering_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            load_table(spark, SF_DIR, "lineitem")
+            .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
