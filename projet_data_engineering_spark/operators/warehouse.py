@@ -50,10 +50,11 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the customer and supplier share the nation.
 
     The region filter lands on nation (tiny) and broadcasts onto supplier
-    and customer; the one fact-fact shuffle is lineitem⋈orders. The
-    same-nation condition is an equi-condition between the two broadcast
-    sides, evaluated after both have annotated the fact row — no extra
-    shuffle. Money sums in DECIMAL (exact, order-independent)."""
+    (|suppliers| ≪ facts — safe to broadcast); customer is PROPORTIONAL to
+    the corpus, so it shuffle-joins on the custkey like Q10 does — never
+    broadcast. The same-nation condition is evaluated once both sides have
+    annotated the fact row. Money sums in DECIMAL (exact,
+    order-independent)."""
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     asia = n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -74,7 +75,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_nationkey") == F.col("supp_nk"))
         .groupBy("n_name")
         .agg(

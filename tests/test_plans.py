@@ -317,13 +317,13 @@ def test_tfidf_builds_lazily_no_count_action(spark):
 
 
 def test_tpch_q5_broadcasts_dims_single_fact_shuffle(spark):
-    """Q5's only fact-fact shuffle is lineitem⋈orders; supplier/customer/
-    nation/region all ride broadcasts, the date filter pushes to the orders
-    scan."""
+    """Q5: supplier/nation/region ride broadcasts; customer is proportional
+    to the corpus so it SHUFFLE-joins (broadcasting it would OOM a real
+    cluster); the date filter pushes to the orders scan."""
     df = Q["q_tpch_q5"](spark, SF_DIR)
     assert uses_broadcast_join(df)
     assert has_pushed_filter(df, "o_orderdate")
-    assert shuffle_count(df) <= 3      # orderkey join + final agg
+    assert shuffle_count(df) <= 5      # orderkey join, custkey join, agg
 
 def test_tpch_q2_argmin_reuses_groupby_shuffle(spark):
     """Q2's correlated min-cost subquery must be a window over the partkey,
