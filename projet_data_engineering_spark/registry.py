@@ -120,6 +120,8 @@ def _load_all() -> None:
         multimodal,
         warehouse,
         sampling,
+        graph,
+        datapipe,
     )
 
     _LOADED = True

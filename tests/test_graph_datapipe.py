@@ -1,0 +1,213 @@
+"""Tests for the graph-analytics and data-pipeline extension modules.
+
+PageRank and triangle counting get independent hand-computed references on
+tiny hand-built graphs (numpy power iteration / known closed forms); the
+table-bound queries get invariant checks over sf0.001 output — their exact
+values are already pinned bit-for-bit by the DuckDB oracle gate."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+import __spark_entry__ as entrymod
+from projet_data_engineering_spark.operators.graph import (
+    DAMPING,
+    PR_ITERS,
+    pagerank,
+    triangle_stats,
+)
+from projet_data_engineering_spark.plans.explain import (
+    shuffle_count,
+    uses_take_ordered,
+)
+from tests.conftest import SF_DIR
+
+Q = entrymod.queries()
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+
+def _numpy_pagerank(edges, iters=PR_ITERS, d=DAMPING):
+    """Independent dense reference: same damped/weighted/dangling-aware
+    update rule, straight numpy."""
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    w = np.zeros((n, n))
+    for u, v, ww in edges:
+        w[idx[u], idx[v]] += ww
+    outw = w.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outw == 0].sum()
+        contrib = np.zeros(n)
+        for i in range(n):
+            if outw[i] > 0:
+                contrib += r[i] * w[i] / outw[i]
+        r = (1 - d) / n + d * (contrib + dangling / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_matches_numpy_reference_with_dangling_node(spark):
+    edges = [("A", "B", 2.0), ("A", "C", 1.0), ("B", "A", 1.0), ("D", "A", 1.0)]
+    # C is dangling (no out-edges); D is a pure source (rank floor).
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for node in want:
+        assert got[node] == pytest.approx(want[node], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_query_is_a_probability_distribution(spark):
+    rows = Q["q_pagerank"](spark, SF_DIR).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert total == pytest.approx(1.0, abs=1e-4)  # 6dp rounding per node
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Triangles
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_stats_on_k4_and_path(spark):
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)], ["p1", "p2"]
+    )
+    row = triangle_stats(k4).collect()[0]
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (4, 6, 4)
+    assert row["clustering_coeff"] == pytest.approx(1.0)
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["p1", "p2"])
+    row = triangle_stats(path).collect()[0]
+    assert (row["n_triangles"], row["clustering_coeff"]) == (0, 0.0)
+
+
+def test_triangle_orientation_handles_hub_skew(spark):
+    # star + one closing edge: hub 1 has degree 4, triangles = 1
+    star = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (1, 5), (2, 3)], ["p1", "p2"]
+    )
+    row = triangle_stats(star).collect()[0]
+    assert row["n_triangles"] == 1
+
+
+def test_degree_hist_mass_equals_twice_edges(spark):
+    hist = Q["q_degree_hist"](spark, SF_DIR).collect()
+    tri = Q["q_triangle_count"](spark, SF_DIR).collect()[0]
+    assert sum(r["degree"] * r["n_parts"] for r in hist) == 2 * tri["n_edges"]
+    assert sum(r["n_parts"] for r in hist) == tri["n_nodes"]
+
+
+# ---------------------------------------------------------------------------
+# SimHash pairs
+# ---------------------------------------------------------------------------
+
+
+def test_simhash_pairs_canonical_and_within_threshold(spark):
+    rows = Q["q_simhash_pairs"](spark, SF_DIR).collect()
+    assert rows, "sf0.001 corpus contains near-dups; expected candidates"
+    for r in rows:
+        assert r["doc1"] < r["doc2"]
+        assert 0 <= r["hamming"] <= 1
+    assert len({(r["doc1"], r["doc2"]) for r in rows}) == len(rows)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 / sessionization
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_intervals_chain_and_compress(spark):
+    rows = Q["q_scd2"](spark, SF_DIR).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["custkey"], []).append(r)
+    for versions in by_key.values():
+        versions.sort(key=lambda r: r["valid_from"])
+        currents = [r for r in versions if r["is_current"] == 1]
+        assert len(currents) == 1 and currents[0] is versions[-1]
+        assert versions[-1]["valid_to"] is None
+        for a, b in zip(versions, versions[1:]):
+            assert a["valid_to"] == b["valid_from"]  # gapless chain
+            assert a["attr"] != b["attr"]  # change-compressed
+
+
+def test_sessionize_partitions_all_events(spark):
+    sess = Q["q_sessionize"](spark, SF_DIR).collect()
+    from projet_data_engineering_spark.io import load_table
+
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r["n_events"] for r in sess) == total
+    for r in sess:
+        assert r["n_events"] >= 1 and r["dur_us"] >= 0
+    # session ids are contiguous 1..k per user
+    by_user: dict = {}
+    for r in sess:
+        by_user.setdefault(r["user_id"], []).append(r["session_id"])
+    for ids in by_user.values():
+        assert sorted(ids) == list(range(1, len(ids) + 1))
+
+
+# ---------------------------------------------------------------------------
+# Profiling / splits / PMI
+# ---------------------------------------------------------------------------
+
+
+def test_profile_invariants_and_single_scan(spark):
+    df = Q["q_profile"](spark, SF_DIR)
+    rows = df.collect()
+    assert {r["col_name"] for r in rows} == {
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+    }
+    for r in rows:
+        assert r["min_val"] <= r["max_val"]
+        assert r["null_count"] == 0
+        assert r["n_distinct"] >= 1
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("parquet") <= 1  # one scan feeds all measures
+
+
+def test_train_test_split_is_deterministic_and_complete(spark):
+    from projet_data_engineering_spark.io import load_table
+
+    a = {r["split"]: (r["n_docs"], r["total_chars"])
+         for r in Q["q_train_test_split"](spark, SF_DIR).collect()}
+    b = {r["split"]: (r["n_docs"], r["total_chars"])
+         for r in Q["q_train_test_split"](spark, SF_DIR).collect()}
+    assert a == b  # pure function of the key — no RNG
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(n for n, _ in a.values()) == total
+    assert a.get("train", (0, 0))[0] > a.get("test", (0, 0))[0]
+
+
+def test_pmi_ranked_and_supported(spark):
+    rows = Q["q_pmi"](spark, SF_DIR).collect()
+    assert rows
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["c_ab"] >= 5 for r in rows)
+    assert uses_take_ordered(Q["q_pmi"](spark, SF_DIR))
+
+
+# ---------------------------------------------------------------------------
+# Plan shapes
+# ---------------------------------------------------------------------------
+
+
+def test_split_and_sessionize_shuffle_budgets(spark):
+    # hash-gated split: one aggregation exchange only
+    assert shuffle_count(Q["q_train_test_split"](spark, SF_DIR)) <= 1
+    # sessionize: windows + groupBy all share the user_id partitioning
+    assert shuffle_count(Q["q_sessionize"](spark, SF_DIR)) <= 2
+    # scd2: both windows on the same key — one exchange
+    assert shuffle_count(Q["q_scd2"](spark, SF_DIR)) <= 2
