@@ -444,3 +444,49 @@ def q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(100)
     )
+
+
+@query(
+    "q_doc_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, u.term
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents) d,
+             UNNEST(d.t) AS u(term)
+    ),
+    uni AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(-LN(uni.c / tot.n)), 5) AS avg_nll
+    FROM toks JOIN uni USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token surprisal under the corpus's own unigram
+    language model: avg(-ln c_t/N) — the cheap perplexity proxy used to
+    flag gibberish (high surprisal) and boilerplate (low surprisal) when a
+    trained LM isn't in the loop; complements the rule-based
+    ``q_text_quality``.
+
+    The unigram table is built from the same tokenized scan it scores
+    (self-referential LM); N folds in as a broadcast 1-row aggregate; the
+    token→frequency join shuffles tokens once on the term key, then one
+    groupBy(doc_id). At 100 TB the unigram table is vocabulary-sized —
+    broadcastable after a mild frequency floor."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    uni = toks.groupBy("term").agg(F.count("*").alias("c"))
+    tot = F.broadcast(uni.agg(F.sum("c").cast("double").alias("n")))
+    return (
+        toks.join(uni, "term")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 5).alias("avg_nll"),
+        )
+    )

@@ -122,6 +122,7 @@ def _load_all() -> None:
         sampling,
         graph,
         datapipe,
+        ml,
     )
 
     _LOADED = True

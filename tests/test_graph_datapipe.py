@@ -211,3 +211,23 @@ def test_split_and_sessionize_shuffle_budgets(spark):
     assert shuffle_count(Q["q_sessionize"](spark, SF_DIR)) <= 2
     # scd2: both windows on the same key — one exchange
     assert shuffle_count(Q["q_scd2"](spark, SF_DIR)) <= 2
+
+
+def test_pagerank_edge_derivation_broadcasts_dims(spark):
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q["q_pagerank"](spark, SF_DIR))
+    # supplier + both nation aliases broadcast onto the fact scan; the only
+    # proportional-table join (customer) may shuffle
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_no_cartesian(spark):
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q["q_simhash_pairs"](spark, SF_DIR))
+    # candidate generation must go through the band-bucket equi-join,
+    # never an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert "band_val" in plan

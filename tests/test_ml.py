@@ -1,0 +1,89 @@
+"""K-means and unigram-surprisal tests: independent numpy Lloyd reference
+for the training loop, corpus-accounting invariants for the LM score."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+import __spark_entry__ as entrymod
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.operators.ml import DIM, ITERS, K
+from tests.conftest import SF_DIR
+
+Q = entrymod.queries()
+
+
+def _numpy_kmeans(vecs: dict[int, np.ndarray], k=K, iters=ITERS):
+    """Independent dense reference of the exact algorithm: md5-bottom-k
+    seeds, argmin with centroid-id tie-break, 6dp-rounded mean updates."""
+    seed_ids = sorted(vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:k]
+    cents = {cid + 1: vecs[i].copy() for cid, i in enumerate(seed_ids)}
+
+    def assign():
+        out = {}
+        for i, v in vecs.items():
+            best = min(
+                ((float(((v - c) ** 2).sum()), cid) for cid, c in cents.items())
+            )
+            out[i] = best  # (d2, cid)
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        new = {}
+        for cid in set(cid for _, cid in a.values()):
+            members = np.stack([vecs[i] for i, (_, c) in a.items() if c == cid])
+            new[cid] = np.round(members.mean(axis=0), 6)
+        cents = new
+    a = assign()
+    stats = {}
+    for i, (d2, cid) in a.items():
+        n, s = stats.get(cid, (0, 0.0))
+        stats[cid] = (n + 1, s + d2)
+    return {cid: (n, round(s, 3)) for cid, (n, s) in stats.items()}
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    want = _numpy_kmeans(vecs)
+    got = {
+        r["centroid_id"]: (r["n_members"], r["inertia"])
+        for r in Q["q_kmeans"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for cid in want:
+        assert got[cid][0] == want[cid][0]
+        assert got[cid][1] == pytest.approx(want[cid][1], abs=1e-2)
+    assert sum(n for n, _ in got.values()) == len(vecs)
+
+
+def test_doc_logprob_accounts_every_token(spark):
+    rows = Q["q_doc_logprob"](spark, SF_DIR).collect()
+    tok = Q["q_token_count"](spark, SF_DIR).collect()
+    assert sum(r["n_tokens"] for r in rows) == sum(r["total_tokens"] for r in tok)
+    assert all(r["avg_nll"] > 0 for r in rows)
+    # a token seen only once is maximally surprising: every doc's mean
+    # surprisal is bounded by ln(N) (probability floor 1/N)
+    n_total = sum(r["total_tokens"] for r in tok)
+    assert all(r["avg_nll"] <= np.log(n_total) + 1e-9 for r in rows)
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q["q_kmeans"](spark, SF_DIR))
+    # k-row centroid frames broadcast (nested-loop, no join key) — the
+    # corpus itself is never shuffled for assignment
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_doc_logprob_folds_total_as_broadcast(spark):
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q["q_doc_logprob"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N aggregate
+    assert "CartesianProduct" not in plan
