@@ -192,6 +192,30 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 6 * 3600 * 1_000_000  # 6 hours
 
 
+def sessionize(
+    events: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session IDs: a new session starts when the user is
+    inactive for more than ``gap_us`` microseconds. Adds ``session_id``
+    (1-based, contiguous per user). One hash shuffle on the user key serves
+    the lag window and the running sum (identical window spec)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    lag_us = F.unix_micros(F.lag(ts_col).over(w))
+    new_s = (
+        F.when(lag_us.isNull(), 1)
+        .when(F.unix_micros(ts_col) - lag_us > gap_us, 1)
+        .otherwise(0)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(run).cast("bigint")
+    ).drop("new_s")
+
+
 @query(
     "q_sessionize",
     oracle=f"""
@@ -232,20 +256,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum, and the final groupBy (same key throughout — no re-
     partitioning between stages). Gap compare in integer microseconds,
     exact on both engines."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lag_us = F.unix_micros(F.lag("ts").over(w))
-    new_s = (
-        F.when(lag_us.isNull(), 1)
-        .when(F.unix_micros("ts") - lag_us > SESSION_GAP_US, 1)
-        .otherwise(0)
-    )
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    s = e.withColumn("new_s", new_s).withColumn(
-        "session_id", F.sum("new_s").over(run).cast("bigint")
-    )
+    s = sessionize(load_table(spark, sf_dir, "events"))
     return s.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
         F.min("ts").alias("session_start"),
@@ -489,4 +500,140 @@ def q_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.round(F.avg(-F.log(F.col("c") / F.col("n"))), 5).alias("avg_nll"),
         )
+    )
+
+
+_MV_CUTOFF = "1995-06-01"
+
+
+@query(
+    "q_incremental_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18, 6))), 2) AS DOUBLE)
+               AS total_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 6))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: the revenue-per-priority view
+    is computed as PARTIAL aggregates over the pre-cutoff state and the
+    post-cutoff delta, then merged by summing partials — and the oracle is
+    the ONE-SHOT aggregate over everything, proving the algebraic merge is
+    exact (sum-of-sums, sum-of-counts; avg re-derived from merged totals,
+    never averaged-of-averages).
+
+    This is the pattern that keeps a 100 TB view fresh for the cost of the
+    delta: the old partial is a tiny stored table in production (here it is
+    recomputed so the query stays self-contained, but the merge algebra is
+    what the test pins). Money sums accumulate in DECIMAL, so partial
+    merge order cannot drift a cent — the same discipline as the TPC-H
+    money queries."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(_MV_CUTOFF).cast("timestamp")
+    dec = F.col("o_totalprice").cast("decimal(18,6)")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("pn"), F.sum(dec).alias("psum")
+        )
+
+    old = partial(o.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        old.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("pn").alias("n_orders"), F.sum("psum").alias("tsum"))
+    )
+    return merged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.round(F.col("tsum"), 2).cast("double").alias("total_price"),
+        F.round(F.col("tsum").cast("double") / F.col("n_orders"), 4).alias(
+            "avg_price"
+        ),
+    )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               LN((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1.0) / 4294967296.0)
+               / n_chars AS es_key
+        FROM documents
+    )
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample (Efraimidis–Spirakis): keep the top-k
+    documents by ln(u)/w where u is a uniform hash of the key and w the
+    weight (n_chars — longer docs proportionally likelier). The
+    reproducible engine-agnostic analogue of weighted reservoir sampling:
+    membership is a pure function of (key, weight), so re-runs and other
+    engines draw the SAME sample — the weighted upgrade of
+    ``q_sample_bottomk``.
+
+    u derives from the first 8 md5 hex chars normalized to (0, 1] (32 bits
+    of entropy; +1 keeps ln finite); ln(u)/w is the log of the classic
+    u^(1/w) key, so its descending order IS the E-S draw: ln(u) <= 0, and
+    a larger weight pulls the key toward 0 — heavier docs win more often.
+    Executes as TakeOrderedAndProject: per-partition k-heaps, no shuffle
+    of the corpus, driver merges k·p rows."""
+    d = load_table(spark, sf_dir, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    es_key = F.log((u + F.lit(1.0)) / F.lit(4294967296.0)) / F.col("n_chars")
+    return (
+        d.select("doc_id", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+_BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "q_token_count_bpe",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}')) )
+                AS BIGINT) AS total_tokens,
+           ROUND(AVG(len(regexp_extract_all(lower(text), '{_BPE_PATTERN}'))), 4)
+               AS avg_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token accounting under a BPE-ish regex tokenizer — letter runs,
+    digit runs, and single punctuation marks as separate tokens (the
+    pre-tokenization split every BPE vocabulary starts from), versus
+    ``q_token_count``'s whitespace splitter. Budgets shift ~20-40% between
+    the two — exactly the gap that breaks corpus token estimates, which is
+    why the pipeline carries both. Map-only expansion + one
+    map-side-combining aggregate; the character-class pattern means Java
+    and RE2-style engines tokenize identically (no backtracking
+    constructs)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_PATTERN), 0)
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ntok).cast("bigint").alias("total_tokens"),
+        F.round(F.avg(ntok), 4).alias("avg_tokens"),
     )

@@ -103,7 +103,12 @@ def _load_all() -> None:
     walks ``queries()``: families with the least accumulated driver-side
     correctness evidence are imported first so a truncated sweep still covers
     them (round-1 sweep stopped after analytic/dedup/etl/multimodal and the
-    head of relational — those now go last)."""
+    head of relational — those now go last). The round-3 extension modules
+    (graph, datapipe, ml) import after everything else: their queries are
+    new and unproven, but the ~50 queries queued ahead of them have waited
+    since round 1/2 for driver evidence — a budget-limited sweep reaches
+    those first, and the extensions carry committed full-sweep evidence
+    (evidence/CHECK_r03_*) until a later round's budget reaches them."""
     global _LOADED
     if _LOADED:
         return

@@ -190,6 +190,30 @@ def test_train_test_split_is_deterministic_and_complete(spark):
     assert a.get("train", (0, 0))[0] > a.get("test", (0, 0))[0]
 
 
+def test_weighted_sample_favors_heavy_docs(spark):
+    from projet_data_engineering_spark.io import load_table
+
+    sample = Q["q_sample_weighted"](spark, SF_DIR).collect()
+    again = Q["q_sample_weighted"](spark, SF_DIR).collect()
+    assert [r["doc_id"] for r in sample] == [r["doc_id"] for r in again]
+    corpus = load_table(spark, SF_DIR, "documents").select("n_chars").collect()
+    corpus_mean = sum(r["n_chars"] for r in corpus) / len(corpus)
+    sample_mean = sum(r["n_chars"] for r in sample) / len(sample)
+    # weights = n_chars: a faithful E-S draw oversamples long documents
+    assert sample_mean > corpus_mean
+    assert uses_take_ordered(Q["q_sample_weighted"](spark, SF_DIR))
+
+
+def test_bpe_tokenizer_counts_at_least_whitespace_words(spark):
+    ws = {r["lang"]: r for r in Q["q_token_count"](spark, SF_DIR).collect()}
+    bpe = {r["lang"]: r for r in Q["q_token_count_bpe"](spark, SF_DIR).collect()}
+    assert set(ws) == set(bpe)
+    for lang in ws:
+        assert bpe[lang]["n_docs"] == ws[lang]["n_docs"]
+        # punctuation splits off as extra tokens; whitespace words only merge
+        assert bpe[lang]["total_tokens"] >= ws[lang]["total_tokens"]
+
+
 def test_pmi_ranked_and_supported(spark):
     rows = Q["q_pmi"](spark, SF_DIR).collect()
     assert rows
@@ -211,6 +235,77 @@ def test_split_and_sessionize_shuffle_budgets(spark):
     assert shuffle_count(Q["q_sessionize"](spark, SF_DIR)) <= 2
     # scd2: both windows on the same key — one exchange
     assert shuffle_count(Q["q_scd2"](spark, SF_DIR)) <= 2
+
+
+def test_sessionize_function_property(spark):
+    """Randomized check of the reusable sessionize(): session id increments
+    exactly at gaps > gap_us, restarts at 1 per user, never skips."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from projet_data_engineering_spark.operators.datapipe import sessionize
+
+    base = dt.datetime(2024, 1, 1)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=2),  # user
+                st.integers(min_value=0, max_value=200_000),  # offset sec
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(evts):
+        rows = [
+            (i, u, base + dt.timedelta(seconds=off))
+            for i, (u, off) in enumerate(evts)
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+        gap_us = 3600 * 1_000_000
+        out = sessionize(df, gap_us=gap_us).collect()
+        by_user: dict = {}
+        for r in out:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for user_rows in by_user.values():
+            user_rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+            expect = 1
+            prev_ts = None
+            for r in user_rows:
+                if prev_ts is not None and (
+                    (r["ts"] - prev_ts).total_seconds() * 1_000_000 > gap_us
+                ):
+                    expect += 1
+                assert r["session_id"] == expect
+                prev_ts = r["ts"]
+
+    check()
+
+
+def test_incremental_agg_merge_is_exact(spark):
+    """The merged-partials view must equal a one-shot aggregate (the oracle
+    pins values; here pin the merge against Spark's own one-shot plan)."""
+    import pyspark.sql.functions as SF
+
+    from projet_data_engineering_spark.io import load_table
+
+    got = {
+        r["o_orderpriority"]: (r["n_orders"], r["total_price"], r["avg_price"])
+        for r in Q["q_incremental_agg"](spark, SF_DIR).collect()
+    }
+    o = load_table(spark, SF_DIR, "orders")
+    dec = SF.col("o_totalprice").cast("decimal(18,6)")
+    oneshot = o.groupBy("o_orderpriority").agg(
+        SF.count("*").alias("n"),
+        SF.round(SF.sum(dec), 2).cast("double").alias("t"),
+        SF.round(SF.sum(dec).cast("double") / SF.count("*"), 4).alias("a"),
+    )
+    want = {r["o_orderpriority"]: (r["n"], r["t"], r["a"]) for r in oneshot.collect()}
+    assert got == want
 
 
 def test_pagerank_edge_derivation_broadcasts_dims(spark):
