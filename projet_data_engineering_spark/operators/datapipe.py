@@ -637,3 +637,106 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(ntok).cast("bigint").alias("total_tokens"),
         F.round(F.avg(ntok), 4).alias("avg_tokens"),
     )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, ABS(e.value - med.m) AS d, med.m
+        FROM events e JOIN med USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev
+        GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           ROUND(ANY_VALUE(dev.m), 4) AS median_value,
+           ROUND(ANY_VALUE(mad.mad), 4) AS mad
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: flag events whose value deviates from the
+    per-type median by more than 3 median-absolute-deviations — the
+    outlier rule that, unlike z-scores (``q_zscore``), is not itself
+    dragged by the outliers it hunts.
+
+    Two grouped exact-percentile aggregates (the |types| medians broadcast
+    back onto the event scan — the corpus shuffles only on event_type);
+    at 100 TB swap ``percentile`` for the ``percentile_approx`` sketch, as
+    ``q_percentile`` documents. Both engines interpolate quantiles
+    linearly, so the oracle is exact."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("m"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum((F.col("d") > 3 * F.col("mad")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.round(F.first("m"), 4).alias("median_value"),
+            F.round(F.first("mad"), 4).alias("mad"),
+        )
+    )
+
+
+@query(
+    "q_entropy",
+    oracle="""
+    WITH tc AS (
+        SELECT d.source, u.term, COUNT(*) AS c
+        FROM (SELECT source, str_split(lower(text), ' ') AS t FROM documents) d,
+             UNNEST(d.t) AS u(term)
+        GROUP BY d.source, u.term
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(LN(CAST(SUM(c) AS DOUBLE))
+                 - SUM(c * LN(c)) / CAST(SUM(c) AS DOUBLE), 5) AS entropy
+    FROM tc
+    GROUP BY source
+    """,
+)
+def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution (nats):
+    H = ln N - (1/N)·Σ c·ln c — the corpus-diversity diagnostic that
+    separates template/boilerplate sources (low H) from natural text
+    (high H), complementing per-document surprisal (``q_doc_logprob``).
+
+    The algebraic form needs only (source, term) counts — one
+    map-side-combining aggregate over the tokenized scan, then a
+    |sources|-row rollup. No joins, no second scan, no driver math."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        )
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return tc.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 5
+        ).alias("entropy"),
+    )

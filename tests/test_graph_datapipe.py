@@ -214,6 +214,52 @@ def test_bpe_tokenizer_counts_at_least_whitespace_words(spark):
         assert bpe[lang]["total_tokens"] >= ws[lang]["total_tokens"]
 
 
+def test_anomaly_mad_matches_numpy(spark):
+    from projet_data_engineering_spark.io import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "value"
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    got = {r["event_type"]: r for r in Q["q_anomaly_mad"](spark, SF_DIR).collect()}
+    assert set(got) == set(by_type)
+    for t, vals in by_type.items():
+        v = np.array(vals)
+        med = np.percentile(v, 50)  # linear interpolation — same rule
+        d = np.abs(v - med)
+        mad = np.percentile(d, 50)
+        assert got[t]["n_events"] == len(vals)
+        assert got[t]["median_value"] == pytest.approx(med, abs=1e-4)
+        assert got[t]["mad"] == pytest.approx(mad, abs=1e-4)
+        assert got[t]["n_outliers"] == int((d > 3 * mad).sum())
+
+
+def test_entropy_matches_numpy_and_is_bounded(spark):
+    from collections import Counter
+
+    from projet_data_engineering_spark.io import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "source", "text"
+    ).collect()
+    counts: dict = {}
+    for r in docs:
+        counts.setdefault(r["source"], Counter()).update(
+            r["text"].lower().split(" ")
+        )
+    got = {r["source"]: r for r in Q["q_entropy"](spark, SF_DIR).collect()}
+    assert set(got) == set(counts)
+    for src, ctr in counts.items():
+        c = np.array(list(ctr.values()), dtype=np.float64)
+        n = c.sum()
+        h = np.log(n) - (c * np.log(c)).sum() / n
+        assert got[src]["n_tokens"] == int(n)
+        assert got[src]["entropy"] == pytest.approx(h, abs=1e-4)
+        assert 0 <= got[src]["entropy"] <= np.log(len(ctr)) + 1e-9
+
+
 def test_pmi_ranked_and_supported(spark):
     rows = Q["q_pmi"](spark, SF_DIR).collect()
     assert rows
