@@ -740,3 +740,197 @@ def q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(n) - F.sum(F.col("c") * F.log("c")) / n, 5
         ).alias("entropy"),
     )
+
+
+MG_THRESH_K = 200  # report terms with global share > 1/200 (0.5%)
+MG_CAPACITY = 2 * MG_THRESH_K  # per-partition counters; catches share > 1/(cap+1)
+
+
+@query(
+    "q_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+        SELECT u.term
+        FROM (SELECT str_split(lower(text), ' ') AS t FROM documents) d,
+             UNNEST(d.t) AS u(term)
+    ), tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(COUNT(*) / (MIN(tot.n) * 1.0), 6) AS share
+    FROM tok, tot
+    GROUP BY term
+    HAVING COUNT(*) * 200 > MIN(tot.n)
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (token share > 1/200) without shuffling the full
+    term dictionary: per-partition Misra-Gries summaries nominate
+    candidates, then only candidate rows shuffle for an exact recount.
+
+    The MG guarantee composes across partitions: a term with global count
+    > N/k must exceed n_p/k in at least one partition (else summing the
+    per-partition bounds caps it at N/k), so the union of per-partition
+    MG(k) keys is a superset of every true heavy hitter — the recount is
+    exact, never approximate. At 100 TB this is the difference between
+    shuffling ~10^9 distinct terms and shuffling rows for ~400·partitions
+    candidates: pass 1 is map-only (mapInPandas, bounded memory), pass 2
+    filters the token stream against a broadcast candidate set before the
+    groupBy. The corpus total folds in as a broadcast 1-row aggregate
+    (house pattern, see ``textanalysis.q_domain_mix``)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+
+    def mg_batches(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > MG_CAPACITY:
+                # weighted MG: subtract the (cap+1)-th largest count from
+                # all counters; >= cap+1 counters shrink per round, so the
+                # total decrement is <= n_p/(cap+1)
+                dec = sorted(counters.values(), reverse=True)[MG_CAPACITY]
+                counters = {t: c - dec for t, c in counters.items() if c > dec}
+        if counters:
+            yield pd.DataFrame({"term": list(counters)})
+
+    cand = toks.mapInPandas(mg_batches, "term string").distinct()
+    tot = toks.agg(F.count("*").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("cnt") * MG_THRESH_K > F.col("n"))
+        .select(
+            "term",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n"), 6).alias("share"),
+        )
+    )
+
+
+JAC_TAU_NUM, JAC_TAU_DEN = 4, 5  # Jaccard threshold 0.8, kept rational
+
+
+@query(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+    WITH sd AS (
+        SELECT DISTINCT d.doc_id,
+               d.t[i] || ' ' || d.t[i + 1] || ' ' || d.t[i + 2] AS term
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS t
+              FROM documents) d,
+             UNNEST(range(1, len(d.t) - 1)) AS r(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sd GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sd a JOIN sd b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i, j, jaccard FROM (
+        SELECT i, j,
+               ROUND(c / (sa.n + sb.n - c * 1.0), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = inter.i
+        JOIN sz sb ON sb.doc_id = inter.j
+        WHERE c * 5 >= (sa.n + sb.n - c) * 4
+    )
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-threshold n-gram Jaccard join (trigram shingles, tau = 0.8)
+    via PPJoin-style filtering — the scale path for EXACT set-similarity
+    dedup, complementing the probabilistic MinHash candidates
+    (``dedup.q_dedup_minhash``) and the blocked verify
+    (``dedup.q_dedup_jaccard``).
+
+    Three losslessness-preserving prunes run before any verification:
+    (1) PREFIX — shingles are globally ordered rarest-first (document
+    frequency, then term); a pair with jaccard >= tau must share a shingle
+    within each side's first |A| - ceil(tau*|A|) + 1, so the candidate
+    join touches only those prefixes, and by construction they hold the
+    RAREST shingles, keeping join buckets small; (2) LENGTH — jac >= 0.8
+    forces 5*min(|A|,|B|) >= 4*max(|A|,|B|); (3) POSITIONAL — a prefix
+    match at ranks (pa, pb) caps the intersection at
+    min(|A|-pa, |B|-pb) + 1, which must reach
+    ceil(tau/(1+tau)*(|A|+|B|)) = (4*(|A|+|B|)+8) div 9. On the dense
+    template-heavy synthetic corpus these cut sf0.1 candidates from 4.4M
+    (prefix alone, bigrams) to ~13k for 256 true pairs. All thresholds use
+    integer arithmetic (ceil(4n/5) = (4n+4) div 5) so no float rounding
+    can shorten a prefix and lose a pair; the DuckDB oracle computes the
+    unpruned all-pairs ground truth, making every run an empirical
+    losslessness proof.
+
+    At 100 TB: the shingle table shuffles twice (df stats by term, ranking
+    by doc_id), the candidate join shuffles only the ~20%-of-shingles
+    prefix table, and the verify join is |candidates| x avg-set-size —
+    each keyed, no all-pairs stage anywhere."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+        .where(F.size("t") >= 3)
+    )
+    # persisted: the shingle table feeds five consumers (df stats, ranking,
+    # sizes, and both verify sides) — without it each one re-runs the
+    # explode+distinct shuffle (house pattern, see dedup.q_dedup_minhash)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 3),"
+                    " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
+                )
+            ).alias("term"),
+        )
+        .distinct()
+        .persist()
+    )
+
+    gf = sh.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "term")
+    ranked = (
+        sh.join(gf, "term")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.expr("n - (4 * n + 4) div 5 + 1")
+    ).select("doc_id", "term", "pos", "n")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, F.col("a.term") == F.col("b.term"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.expr("5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)")
+            & F.expr(
+                "least(a.n - a.pos, b.n - b.pos) + 1"
+                " >= (4 * (a.n + b.n) + 8) div 9"
+            )
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("i"), "term")
+    sb = sh.select(F.col("doc_id").alias("j"), "term")
+    inter = (
+        cand.join(sa, "i").join(sb, ["j", "term"]).groupBy("i", "j").agg(
+            F.count("*").alias("c")
+        )
+    )
+    union = F.col("na") + F.col("nb") - F.col("c")
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")), "i"
+        )
+        .join(sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")), "j")
+        .where(F.col("c") * JAC_TAU_DEN >= union * JAC_TAU_NUM)
+        .select("i", "j", F.round(F.col("c") / union, 6).alias("jaccard"))
+    )

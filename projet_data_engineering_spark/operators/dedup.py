@@ -328,7 +328,9 @@ def connected_components(
     its own label and its neighbors' labels; converges in O(component
     diameter) rounds. Each round is one join + one groupBy — fully
     data-parallel; the driver only orchestrates the loop and checks
-    convergence (a count, not a collect of data). Candidate-pair graphs are
+    convergence via a 1-row label-sum aggregate (labels are min-folded, so
+    the sum strictly decreases until the fixpoint — no join, no collect of
+    data). Candidate-pair graphs are
     sparse by construction (LSH bands), so rounds are cheap at any corpus
     size.
 
@@ -349,6 +351,12 @@ def connected_components(
         .select(F.col("a").alias("node"), F.col("a").alias("root"))
         .persist()
     )
+    # Convergence check: labels are min-folded each round, so every node's
+    # root is non-increasing and the node set is fixed — the label SUM is
+    # strictly decreasing until the fixpoint. Comparing 1-row sums costs a
+    # single aggregate per round instead of the old join+filter+count (a
+    # second full labels shuffle per round).
+    prev_sum = None
     for i in range(max_iter):
         nbr = edges.join(
             labels, edges.b == labels.node
@@ -362,16 +370,12 @@ def connected_components(
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.root") != F.col("o.root"))
-            .count()
-        )
+        cur_sum = new_labels.agg(F.sum("root")).first()[0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels
 

@@ -372,3 +372,63 @@ def test_simhash_pairs_no_cartesian(spark):
     # never an all-pairs product
     assert "CartesianProduct" not in plan
     assert "band_val" in plan
+
+
+def test_heavy_hitters_matches_exact_counter(spark):
+    from collections import Counter
+
+    from projet_data_engineering_spark.io import load_table
+    from projet_data_engineering_spark.operators.datapipe import MG_THRESH_K
+
+    docs = load_table(spark, SF_DIR, "documents").select("text").collect()
+    ctr: Counter = Counter()
+    for r in docs:
+        ctr.update(r["text"].lower().split(" "))
+    n = sum(ctr.values())
+    expected = {t: c for t, c in ctr.items() if c * MG_THRESH_K > n}
+    got = {r["term"]: r for r in Q["q_heavy_hitters"](spark, SF_DIR).collect()}
+    # MG candidate nomination must be COMPLETE: exactly the true heavy
+    # hitters survive the exact recount, with exact counts
+    assert set(got) == set(expected)
+    for t, c in expected.items():
+        assert got[t]["cnt"] == c
+        assert got[t]["share"] == pytest.approx(c / n, abs=1e-6)
+
+
+def _exact_trigram_jaccard_pairs(docs, tau=0.8):
+    sets = {}
+    for doc_id, text in docs:
+        t = text.lower().split(" ")
+        sh = {f"{t[i]} {t[i+1]} {t[i+2]}" for i in range(len(t) - 2)}
+        if sh:
+            sets[doc_id] = sh
+    ids = sorted(sets)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            i, j = ids[x], ids[y]
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and inter / union >= tau:
+                out[(i, j)] = inter / union
+    return out
+
+
+def test_ngram_jaccard_pairs_lossless_vs_bruteforce(spark):
+    from projet_data_engineering_spark.io import load_table
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    expected = _exact_trigram_jaccard_pairs(docs)
+    got = {
+        (r["i"], r["j"]): r["jaccard"]
+        for r in Q["q_ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    # prefix/length/positional pruning must lose NO pair vs brute force
+    assert set(got) == set(expected)
+    for pair, jac in expected.items():
+        assert got[pair] == pytest.approx(jac, abs=1e-6)

@@ -9,6 +9,7 @@ import pyspark.sql.functions as F
 import __spark_entry__ as entrymod
 from projet_data_engineering_spark.plans.explain import (
     codegen_stage_count,
+    formatted_plan,
     has_pushed_filter,
     read_schema_columns,
     shuffle_count,
@@ -403,3 +404,23 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_heavy_hitters_candidates_broadcast_no_dict_shuffle(spark):
+    """The exact recount must join the token stream against the BROADCAST
+    Misra-Gries candidate set and fold the corpus total in as a broadcast
+    1-row aggregate — the full term dictionary never shuffles; the only
+    hash exchanges are the tiny candidate distinct, the candidate-term
+    recount, and the 1-row total's final-agg exchange."""
+    df = Q["q_heavy_hitters"](spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert shuffle_count(df) <= 3
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    """PPJoin candidate generation and verification are keyed joins on
+    shingle/doc ids — an all-pairs CartesianProduct anywhere in the plan
+    means the prefix filter stopped doing its job."""
+    plan = formatted_plan(Q["q_ngram_jaccard_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
