@@ -746,6 +746,41 @@ MG_THRESH_K = 200  # report terms with global share > 1/200 (0.5%)
 MG_CAPACITY = 2 * MG_THRESH_K  # per-partition counters; catches share > 1/(cap+1)
 
 
+def mg_candidates(
+    values: DataFrame, col: str = "term", capacity: int = MG_CAPACITY
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter candidate nomination: a
+    map-only ``mapInPandas`` pass holding at most ``capacity`` counters per
+    partition, returning the DISTINCT union of surviving keys.
+
+    Completeness is a guarantee, not a heuristic: a key with global count
+    > N/(capacity+1) must be locally heavy (> n_p/(capacity+1)) in at least
+    one partition — otherwise summing the per-partition bounds caps its
+    global count at N/(capacity+1) — and weighted MG never evicts a locally
+    heavy key (each eviction round subtracts its decrement from >= cap+1
+    counters, so total decrement <= n_p/(cap+1)). Adversarial partitionings
+    (the hitter spread so thin it is never a local top-k member) are
+    covered by ``test_mg_candidates_complete_under_adversarial_split``."""
+
+    def mg_batches(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for t, c in pdf[col].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > capacity:
+                # weighted MG: subtract the (cap+1)-th largest count from
+                # all counters; >= cap+1 counters shrink per round, so the
+                # total decrement is <= n_p/(cap+1)
+                dec = sorted(counters.values(), reverse=True)[capacity]
+                counters = {t: c - dec for t, c in counters.items() if c > dec}
+        if counters:
+            yield pd.DataFrame({col: list(counters)})
+
+    return values.mapInPandas(mg_batches, f"{col} string").distinct()
+
+
 @query(
     "q_heavy_hitters",
     oracle="""
@@ -779,24 +814,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (house pattern, see ``textanalysis.q_domain_mix``)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
-
-    def mg_batches(batches):
-        import pandas as pd
-
-        counters: dict = {}
-        for pdf in batches:
-            for t, c in pdf["term"].value_counts().items():
-                counters[t] = counters.get(t, 0) + int(c)
-            if len(counters) > MG_CAPACITY:
-                # weighted MG: subtract the (cap+1)-th largest count from
-                # all counters; >= cap+1 counters shrink per round, so the
-                # total decrement is <= n_p/(cap+1)
-                dec = sorted(counters.values(), reverse=True)[MG_CAPACITY]
-                counters = {t: c - dec for t, c in counters.items() if c > dec}
-        if counters:
-            yield pd.DataFrame({"term": list(counters)})
-
-    cand = toks.mapInPandas(mg_batches, "term string").distinct()
+    cand = mg_candidates(toks, "term", MG_CAPACITY)
     tot = toks.agg(F.count("*").alias("n"))
     return (
         toks.join(F.broadcast(cand), "term")

@@ -432,3 +432,36 @@ def test_ngram_jaccard_pairs_lossless_vs_bruteforce(spark):
     assert set(got) == set(expected)
     for pair, jac in expected.items():
         assert got[pair] == pytest.approx(jac, abs=1e-6)
+
+
+def test_mg_candidates_complete_under_adversarial_split(spark):
+    """The partitioning that breaks naive per-partition top-k nomination:
+    the true heavy hitter is spread perfectly evenly across 8 partitions,
+    while every partition carries its OWN locally-dominant decoys, so the
+    hitter is never a local top-1. Misra-Gries capacity k still guarantees
+    nomination of anything with global share > 1/(k+1)."""
+    from projet_data_engineering_spark.operators.datapipe import mg_candidates
+
+    n_part, cap = 8, 9
+    rows = []
+    for p in range(n_part):
+        # local decoys dominate each partition (count 40 each)...
+        rows += [(p, f"decoy_{p}_{d}") for d in range(4) for _ in range(40)]
+        # ...while the global hitter shows up only 30 times per partition
+        rows += [(p, "needle") for _ in range(30)]
+    df = (
+        spark.createDataFrame(rows, "p int, term string")
+        .repartition(n_part, "p")
+        .select("term")
+    )
+    total = len(rows)  # 8 * 190 = 1520; needle = 240 > total/(cap+1) = 152
+    got = {r["term"] for r in mg_candidates(df, "term", cap).collect()}
+    assert "needle" in got
+    # and the downstream exact recount would keep only true heavies: every
+    # term above total/(cap+1) is nominated
+    from collections import Counter
+
+    ctr = Counter(t for _, t in rows)
+    for t, c in ctr.items():
+        if c * (cap + 1) > total:
+            assert t in got
