@@ -424,3 +424,13 @@ def test_ngram_jaccard_no_cartesian(spark):
     plan = formatted_plan(Q["q_ngram_jaccard_pairs"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_query_plans_cartesian_or_rowwise_python(spark):
+    """Repo-wide lint (tools/plan_audit.py twin): no registered query may
+    plan a partitioned CartesianProduct or a row-at-a-time Python UDF
+    (BatchEvalPython) — cross joins must ride broadcasts and Python must
+    enter only through Arrow (MapInPandas / FlatMapGroupsInPandas)."""
+    from tools.plan_audit import audit
+
+    assert audit(spark, SF_DIR) == {}
