@@ -833,6 +833,111 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 JAC_TAU_NUM, JAC_TAU_DEN = 4, 5  # Jaccard threshold 0.8, kept rational
 
 
+def ngram_jaccard_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    tau_num: int = JAC_TAU_NUM,
+    tau_den: int = JAC_TAU_DEN,
+) -> DataFrame:
+    """Exact-threshold n-gram Jaccard self-join via PPJoin-style filtering:
+    returns every (i, j, jaccard) pair with shingle-set Jaccard >= tau
+    (= tau_num/tau_den, kept RATIONAL so every pruning threshold is integer
+    arithmetic — no float ceil can shorten a prefix and lose a pair).
+
+    Three losslessness-preserving prunes run before any verification:
+    (1) PREFIX — shingles are globally ordered rarest-first (document
+    frequency, then term); a qualifying pair must share a shingle within
+    each side's first |A| - ceil(tau*|A|) + 1, so the candidate join
+    touches only those prefixes — by construction the RAREST shingles, so
+    join buckets stay small and O(n^2) all-pairs never materializes;
+    (2) LENGTH — jac >= tau forces tau_den*min(|A|,|B|) >=
+    tau_num*max(|A|,|B|); (3) POSITIONAL — a prefix match at ranks
+    (pa, pb) caps the intersection at min(|A|-pa, |B|-pb) + 1, which must
+    reach ceil(tau/(1+tau)*(|A|+|B|)). Candidates are then verified
+    exactly. Losslessness vs brute force is property-tested on random
+    corpora (``test_ngram_jaccard_join_property``) and against the
+    unpruned DuckDB all-pairs oracle every gate run.
+
+    At 100 TB: the shingle table shuffles twice (df stats by term, ranking
+    by doc), the candidate join shuffles only the prefix table, and the
+    verify join is |candidates| x avg-set-size — each keyed, no all-pairs
+    stage anywhere."""
+    p, q = tau_num, tau_den
+    grams = ", ' ', ".join(
+        ["t[i]"] + [f"t[i + {k}]" for k in range(1, ngram)]
+    )
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(text_col), " ").alias("t"),
+        )
+        .where(F.size("t") >= ngram)
+    )
+    # persisted: the shingle table feeds five consumers (df stats, ranking,
+    # sizes, and both verify sides) — without it each one re-runs the
+    # explode+distinct shuffle (house pattern, see dedup.q_dedup_minhash)
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {ngram}),"
+                    f" i -> concat({grams}))"
+                )
+            ).alias("term"),
+        )
+        .distinct()
+        .persist()
+    )
+
+    gf = sh.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "term")
+    ranked = (
+        sh.join(gf, "term")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    # prefix length n - ceil(p*n/q) + 1, ceil done in integers
+    prefix = ranked.where(
+        F.col("pos") <= F.expr(f"n - ({p} * n + {q - 1}) div {q} + 1")
+    ).select("doc_id", "term", "pos", "n")
+
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, F.col("a.term") == F.col("b.term"))
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(
+            F.expr(f"{q} * least(a.n, b.n) >= {p} * greatest(a.n, b.n)")
+            & F.expr(
+                "least(a.n - a.pos, b.n - b.pos) + 1"
+                f" >= ({p} * (a.n + b.n) + {p + q - 1}) div {p + q}"
+            )
+        )
+        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
+        .distinct()
+    )
+
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.select(F.col("doc_id").alias("i"), "term")
+    sb = sh.select(F.col("doc_id").alias("j"), "term")
+    inter = (
+        cand.join(sa, "i").join(sb, ["j", "term"]).groupBy("i", "j").agg(
+            F.count("*").alias("c")
+        )
+    )
+    union = F.col("na") + F.col("nb") - F.col("c")
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")), "i"
+        )
+        .join(sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")), "j")
+        .where(F.col("c") * q >= union * p)
+        .select("i", "j", F.round(F.col("c") / union, 6).alias("jaccard"))
+    )
+
+
 @query(
     "q_ngram_jaccard_pairs",
     oracle="""
@@ -860,95 +965,12 @@ JAC_TAU_NUM, JAC_TAU_DEN = 4, 5  # Jaccard threshold 0.8, kept rational
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-threshold n-gram Jaccard join (trigram shingles, tau = 0.8)
-    via PPJoin-style filtering — the scale path for EXACT set-similarity
-    dedup, complementing the probabilistic MinHash candidates
-    (``dedup.q_dedup_minhash``) and the blocked verify
-    (``dedup.q_dedup_jaccard``).
-
-    Three losslessness-preserving prunes run before any verification:
-    (1) PREFIX — shingles are globally ordered rarest-first (document
-    frequency, then term); a pair with jaccard >= tau must share a shingle
-    within each side's first |A| - ceil(tau*|A|) + 1, so the candidate
-    join touches only those prefixes, and by construction they hold the
-    RAREST shingles, keeping join buckets small; (2) LENGTH — jac >= 0.8
-    forces 5*min(|A|,|B|) >= 4*max(|A|,|B|); (3) POSITIONAL — a prefix
-    match at ranks (pa, pb) caps the intersection at
-    min(|A|-pa, |B|-pb) + 1, which must reach
-    ceil(tau/(1+tau)*(|A|+|B|)) = (4*(|A|+|B|)+8) div 9. On the dense
-    template-heavy synthetic corpus these cut sf0.1 candidates from 4.4M
-    (prefix alone, bigrams) to ~13k for 256 true pairs. All thresholds use
-    integer arithmetic (ceil(4n/5) = (4n+4) div 5) so no float rounding
-    can shorten a prefix and lose a pair; the DuckDB oracle computes the
-    unpruned all-pairs ground truth, making every run an empirical
-    losslessness proof.
-
-    At 100 TB: the shingle table shuffles twice (df stats by term, ranking
-    by doc_id), the candidate join shuffles only the ~20%-of-shingles
-    prefix table, and the verify join is |candidates| x avg-set-size —
-    each keyed, no all-pairs stage anywhere."""
-    d = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-        .where(F.size("t") >= 3)
-    )
-    # persisted: the shingle table feeds five consumers (df stats, ranking,
-    # sizes, and both verify sides) — without it each one re-runs the
-    # explode+distinct shuffle (house pattern, see dedup.q_dedup_minhash)
-    sh = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 3),"
-                    " i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))"
-                )
-            ).alias("term"),
-        )
-        .distinct()
-        .persist()
-    )
-
-    gf = sh.groupBy("term").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("doc_id").orderBy("df", "term")
-    ranked = (
-        sh.join(gf, "term")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
-    )
-    prefix = ranked.where(
-        F.col("pos") <= F.expr("n - (4 * n + 4) div 5 + 1")
-    ).select("doc_id", "term", "pos", "n")
-
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (
-        a.join(b, F.col("a.term") == F.col("b.term"))
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(
-            F.expr("5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)")
-            & F.expr(
-                "least(a.n - a.pos, b.n - b.pos) + 1"
-                " >= (4 * (a.n + b.n) + 8) div 9"
-            )
-        )
-        .select(F.col("a.doc_id").alias("i"), F.col("b.doc_id").alias("j"))
-        .distinct()
-    )
-
-    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("i"), "term")
-    sb = sh.select(F.col("doc_id").alias("j"), "term")
-    inter = (
-        cand.join(sa, "i").join(sb, ["j", "term"]).groupBy("i", "j").agg(
-            F.count("*").alias("c")
-        )
-    )
-    union = F.col("na") + F.col("nb") - F.col("c")
-    return (
-        inter.join(
-            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")), "i"
-        )
-        .join(sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")), "j")
-        .where(F.col("c") * JAC_TAU_DEN >= union * JAC_TAU_NUM)
-        .select("i", "j", F.round(F.col("c") / union, 6).alias("jaccard"))
+    """``ngram_jaccard_join`` over the documents table: trigram shingles,
+    tau = 4/5. The DuckDB oracle computes the UNPRUNED all-pairs ground
+    truth, so every gate run is an empirical losslessness proof for the
+    prefix/length/positional pruning (on this dense template-heavy corpus
+    they cut sf0.1 candidates from 4.4M — bigram prefix-only — to ~13k for
+    256 true pairs)."""
+    return ngram_jaccard_join(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 3
     )

@@ -465,3 +465,57 @@ def test_mg_candidates_complete_under_adversarial_split(spark):
     for t, c in ctr.items():
         if c * (cap + 1) > total:
             assert t in got
+
+
+def test_ngram_jaccard_join_property(spark):
+    """Randomized losslessness: on small corpora drawn from a tiny
+    vocabulary (forcing dense overlap — the adversarial case for prefix
+    pruning), ngram_jaccard_join(bigrams, tau=1/2) must return EXACTLY the
+    brute-force pair set, with exact jaccard values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from projet_data_engineering_spark.operators.datapipe import (
+        ngram_jaccard_join,
+    )
+
+    vocab = ["a", "b", "c", "d"]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(vocab), min_size=2, max_size=8
+            ),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def check(docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["i"], r["j"]): r["jaccard"]
+            for r in ngram_jaccard_join(
+                df, "doc_id", "text", ngram=2, tau_num=1, tau_den=2
+            ).collect()
+        }
+        sets = {}
+        for i, toks in enumerate(docs):
+            sh = {f"{toks[k]} {toks[k+1]}" for k in range(len(toks) - 1)}
+            if sh:
+                sets[i] = sh
+        expected = {}
+        ids = sorted(sets)
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                i, j = ids[x], ids[y]
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                if union and 2 * inter >= union:
+                    expected[(i, j)] = inter / union
+        assert set(got) == set(expected)
+        for pair, jac in expected.items():
+            assert got[pair] == pytest.approx(jac, abs=1e-6)
+
+    check()
