@@ -23,18 +23,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1 — columnar scan. Filters/projections composed on top of this reach
     the parquet reader (PushedFilters / ReadSchema) via Catalyst.
 
-    ``events.ts`` is TIMESTAMP(NANOS) on disk; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as long nanos and is
-    converted here to a micro-resolution timestamp (integer division, exactly
-    DuckDB's nanos→micros truncation). The conf is runtime-settable SQL conf,
-    so it is set HERE — not only in the session factory — to make the read
-    work under any caller-supplied SparkSession (e.g. a harness that builds
-    its own vanilla session)."""
+    ``events.ts`` varies by generator vintage: TIMESTAMP(NANOS) (surfacing as
+    long nanos under ``spark.sql.legacy.parquet.nanosAsLong``) or naive
+    TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ). Both are normalized here
+    to a session-tz micro-resolution TIMESTAMP, matching DuckDB's reading of
+    the same file (nanos→micros truncation; naive == UTC wall clock). The
+    conf is runtime-settable SQL conf, so it is set HERE — not only in the
+    session factory — to make the read work under any caller-supplied
+    SparkSession (e.g. a harness that builds its own vanilla session)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
