@@ -76,11 +76,37 @@ _R2_GREEN = {
 
 _PROVEN = _R1_GREEN | _R2_GREEN
 
+# Names the driver checked in round 3 (CORRECTNESS_r03.json: 47 hash-green +
+# 3 rows-only-by-design approximate ops). With r1+r2 this brings driver
+# evidence to 142 of the 160 registered queries; the 18 never-checked
+# round-3 extensions (graph/datapipe/ml) now lead the walk.
+_R3_GREEN = {
+    "q_window_rank", "q_window_lag", "q_window_frame", "q_join_inner",
+    "q_join_multi", "q_join_left", "q_join_semi", "q_join_anti",
+    "q_upsert_merge", "q_dedup", "q_union", "q_intersect", "q_except",
+    "q_except_all", "q_tpch_q3", "q_tpch_q6", "q_rollup", "q_cube",
+    "q_pivot", "q_percentile", "q_join_asof", "q_join_range",
+    "q_sql_correlated", "q_try_cast", "q_string_agg", "q_histogram",
+    "q_unpivot", "q_stats", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9",
+    "q_tpch_q15", "q_tpch_q19", "q_tpch_q22", "q_funnel", "q_map_enrich",
+    "q_media_resize", "q_media_frame_sample", "q_tpch_q5", "q_tpch_q2",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20", "q_tpch_q21",
+    "q_sample_bottomk", "q_dedup_clusters_lss", "q_approx_distinct",
+    "q_sample", "q_percentile_approx",
+}
+
 
 def _ordered(names: list[str]) -> list[str]:
-    unchecked = [n for n in names if n not in _PROVEN]
-    green = [n for n in names if n in _PROVEN]
-    return unchecked + green
+    """Walk order for a budget-limited (50 queries/round) driver sweep:
+    never-driver-checked queries first, then proven names OLDEST evidence
+    first (r1 → r2 → r3) so the rotation re-confirms rows that predate the
+    most refactoring — VERDICT r3 item 8's cheap insurance. Registration
+    order is preserved within each group."""
+    unchecked = [n for n in names if n not in _PROVEN and n not in _R3_GREEN]
+    r1 = [n for n in names if n in _R1_GREEN]
+    r2 = [n for n in names if n in _R2_GREEN]
+    r3 = [n for n in names if n in _R3_GREEN]
+    return unchecked + r1 + r2 + r3
 
 
 def all_queries() -> dict[str, QueryFn]:
