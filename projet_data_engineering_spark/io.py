@@ -33,6 +33,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SparkSession (e.g. a harness that builds its own vanilla session)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ->timestamp cast below reinterprets the naive wall clock in
+        # the SESSION timezone; under a non-UTC vanilla session that would
+        # yield instants differing from both DuckDB's naive==UTC reading and
+        # the bigint/nanos branch (timestamp_micros is instant-based). Pin
+        # UTC here — runtime-settable SQL conf, same rationale as
+        # nanosAsLong — so both vintages agree on any caller's session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")

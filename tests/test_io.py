@@ -134,3 +134,58 @@ def test_orc_partitioned_write_prunes(spark, tmp_path):
         "PartitionFilters" in ln and "lang" in ln for ln in plan.splitlines()
     )
     assert 0 < df.count() < docs.count()
+
+
+def test_events_ts_vintages_agree_under_non_utc_session(spark, tmp_path):
+    """The generator has written ``events.ts`` as both TIMESTAMP(NANOS)
+    (surfacing as bigint under nanosAsLong) and naive TIMESTAMP(MICROS,
+    isAdjustedToUTC=false) (surfacing as TIMESTAMP_NTZ). ``load_table`` must
+    return the SAME instants for both — including under a caller session
+    whose timezone is not UTC, where a bare NTZ->timestamp cast would
+    reinterpret the wall clock in local time and drift from DuckDB's
+    naive==UTC reading."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    ids = [1, 2]
+    ntz_dir = tmp_path / "ntz"
+    nanos_dir = tmp_path / "nanos"
+    ntz_dir.mkdir()
+    nanos_dir.mkdir()
+    pq.write_table(
+        pa.table(
+            {"event_id": ids, "ts": pa.array(micros, pa.timestamp("us"))}
+        ),
+        str(ntz_dir / "events.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": ids,
+                "ts": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+            }
+        ),
+        str(nanos_dir / "events.parquet"),
+        store_schema=False,  # keep physical TIMESTAMP(NANOS), no arrow hint
+    )
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+
+        def instants(d):
+            df = load_table(spark, str(d), "events")
+            assert dict(df.dtypes)["ts"] == "timestamp"
+            return {
+                r["event_id"]: r["us"]
+                for r in df.select(
+                    "event_id", F.unix_micros("ts").alias("us")
+                ).collect()
+            }
+        got_ntz = instants(ntz_dir)
+        got_nanos = instants(nanos_dir)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    expect = dict(zip(ids, micros))
+    assert got_ntz == expect
+    assert got_nanos == expect
