@@ -11,8 +11,8 @@ bounded DataFrame algebra, no UDFs, no driver-side collection:
                   scale path for 100 TB corpora;
 - SimHash:        64->16-bit signed-sum signature; equal signatures bucket
                   near-dups with a single groupBy;
-- n-gram Jaccard: exact verification on (lang, length-bucket)-blocked pairs —
-                  the verify stage downstream of MinHash candidates.
+- n-gram Jaccard: exact word-set verification of the MinHash candidate
+                  pairs — two keyed joins sized by |candidates|, no blocking.
 
 Determinism note: all hashing is md5-based (identical hex in Spark and
 DuckDB), so every operator here is oracle-checkable bit-for-bit.
@@ -261,53 +261,54 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select("doc_id", F.concat(*bits).alias("simhash"))
 
 
-@query(
-    "q_dedup_jaccard",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, lang, CAST(FLOOR(n_chars / 50) AS BIGINT) AS bkt,
-               list_distinct(str_split(lower(text), ' ')) AS ws
+def _jaccard_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    ws AS (
+        SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS ws
         FROM documents
     )
     SELECT doc1, doc2, jaccard FROM (
-        SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+        SELECT p.doc1, p.doc2,
                ROUND(len(list_intersect(a.ws, b.ws))
                      / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
                      4) AS jaccard
-        FROM t a JOIN t b
-          ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+        FROM pairs p
+        JOIN ws a ON a.doc_id = p.doc1
+        JOIN ws b ON b.doc_id = p.doc2
     )
     WHERE jaccard >= 0.2
-    """,
-)
-def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram (word-set) Jaccard verification on blocked pairs.
+    """
 
-    Blocking on (lang, 50-char length bucket) bounds the candidate set —
-    near-dups share both — so the join is O(block²), not O(n²). This is the
-    exact-verify stage you run after MinHash candidates at scale."""
+
+@query("q_dedup_jaccard", oracle=_jaccard_oracle())
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard verification of MinHash-LSH candidates.
+
+    The verify stage downstream of ``minhash_candidate_pairs``: candidates
+    come from the banded LSH self-join (O(sum of bucket^2), never all-pairs),
+    and each candidate pair is scored exactly by joining the word-set table
+    onto both sides — two keyed joins sized by |candidates|, not by any
+    blocking scheme. An earlier revision blocked on (lang, 50-char length
+    bucket) instead, which is O(block^2) with block sizes growing linearly in
+    the corpus — quadratic at scale; the candidate-driven shape is O(cand).
+    For exact-THRESHOLD joins without an LSH front end, use the lossless
+    PPJoin path ``datapipe.ngram_jaccard_join``."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    t = d.select(
+    cand = minhash_candidate_pairs(d, "doc_id", "text")
+    ws = d.select(
         "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / 50).cast("bigint").alias("bkt"),
         F.array_distinct(F.split(F.lower("text"), " ")).alias("ws"),
     )
-    a, b = t.alias("a"), t.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.ws"), F.col("b.ws")))
-    union = F.size(F.col("a.ws")) + F.size(F.col("b.ws")) - inter
-    j = F.round(inter / union, 4)
+    a = ws.select(F.col("doc_id").alias("doc1"), F.col("ws").alias("wsa"))
+    b = ws.select(F.col("doc_id").alias("doc2"), F.col("ws").alias("wsb"))
+    inter = F.size(F.array_intersect("wsa", "wsb"))
+    union = F.size("wsa") + F.size("wsb") - inter
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        cand.join(a, "doc1")
+        .join(b, "doc2")
         .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            j.alias("jaccard"),
+            "doc1", "doc2", F.round(inter / union, 4).alias("jaccard")
         )
         .filter(F.col("jaccard") >= 0.2)
     )
