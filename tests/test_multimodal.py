@@ -57,3 +57,81 @@ def test_resize_plan_clamps_long_side(media):
     assert dims[1] == (256, 192)
     assert dims[2] == (256, 64)
     assert max(dims[3]) == 256
+
+
+def _bmp(width: int, height: int) -> bytes:
+    """Hand-build a BMP with struct — the INDEPENDENT byte-builder the
+    decoder is checked against (the query builds its fixtures JVM-side)."""
+    import struct
+
+    return (
+        b"BM"
+        + struct.pack("<IHHI", 54, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, 0,
+                      2835, 2835, 0, 0)
+    )
+
+
+def _wav(channels: int, rate: int, data_size: int, junk_chunk: bool = False) -> bytes:
+    import struct
+
+    byte_rate = rate * channels * 2
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, channels, rate, byte_rate,
+                                channels * 2, 16)
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO" if junk_chunk else b""
+    data = b"data" + struct.pack("<I", data_size)
+    body = b"WAVE" + fmt + junk + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_media_bmp_dimensions():
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    meta = decode_media(_bmp(640, 480))
+    assert meta == {"mime": "image/bmp", "width": 640, "height": 480,
+                    "duration_ms": None}
+    # negative height = top-down row order; pixel height is the magnitude
+    assert decode_media(_bmp(1920, -1080))["height"] == 1080
+
+
+def test_decode_media_wav_duration_walks_chunks():
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    # 2ch 16-bit 8kHz -> 32000 B/s; 48000 B of samples = 1500 ms
+    meta = decode_media(_wav(2, 8000, 48000))
+    assert meta["mime"] == "audio/wav"
+    assert meta["duration_ms"] == 1500
+    # an extra LIST chunk between fmt and data must not derail the walk
+    assert decode_media(_wav(1, 16000, 16000, junk_chunk=True))[
+        "duration_ms"
+    ] == 500
+
+
+def test_decode_media_unknown_format_raises():
+    import pytest as _pytest
+
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    for payload in [b"\x89PNG fake", b"\xff\xd8 jpeg-ish", None,
+                    b"RIFF\x00\x00\x00\x00AVI "]:
+        with _pytest.raises(NotImplementedError):
+            decode_media(payload)
+
+
+def test_extract_features_surfaces_decoded_header_meta(spark):
+    rows = [
+        Row(media_id=10, kind="image", payload=_bmp(320, 200), mime=None,
+            width=None, height=None, duration_ms=None),
+        Row(media_id=11, kind="audio", payload=_wav(1, 8000, 4000), mime=None,
+            width=None, height=None, duration_ms=None),
+        Row(media_id=12, kind="image", payload=b"\x89PNG needs-a-codec",
+            mime=None, width=None, height=None, duration_ms=None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert (got[10]["mime"], got[10]["width"], got[10]["height"]) == (
+        "image/bmp", 320, 200)
+    assert (got[11]["mime"], got[11]["duration_ms"]) == ("audio/wav", 250)
+    # codec-needing formats still flow through with digest features, meta NULL
+    assert got[12]["mime"] is None
+    assert len(got[12]["features"]) == N_FEATURES
