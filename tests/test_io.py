@@ -189,3 +189,69 @@ def test_events_ts_vintages_agree_under_non_utc_session(spark, tmp_path):
     expect = dict(zip(ids, micros))
     assert got_ntz == expect
     assert got_nanos == expect
+
+
+def test_partitioned_merge_rewrites_only_touched_partitions(spark, tmp_path):
+    """S4 at scale: after a partition-pruned MERGE, files of untouched
+    partitions are BYTE-IDENTICAL (never read or rewritten) while the merged
+    content equals the global merge semantics."""
+    from projet_data_engineering_spark.io import merge_upsert_partitioned
+
+    path = str(tmp_path / "tbl")
+    base = (
+        spark.range(50)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 5).cast("int").alias("p"),
+            (F.col("id") * 10).alias("v"),
+        )
+    )
+    base.write.partitionBy("p").parquet(path)
+
+    def snapshot(part):
+        d = tmp_path / "tbl" / f"p={part}"
+        return {
+            f.name: f.read_bytes()
+            for f in d.iterdir()
+            if f.name.endswith(".parquet")
+        }
+
+    before = {p: snapshot(p) for p in range(5)}
+    new = spark.createDataFrame(
+        [(1, 1, 111), (6, 1, 666), (52, 2, 520)], "k bigint, p int, v bigint"
+    )
+    parts = merge_upsert_partitioned(spark, path, new, "k", "p")
+    assert sorted(parts) == [1, 2]
+    # untouched partitions: same files, same bytes
+    for p in (0, 3, 4):
+        assert snapshot(p) == before[p]
+    # touched partitions rewritten
+    assert snapshot(1) != before[1]
+    # merged content == the reference Mongo-$set semantics over the whole table
+    got = {
+        r["k"]: (r["p"], r["v"])
+        for r in spark.read.parquet(path).collect()
+    }
+    assert len(got) == 51  # 50 originals + 1 insert
+    assert got[1] == (1, 111)     # updated
+    assert got[6] == (1, 666)     # updated
+    assert got[52] == (2, 520)    # inserted
+    assert got[2] == (2, 20)      # untouched row intact
+
+
+def test_partitioned_merge_key_move_empties_source_partition(spark, tmp_path):
+    """A key whose new row lands in a different partition is removed from its
+    old one; a partition left with zero rows disappears entirely (dynamic
+    overwrite cannot write empty partitions — the FS cleanup handles it)."""
+    from projet_data_engineering_spark.io import merge_upsert_partitioned
+
+    path = str(tmp_path / "tbl2")
+    spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20)], "k bigint, p int, v bigint"
+    ).write.partitionBy("p").parquet(path)
+    new = spark.createDataFrame([(2, 0, 99)], "k bigint, p int, v bigint")
+    parts = merge_upsert_partitioned(spark, path, new, "k", "p")
+    assert sorted(parts) == [0, 1]
+    got = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {1: (0, 10), 2: (0, 99)}
+    assert not (tmp_path / "tbl2" / "p=1").exists()
