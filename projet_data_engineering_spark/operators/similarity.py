@@ -235,11 +235,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Coarse quantizer = 8 deterministic centroids (vec_id < 8 — a k-means fit
     would slot in identically; centroids are a small model artifact). Every
-    vector is assigned to its nearest centroid with a MAP-ONLY argmax over a
-    broadcast centroid array — no shuffle touches the corpus, so at 100 TB
-    assignment cost is one scan. Queries probe their nprobe=2 nearest lists,
-    exact-cosine re-rank, top-5. Persisting the corpus partitioned by
-    ``cent_id`` turns each probe into a partition-pruned scan."""
+    vector's centroid list is scored ONCE in a single map-only pass over a
+    broadcast centroid array and persisted; the assignment (top-1) and the
+    query probe lists (top-2) are both derived from that one materialization
+    — the corpus is scanned exactly once, no shuffle anywhere before the
+    probe join. At 100 TB the persisted assignment becomes a table written
+    partitioned by ``cent_id``, turning each probe into a partition-pruned
+    scan."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -248,31 +250,39 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.filter(F.col("vec_id") < 8)
         .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")).alias("c"))
         .agg(F.collect_list("c").alias("cents"))
-        # referenced by both the assignment and the probe branch — persist the
-        # 1-row centroid artifact so the corpus isn't re-scanned to rebuild it
+        .persist()  # 1-row centroid artifact (the probe-depth slice below
+        # re-reads it through scored's lineage on cache miss)
+    )
+
+    # per-vector scored centroid list: struct(cos, -cent_id), descending, so
+    # element 1 is the argmax with ties toward the LOWEST centroid id
+    scored_cents = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        F.round(cosine(F.col("v"), c["cv"]), 4).alias("cos"),
+                        (-c["cent_id"]).alias("neg_id"),
+                    ),
+                )
+            )
+        ),
+        1,
+        2,  # nprobe — only the probe depth is ever consumed
+    )
+    # ONE corpus scan: (vec_id, v, top-2 centroid ids), persisted and shared
+    # by the assignment and the probe branch (previously two full scans).
+    scored = (
+        b.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", scored_cents.alias("top2"))
         .persist()
     )
-
-    # per-vector scored centroid list: struct(cos, -cent_id) so array_max /
-    # array_sort tie-break toward the LOWEST centroid id (struct order is max)
-    def scored_cents():
-        return F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                F.round(cosine(F.col("v"), c["cv"]), 4).alias("cos"),
-                (-c["cent_id"]).alias("neg_id"),
-            ),
-        )
-
-    assigned = (
-        b.crossJoin(F.broadcast(cents))
-        .withColumn("best", F.array_max(scored_cents()))
-        .select("vec_id", (-F.col("best.neg_id")).alias("cent_id"), "v")
+    assigned = scored.select(
+        "vec_id", (-F.col("top2")[0]["neg_id"]).alias("cent_id"), "v"
     )
     probes = (
-        b.filter(F.col("vec_id") < 3)
-        .crossJoin(F.broadcast(cents))
-        .withColumn("top2", F.slice(F.reverse(F.array_sort(scored_cents())), 1, 2))
+        scored.filter(F.col("vec_id") < 3)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
