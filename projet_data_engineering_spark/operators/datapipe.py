@@ -974,3 +974,96 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_join(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", 3
     )
+
+
+PACK_BUDGET = 2048   # context-window token budget
+PACK_SHARD = 2000    # docs per packing shard (bounds window-partition size)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stream_col: str = "source",
+    budget: int = PACK_BUDGET,
+    shard_size: int = PACK_SHARD,
+) -> DataFrame:
+    """Token-budget sequence packing — the layout step that turns a curated
+    corpus into fixed-size training windows (every LLM pretraining loader
+    does exactly this before batching).
+
+    Documents are laid out contiguously per (stream, shard) in ``id_col``
+    order; a document belongs to the context window its FIRST token lands in
+    (cumulative tokens before it, integer-divided by ``budget`` — documents
+    overflowing a boundary spill into the next window, the standard packed
+    layout). Output: one row per window with its document span and token
+    count — the manifest a data loader consumes.
+
+    Scale shape: ONE shuffle, on (stream, shard). The running total is a
+    bounded window — ``shard_size`` caps rows per partition, so no stream's
+    packing serializes onto a single task no matter how large the corpus
+    (the classic global-cumsum trap this op is usually built with). Window
+    ids are (shard, seq_in_shard) pairs: shard boundaries start fresh
+    windows, which wastes at most one partial window per shard — the same
+    deal every sharded pretraining layout accepts."""
+    ntok = F.size(F.split(F.col(text_col), " "))
+    shard = (F.col(id_col) / shard_size).cast("bigint")
+    w = (
+        Window.partitionBy("stream", "shard")
+        .orderBy("doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = (
+        docs.select(
+            F.col(stream_col).alias("stream"),
+            F.col(id_col).alias("doc"),
+            shard.alias("shard"),
+            ntok.alias("ntok"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("ntok").over(w), F.lit(0))
+        )
+        .withColumn("seq_id", F.expr(f"cum_before div {budget}"))
+    )
+    return laid.groupBy("stream", "shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ntok").cast("bigint").alias("n_tokens"),
+        F.min("doc").alias("first_doc"),
+        F.max("doc").alias("last_doc"),
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT source AS stream, doc_id AS doc,
+               doc_id // {PACK_SHARD} AS shard,
+               len(str_split(text, ' ')) AS ntok
+        FROM documents
+    ),
+    c AS (
+        SELECT stream, doc, shard, ntok,
+               COALESCE(SUM(ntok) OVER (
+                   PARTITION BY stream, shard ORDER BY doc
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM t
+    )
+    SELECT stream, shard, CAST(cum_before // {PACK_BUDGET} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+           MIN(doc) AS first_doc, MAX(doc) AS last_doc
+    FROM c
+    GROUP BY stream, shard, CAST(cum_before // {PACK_BUDGET} AS BIGINT)
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pack_sequences`` over the documents table: whitespace token counts,
+    {budget}-token windows, sharded per source stream. The window manifest
+    (doc span + token count per context window) is oracle-checked
+    bit-for-bit — a wrong boundary, a lost document, or an off-by-one in
+    the running total breaks the hash.""".replace(
+        "{budget}", str(PACK_BUDGET)
+    )
+    return pack_sequences(load_table(spark, sf_dir, "documents"))

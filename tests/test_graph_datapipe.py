@@ -519,3 +519,39 @@ def test_ngram_jaccard_join_property(spark):
             assert got[pair] == pytest.approx(jac, abs=1e-6)
 
     check()
+
+
+def test_pack_sequences_layout_matches_sequential_walk(spark):
+    """pack_sequences vs a literal python walk: contiguous layout per
+    (stream, shard), window = cum-tokens-before div budget, docs overflowing
+    a boundary belong to the window their first token lands in."""
+    from projet_data_engineering_spark.operators.datapipe import pack_sequences
+
+    docs = [
+        # (doc_id, stream, n_tokens) — budget 10, shard size 4
+        (0, "a", 4),   # shard 0, win 0 (offset 0)
+        (1, "a", 5),   # win 0 (offset 4)
+        (2, "a", 3),   # win 0 (offset 9) -> overflows into win 1
+        (3, "a", 2),   # win 1 (offset 12)
+        (4, "a", 9),   # shard 1 restarts at offset 0 -> win 0
+        (5, "a", 2),   # shard 1, win 0 (offset 9)
+        (6, "b", 25),  # other stream, its own layout
+        (7, "b", 1),   # offset 25 -> win 2
+    ]
+    df = spark.createDataFrame(
+        [(i, s, " ".join(["tok"] * n)) for i, s, n in docs],
+        "doc_id bigint, source string, text string",
+    )
+    got = {
+        (r["stream"], r["shard"], r["seq_id"]): (
+            r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"]
+        )
+        for r in pack_sequences(df, budget=10, shard_size=4).collect()
+    }
+    assert got == {
+        ("a", 0, 0): (3, 12, 0, 2),
+        ("a", 0, 1): (1, 2, 3, 3),
+        ("a", 1, 0): (2, 11, 4, 5),
+        ("b", 1, 0): (1, 25, 6, 6),
+        ("b", 1, 2): (1, 1, 7, 7),
+    }
