@@ -454,3 +454,159 @@ def q_map_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_element_at(lit_map, F.col("event_type")), F.lit("other")
         ).alias("category"),
     )
+
+
+TRACKING_PARAMS = "^(utm_[a-z]+|fbclid|gclid)="
+
+
+def canonicalize_url(url) -> "F.Column":
+    """URL canonicalization — the normalization in front of the reference's
+    ``product_id = md5(url)`` document key (``scraper/main.py:139``): two
+    spellings of one resource must hash identically or the dedup/upsert key
+    silently forks.
+
+    Pure Column algebra (codegen, zero shuffles): lowercase scheme+host,
+    drop default ports (80/http, 443/https), strip trailing path slashes
+    (bare host -> "/"), drop the fragment, drop tracking query params
+    (utm_*/fbclid/gclid), and sort surviving params byte-wise so parameter
+    order stops mattering."""
+    url = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.regexp_extract(rest, r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port != "") & ~default_port, F.concat(F.lit(":"), port)
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(
+        F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1), r"/+$", ""
+    )
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS),
+        )
+    )
+    qs = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        port_part,
+        path_part,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "q_url_dedup",
+    oracle="""
+    WITH gen AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'HTTP://WWW.SHOP.COM:80/item/' || (doc_id // 4)
+                             || '?utm_source=feed&b=2&a=1#top'
+                 WHEN 1 THEN 'http://www.shop.com/item/' || (doc_id // 4)
+                             || '/?a=1&b=2'
+                 WHEN 2 THEN 'https://CDN.shop.com:8080/item/' ||
+                             (doc_id // 4) || '#frag'
+                 ELSE 'https://cdn.shop.com:8080/item/' || (doc_id // 4)
+                      || '/'
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS scheme,
+               regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query
+        FROM gen
+    ),
+    c2 AS (
+        SELECT doc_id, scheme,
+               lower(regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
+                                    '^([^:]*)', 1)) AS host,
+               regexp_extract(regexp_extract(rest, '^([^/?#]*)', 1),
+                              ':([0-9]+)$', 1) AS port,
+               regexp_replace(regexp_extract(rest, '^[^/?#]*([^?#]*)', 1),
+                              '/+$', '') AS path,
+               array_to_string(
+                   list_sort(list_filter(str_split(query, '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                            '^(utm_[a-z]+|fbclid|gclid)='))), '&') AS qs
+        FROM canon
+    ),
+    final AS (
+        SELECT doc_id,
+               scheme || '://' || host ||
+               CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                         AND NOT (scheme = 'https' AND port = '443')
+                    THEN ':' || port ELSE '' END ||
+               CASE WHEN path = '' THEN '/' ELSE path END ||
+               CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical
+        FROM c2
+    )
+    SELECT canonical, md5(canonical) AS url_key,
+           COUNT(*) AS n_copies, MIN(doc_id) AS keeper
+    FROM final
+    GROUP BY canonical
+    HAVING COUNT(*) > 1
+    """,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup end-to-end (reference D2: ``product_id = md5(url)``).
+    Four messy spellings of each resource are synthesized JVM-side —
+    uppercase host + default port + tracking params + fragment, trailing
+    slash + shuffled params, explicit non-default port, casing variants —
+    then canonicalized and grouped on the md5 of the canonical form. Every
+    surviving group proves the normalizer collapsed spellings the raw
+    string would have forked; the oracle re-derives the same canonical form
+    independently in DuckDB. Map-only until the single dedup groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    item = F.expr("doc_id div 4").cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("HTTP://WWW.SHOP.COM:80/item/"), item,
+                F.lit("?utm_source=feed&b=2&a=1#top"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("http://www.shop.com/item/"), item,
+                F.lit("/?a=1&b=2"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://CDN.shop.com:8080/item/"), item,
+                F.lit("#frag"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://cdn.shop.com:8080/item/"), item, F.lit("/"))
+        )
+    )
+    canon = d.select("doc_id", canonicalize_url(url).alias("canonical"))
+    return (
+        canon.groupBy("canonical")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "canonical",
+            F.md5("canonical").alias("url_key"),
+            "n_copies",
+            "keeper",
+        )
+    )

@@ -215,3 +215,33 @@ def test_golden_product_id_is_md5_of_url(golden):
     collection, _ = golden
     bad = collection.filter(F.md5(F.col("url")) != F.col("product_id")).count()
     assert bad == 0
+
+
+def test_canonicalize_url_edge_cases(spark):
+    """The normalizer in front of the reference's md5(url) key: every pair
+    below must collapse (or stay distinct) exactly as a URL RFC reading
+    says."""
+    from projet_data_engineering_spark.operators.etl import canonicalize_url
+
+    cases = [
+        # (raw, canonical)
+        ("HTTP://WWW.Ex.COM:80/a/b", "http://www.ex.com/a/b"),
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("https://ex.com:8443/a", "https://ex.com:8443/a"),  # kept
+        ("http://ex.com", "http://ex.com/"),                 # bare host
+        ("http://ex.com///", "http://ex.com/"),
+        ("http://ex.com/a/?b=2&a=1", "http://ex.com/a?a=1&b=2"),
+        ("http://ex.com/a?utm_source=x&utm_campaign=y", "http://ex.com/a"),
+        ("http://ex.com/a?fbclid=123&z=1#frag", "http://ex.com/a?z=1"),
+        ("http://ex.com/a#frag", "http://ex.com/a"),
+        # params are data when not tracking: distinct stays distinct
+        ("http://ex.com/a?id=1", "http://ex.com/a?id=1"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _c) in enumerate(cases)],
+                               "i int, url string")
+    got = {
+        r["i"]: r["c"]
+        for r in df.select("i", canonicalize_url("url").alias("c")).collect()
+    }
+    for i, (_raw, want) in enumerate(cases):
+        assert got[i] == want, (i, _raw, got[i], want)
