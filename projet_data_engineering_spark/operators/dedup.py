@@ -523,3 +523,78 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+SPAN_W = 32       # duplicated-span window (chars)
+SPAN_ANCHOR = 8   # content-defined anchor gram
+# anchor fires when md5(gram) starts with '0' -> avg stride 16 chars
+
+
+@query(
+    "q_dup_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
+        FROM documents WHERE length(text) >= {SPAN_W}
+    ),
+    anchored AS (
+        SELECT doc_id, substr(t, CAST(i AS BIGINT), {SPAN_W}) AS span
+        FROM t, UNNEST(generate_series(1, n - {SPAN_W - 1})) AS g(i)
+        WHERE substr(md5(substr(t, CAST(i AS BIGINT), {SPAN_ANCHOR})), 1, 1)
+              = '0'
+    )
+    SELECT md5(span) AS span_hash,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occ
+    FROM anchored
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated SPAN detection — the exact-substring dedup
+    signal (suffix-array dedup a la 'Deduplicating Training Data Makes
+    Language Models Better'), distributed as hashed shingle sampling.
+
+    Sampling is CONTENT-DEFINED, not stride-defined: a window starts
+    wherever the {SPAN_ANCHOR}-gram's md5 opens with a zero nibble (avg
+    every 16 chars), so two occurrences of the same text anchor at the SAME
+    relative positions regardless of their byte offsets in different
+    documents — fixed-stride sampling would miss shifted copies, the common
+    case. Any shared run >= ~{SPAN_W}+16 chars contains an anchored window
+    with high probability; the span windows themselves are grouped, so a
+    reported pair is EXACT (no false positives). ~1/16 of character
+    positions emit a row: corpus scan + one groupBy on the span — the same
+    budget as the token-level shingle ops. At 100 TB, feed the flagged
+    span groups to `connected_components` for cluster-level removal."""
+    d = (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", F.lower("text").alias("t"))
+        .withColumn("n", F.length("t"))
+        .filter(F.col("n") >= SPAN_W)
+    )
+    anchored = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - (SPAN_W - 1))
+            ).alias("p"),
+        )
+        .filter(
+            F.substring(
+                F.md5(F.expr(f"substring(t, p, {SPAN_ANCHOR})")), 1, 1
+            )
+            == "0"
+        )
+        .select("doc_id", F.expr(f"substring(t, p, {SPAN_W})").alias("span"))
+    )
+    return (
+        anchored.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(F.md5("span").alias("span_hash"), "n_docs", "n_occ")
+    )

@@ -225,3 +225,32 @@ def test_lss_components_match_union_find_on_random_graphs(spark):
         got = {(r["node"], r["root"])
                for r in connected_components_lss(pairs).collect()}
         assert got == expected, edges
+
+
+def test_dup_spans_content_anchoring_is_shift_invariant(spark):
+    """The property fixed-stride sampling lacks: the same 60-char plagiarized
+    run is found even when its byte offset differs between documents,
+    because windows anchor on CONTENT (md5 of the local 8-gram), not on
+    position."""
+    from pyspark.sql import Row
+
+    from projet_data_engineering_spark.registry import all_queries
+    import projet_data_engineering_spark.operators.dedup as dd
+
+    shared = "the quick brown fox jumps over the lazy dog again and again ok"
+    docs = [
+        Row(doc_id=1, text="AAAA " + shared + " tail one", lang="en",
+            source="s1", n_chars=0),
+        Row(doc_id=2, text="a totally different long prefix here " + shared,
+            lang="en", source="s2", n_chars=0),
+        Row(doc_id=3, text="no overlap with the others at all, none",
+            lang="en", source="s3", n_chars=0),
+    ]
+    df = spark.createDataFrame(docs)
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(os.path.join(tmp, "documents.parquet"))
+        out = all_queries()["q_dup_spans"](spark, tmp).collect()
+    assert len(out) > 0                       # shifted copy found
+    assert all(r["n_docs"] == 2 for r in out)  # only docs 1+2 share spans
