@@ -231,6 +231,55 @@ def run_stream_upsert(
     )
 
 
+def run_stream_upsert_partitioned(
+    stream_df: DataFrame,
+    target_path: str,
+    key: str,
+    partition_col: str,
+    checkpoint: str,
+    order_col: str | None = None,
+) -> None:
+    """ST1 at warehouse scale: foreachBatch MERGE through the
+    partition-pruned path (``io.merge_upsert_partitioned``), so a
+    micro-batch touching k partitions rewrites k partitions — not the whole
+    target (the ``run_stream_upsert`` shape above rewrites everything each
+    batch, fine for a windowed-agg table, wrong for a keyed 100 TB one).
+    Untouched partitions' files stay byte-identical across micro-batches
+    (asserted in ``test_streaming.py``); with Delta/Iceberg the same loop
+    becomes a transactional MERGE."""
+    from projet_data_engineering_spark.io import merge_upsert_partitioned
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        try:
+            spark.read.parquet(target_path).schema  # target exists?
+        except Exception:
+            if order_col is not None:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(key).orderBy(F.desc(order_col))
+                batch = (
+                    batch.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            batch.write.partitionBy(partition_col).parquet(target_path)
+            return
+        merge_upsert_partitioned(
+            spark, target_path, batch, key, partition_col, order_col
+        )
+
+    (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Custom stateful operator (applyInPandasWithState)
 # ---------------------------------------------------------------------------

@@ -196,3 +196,73 @@ def test_stream_stream_join_equals_batch(spark, event_dir):
     # availableNow drains the source, so all but the tail horizon must appear
     assert streamed <= expected
     assert len(streamed) >= 0.5 * len(expected) > 0
+
+
+def test_stream_upsert_partitioned_prunes_untouched_partitions(spark, tmp_path):
+    """ST1 through the partition-pruned MERGE: a later micro-batch touching
+    one partition leaves every other partition's files byte-identical, and
+    redelivery (fresh checkpoint) keeps the table unchanged."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from projet_data_engineering_spark.streaming.windows import (
+        run_stream_upsert_partitioned,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("p", IntegerType()),
+            StructField("v", LongType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "tgt")
+
+    def arrives(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run(chk_name):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        run_stream_upsert_partitioned(
+            stream, target, "k", "p", str(tmp_path / chk_name)
+        )
+
+    arrives([(i, i % 4, i * 10) for i in range(20)], "b0")
+    run("chk")
+
+    def snapshot(part):
+        d = tmp_path / "tgt" / f"p={part}"
+        return {
+            f.name: f.read_bytes()
+            for f in d.iterdir()
+            if f.name.endswith(".parquet")
+        }
+
+    before = {p: snapshot(p) for p in range(4)}
+    arrives([(1, 1, 111), (101, 1, 1010)], "b1")  # touches partition 1 only
+    run("chk")  # same checkpoint: only the new file forms the micro-batch
+    for p in (0, 2, 3):
+        assert snapshot(p) == before[p]
+    assert snapshot(1) != before[1]
+    got = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert len(got) == 21
+    assert got[1] == (1, 111)
+    assert got[101] == (1, 1010)
+    assert got[5] == (1, 50)  # same-partition neighbor survived the rewrite
+    # at-least-once redelivery: replay everything from a fresh checkpoint
+    after_first = dict(got)
+    run("chk2")
+    again = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(target).collect()}
+    assert again == after_first
