@@ -173,7 +173,13 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     happens before the interval window, shrinking the second pass. Ties on
     o_orderdate are broken by o_orderkey in BOTH engines, making the
     version chain total-ordered and the oracle exact."""
-    o = load_table(spark, sf_dir, "orders")
+    return scd2_intervals(load_table(spark, sf_dir, "orders"))
+
+
+def scd2_intervals(o: DataFrame) -> DataFrame:
+    """Change-compressed type-2 intervals from the orders change-log:
+    (custkey, attr, [valid_from, valid_to), is_current). Shared by
+    ``q_scd2`` and the point-in-time join ``q_temporal_join``."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     ch = o.withColumn("prev", F.lag("o_orderpriority").over(w)).filter(
         F.col("prev").isNull() | (F.col("prev") != F.col("o_orderpriority"))
@@ -1067,3 +1073,74 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "{budget}", str(PACK_BUDGET)
     )
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_temporal_join",
+    oracle="""
+    WITH v AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               LAG(o_orderpriority) OVER w AS prev
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    ch AS (
+        SELECT * FROM v WHERE prev IS NULL OR prev <> o_orderpriority
+    ),
+    dim AS (
+        SELECT o_custkey AS custkey,
+               o_orderpriority AS attr,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER w AS valid_to
+        FROM ch
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    f AS (
+        SELECT o.o_custkey AS custkey, l.l_shipdate AS ship
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT d.attr,
+           COUNT(*) AS n_items,
+           COUNT(DISTINCT f.custkey) AS n_customers
+    FROM f JOIN dim d
+      ON d.custkey = f.custkey
+     AND f.ship >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ship < d.valid_to)
+    GROUP BY d.attr
+    """,
+)
+def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each fact row is matched to the
+    dimension VERSION valid at its own timestamp — lineitems against the
+    SCD2 priority intervals their customer had AT SHIP TIME (which is often
+    a later version than at order time: the query is non-vacuous exactly
+    because priorities change between order and ship).
+
+    This is the lookup every warehouse with SCD2 dimensions runs; the
+    half-open [valid_from, valid_to) intervals from ``scd2_intervals`` make
+    the match unique by construction (no overlap, no gap after a customer's
+    first order), so no dedup pass is needed afterward. Plan shape: the
+    equi-key (custkey) drives a hash join; the range predicate applies as a
+    post-join filter within each key group — never a cross product (plan
+    audit enforces). Intervals are change-compressed first, so the joined
+    dimension side is small; at 100 TB the dim side broadcasts per
+    partition-pruned date range."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    facts = li.join(
+        o.select("o_orderkey", F.col("o_custkey").alias("custkey")),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).select("custkey", F.col("l_shipdate").alias("ship"))
+    dim = scd2_intervals(o)
+    joined = facts.join(
+        dim,
+        (facts["custkey"] == dim["custkey"])
+        & (F.col("ship") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship") < F.col("valid_to"))),
+    )
+    return joined.groupBy("attr").agg(
+        F.count("*").alias("n_items"),
+        F.countDistinct(facts["custkey"]).alias("n_customers"),
+    )
