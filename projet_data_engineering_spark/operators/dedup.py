@@ -598,3 +598,76 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .select(F.md5("span").alias("span_hash"), "n_docs", "n_occ")
     )
+
+
+def _split_groupsafe_oracle() -> str:
+    bucket = "CAST(concat('0x', substr(md5(CAST(root AS VARCHAR)), 1, 2)) AS INT)"
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    undirected AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    clusters AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a
+    ),
+    keyed AS (
+        SELECT d.doc_id, d.n_chars, COALESCE(c.root, d.doc_id) AS root
+        FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT root) AS n_clusters,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+        SELECT n_chars, root,
+               CASE WHEN {bucket} < 13 THEN 'test'
+                    WHEN {bucket} < 26 THEN 'valid'
+                    ELSE 'train' END AS split
+        FROM keyed
+    )
+    GROUP BY split
+    """
+
+
+@query("q_split_groupsafe", oracle=_split_groupsafe_oracle())
+def q_split_groupsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/valid/test split: the md5-bucket rule of
+    ``q_train_test_split``, but keyed on the near-dup CLUSTER ROOT instead
+    of the document id — so a near-duplicate of a test document can never
+    land in train (the contamination path a doc-keyed split leaves wide
+    open; with ~5% near-dup clusters, doc-keyed splitting leaks a constant
+    fraction of the holdout). Membership is a pure function of the cluster
+    root: deterministic across runs, engines, and corpus growth.
+
+    Pipeline: MinHash candidates -> connected components -> broadcast the
+    (node, root) relabel map onto the corpus -> map-only split + one tiny
+    aggregate. The relabel map has one row per CLUSTERED doc (near-dups
+    only), so the join side is small at any corpus size."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    labels = connected_components(
+        minhash_candidate_pairs(d, "doc_id", "text")
+    ).withColumnRenamed("node", "doc_id")
+    keyed = d.select("doc_id", "n_chars").join(
+        F.broadcast(labels), "doc_id", "left"
+    ).withColumn("root", F.coalesce("root", "doc_id"))
+    bucket = F.conv(
+        F.substring(F.md5(F.col("root").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 13, "test").when(bucket < 26, "valid").otherwise("train")
+    )
+    return (
+        keyed.select(split.alias("split"), "root", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("root").alias("n_clusters"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

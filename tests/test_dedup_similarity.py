@@ -254,3 +254,49 @@ def test_dup_spans_content_anchoring_is_shift_invariant(spark):
         out = all_queries()["q_dup_spans"](spark, tmp).collect()
     assert len(out) > 0                       # shifted copy found
     assert all(r["n_docs"] == 2 for r in out)  # only docs 1+2 share spans
+
+
+def test_groupsafe_split_keeps_near_dup_pairs_together(spark):
+    """The leakage property itself: every MinHash near-dup pair lands in ONE
+    split under cluster-root keying, while doc-id keying (the naive rule)
+    demonstrably separates at least one pair on the same corpus."""
+    from projet_data_engineering_spark.operators.dedup import (
+        connected_components,
+        minhash_candidate_pairs,
+    )
+    from projet_data_engineering_spark.io import load_table
+    from tests.conftest import SF_DIR
+
+    d = load_table(spark, SF_DIR, "documents")
+    pairs = minhash_candidate_pairs(d, "doc_id", "text").persist()
+    labels = connected_components(pairs).withColumnRenamed("node", "doc_id")
+
+    def split_of(key_col):
+        b = F.conv(
+            F.substring(F.md5(key_col.cast("string")), 1, 2), 16, 10
+        ).cast("int")
+        return F.when(b < 13, "test").when(b < 26, "valid").otherwise("train")
+
+    keyed = (
+        d.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .withColumn("root", F.coalesce("root", "doc_id"))
+        .select(
+            "doc_id",
+            split_of(F.col("root")).alias("safe_split"),
+            split_of(F.col("doc_id")).alias("naive_split"),
+        )
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc1"),
+        F.col("safe_split").alias("s1"),
+        F.col("naive_split").alias("n1"),
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc2"),
+        F.col("safe_split").alias("s2"),
+        F.col("naive_split").alias("n2"),
+    )
+    j = pairs.join(a, "doc1").join(b, "doc2")
+    assert j.filter(F.col("s1") != F.col("s2")).count() == 0   # no leakage
+    assert j.filter(F.col("n1") != F.col("n2")).count() > 0    # naive leaks
