@@ -671,3 +671,96 @@ def q_split_groupsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+def incremental_dedup_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Incremental near-dup detection: match an INCOMING batch against the
+    EXISTING corpus without re-pairing the corpus with itself — the daily
+    ingest shape (the reference's seen-set check ``scraper/main.py:88``
+    at corpus scale).
+
+    Both sides get the same per-doc MinHash band signatures; the batch's
+    band table is BROADCAST against the corpus's (batch << corpus is the
+    contract), so candidate generation is map-only over corpus bands and
+    the corpus NEVER shuffles. Candidates (small) then broadcast back onto
+    the two word-set tables for exact Jaccard verification — also map-only
+    on the corpus side. Total corpus cost: two scans, zero shuffles."""
+    bands_c = lsh_bands(minhash_signatures(corpus, id_col, text_col), id_col)
+    bands_b = lsh_bands(minhash_signatures(batch, id_col, text_col), id_col)
+    cand = (
+        bands_c.alias("c")
+        .join(
+            F.broadcast(bands_b.alias("b")),
+            (F.col("c.band_idx") == F.col("b.band_idx"))
+            & (F.col("c.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_doc"),
+            F.col(f"c.{id_col}").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    ws = F.array_distinct(F.split(F.lower(text_col), " "))
+    ws_c = corpus.select(
+        F.col(id_col).alias("corpus_doc"), ws.alias("wsc")
+    )
+    ws_b = batch.select(F.col(id_col).alias("batch_doc"), ws.alias("wsb"))
+    inter = F.size(F.array_intersect("wsb", "wsc"))
+    union = F.size("wsb") + F.size("wsc") - inter
+    return (
+        ws_c.join(F.broadcast(cand), "corpus_doc")
+        .join(F.broadcast(ws_b), "batch_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _incremental_oracle() -> str:
+    return f"""
+    WITH allpairs AS ({_minhash_oracle()}),
+    ws AS (
+        SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS ws
+        FROM documents
+    ),
+    cand AS (
+        SELECT CASE WHEN doc1 % 10 = 0 THEN doc1 ELSE doc2 END AS batch_doc,
+               CASE WHEN doc1 % 10 = 0 THEN doc2 ELSE doc1 END AS corpus_doc
+        FROM allpairs
+        WHERE (doc1 % 10 = 0) <> (doc2 % 10 = 0)
+    )
+    SELECT batch_doc, corpus_doc, jaccard FROM (
+        SELECT c.batch_doc, c.corpus_doc,
+               ROUND(len(list_intersect(a.ws, b.ws))
+                     / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+                     4) AS jaccard
+        FROM cand c
+        JOIN ws a ON a.doc_id = c.batch_doc
+        JOIN ws b ON b.doc_id = c.corpus_doc
+    )
+    WHERE jaccard >= 0.2
+    """
+
+
+@query("q_dedup_incremental", oracle=_incremental_oracle())
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``incremental_dedup_pairs`` with every 10th document playing the
+    incoming batch and the rest the existing corpus. Band signatures are
+    pure per-doc functions, so batch-vs-corpus candidates equal exactly the
+    cross-set subset of the full self-join's pairs — which is what the
+    oracle computes independently. The Spark plan is the scale story: the
+    corpus side never shuffles (broadcast batch bands, broadcast
+    candidates)."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    return incremental_dedup_pairs(corpus, batch)

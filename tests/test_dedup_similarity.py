@@ -300,3 +300,32 @@ def test_groupsafe_split_keeps_near_dup_pairs_together(spark):
     j = pairs.join(a, "doc1").join(b, "doc2")
     assert j.filter(F.col("s1") != F.col("s2")).count() == 0   # no leakage
     assert j.filter(F.col("n1") != F.col("n2")).count() > 0    # naive leaks
+
+
+def test_incremental_dedup_corpus_never_shuffles(spark):
+    """The incremental-ingest scale contract: the only Exchange in the whole
+    plan belongs to the (tiny) candidate distinct — batch bands and
+    candidates broadcast, so the corpus is scanned, never shuffled."""
+    from projet_data_engineering_spark.io import load_table
+    from projet_data_engineering_spark.operators.dedup import (
+        incremental_dedup_pairs,
+    )
+    from projet_data_engineering_spark.plans.explain import (
+        formatted_plan,
+        shuffle_count,
+    )
+    from tests.conftest import SF_DIR
+
+    # plain load_table (no spread rebalance): the query wrapper's spread()
+    # adds repartitions that exist only because the test corpus is one file
+    d = load_table(spark, SF_DIR, "documents")
+    df = incremental_dedup_pairs(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+    )
+    plan = formatted_plan(df)
+    # broadcast joins only — no SortMergeJoin / ShuffledHashJoin anywhere
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    # the candidate-dedup HashAggregate pair is the single permitted exchange
+    assert shuffle_count(df) <= 1
