@@ -1,12 +1,13 @@
-"""Batch data-pipeline utilities (round 3 extension).
+"""Batch data-pipeline utilities.
 
 The operational layer around a training-data corpus: SimHash near-dup
 candidate PAIRS (banded, hamming-verified — completing the simhash family:
 ``dedup.q_dedup_simhash`` emits signatures, this emits verified pairs),
 SCD2 dimension building and gap sessionization (the two classic
 change-tracking shapes a warehouse feeds from a change-log), single-pass
-column profiling, deterministic train/valid/test splitting, and PMI
-collocation mining.
+column profiling, deterministic train/valid/test splitting, PMI
+collocation mining, token-budget sequence packing, and the point-in-time
+(temporal) join against SCD2 intervals.
 
 Everything is JVM-side DataFrame algebra (no UDFs), every scalar the math
 needs (corpus totals) folds into the plan as a broadcast 1-row aggregate,
