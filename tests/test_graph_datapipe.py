@@ -555,3 +555,57 @@ def test_pack_sequences_layout_matches_sequential_walk(spark):
         ("b", 1, 0): (1, 25, 6, 6),
         ("b", 1, 2): (1, 1, 7, 7),
     }
+
+
+def test_pack_sequences_property_matches_python_reference(spark):
+    """Randomized parity: pack_sequences on arbitrary (stream, token-count)
+    corpora must equal a literal sequential python walk — cumulative offsets,
+    shard restarts, and window ids all included."""
+    from collections import defaultdict
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from projet_data_engineering_spark.operators.datapipe import pack_sequences
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["s1", "s2"]), st.integers(1, 12)),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def run(spec):
+        budget, shard_size = 7, 5
+        rows = [
+            (i, stream, " ".join(["w"] * ntok))
+            for i, (stream, ntok) in enumerate(spec)
+        ]
+        # python reference: per (stream, shard) running offset in doc order
+        expect = defaultdict(lambda: [0, 0, None, None])  # n_docs, toks, lo, hi
+        offsets: dict = defaultdict(int)
+        for i, (stream, ntok) in enumerate(spec):
+            shard = i // shard_size
+            seq = offsets[(stream, shard)] // budget
+            k = (stream, shard, seq)
+            e = expect[k]
+            e[0] += 1
+            e[1] += ntok
+            e[2] = i if e[2] is None else e[2]
+            e[3] = i
+            offsets[(stream, shard)] += ntok
+        df = spark.createDataFrame(
+            rows, "doc_id bigint, source string, text string"
+        )
+        got = {
+            (r["stream"], r["shard"], r["seq_id"]): [
+                r["n_docs"], r["n_tokens"], r["first_doc"], r["last_doc"]
+            ]
+            for r in pack_sequences(
+                df, budget=budget, shard_size=shard_size
+            ).collect()
+        }
+        assert got == {k: list(v) for k, v in expect.items()}
+
+    run()

@@ -255,3 +255,24 @@ def test_partitioned_merge_key_move_empties_source_partition(spark, tmp_path):
     got = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {1: (0, 10), 2: (0, 99)}
     assert not (tmp_path / "tbl2" / "p=1").exists()
+
+
+def test_partitioned_merge_order_col_last_write_wins(spark, tmp_path):
+    """Intra-batch duplicate keys: with order_col, the partition-pruned
+    merge reduces the batch to the LAST write per key before merging —
+    Mongo ordered-bulk semantics, same contract as merge_upsert."""
+    from projet_data_engineering_spark.io import merge_upsert_partitioned
+
+    path = str(tmp_path / "tbl3")
+    spark.createDataFrame(
+        [(1, 0, 10), (2, 1, 20)], "k bigint, p int, v bigint"
+    ).write.partitionBy("p").parquet(path)
+    new = spark.createDataFrame(
+        [(1, 0, 100, 5), (1, 0, 111, 9), (3, 1, 30, 1)],
+        "k bigint, p int, v bigint, seq bigint",
+    )
+    merge_upsert_partitioned(spark, path, new, "k", "p", order_col="seq")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got[1] == 111  # seq 9 beat seq 5
+    assert got[3] == 30
+    assert got[2] == 20
