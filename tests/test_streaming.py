@@ -218,6 +218,7 @@ def test_stream_upsert_partitioned_prunes_untouched_partitions(spark, tmp_path):
             StructField("k", LongType()),
             StructField("p", IntegerType()),
             StructField("v", LongType()),
+            StructField("seq", LongType()),  # ingest sequence: replay-safe
         ]
     )
     src = tmp_path / "src"
@@ -236,10 +237,11 @@ def test_stream_upsert_partitioned_prunes_untouched_partitions(spark, tmp_path):
             .parquet(str(src) + "/*")
         )
         run_stream_upsert_partitioned(
-            stream, target, "k", "p", str(tmp_path / chk_name)
+            stream, target, "k", "p", str(tmp_path / chk_name),
+            order_col="seq",
         )
 
-    arrives([(i, i % 4, i * 10) for i in range(20)], "b0")
+    arrives([(i, i % 4, i * 10, i) for i in range(20)], "b0")
     run("chk")
 
     def snapshot(part):
@@ -251,7 +253,7 @@ def test_stream_upsert_partitioned_prunes_untouched_partitions(spark, tmp_path):
         }
 
     before = {p: snapshot(p) for p in range(4)}
-    arrives([(1, 1, 111), (101, 1, 1010)], "b1")  # touches partition 1 only
+    arrives([(1, 1, 111, 100), (101, 1, 1010, 101)], "b1")  # partition 1 only
     run("chk")  # same checkpoint: only the new file forms the micro-batch
     for p in (0, 2, 3):
         assert snapshot(p) == before[p]
@@ -261,7 +263,10 @@ def test_stream_upsert_partitioned_prunes_untouched_partitions(spark, tmp_path):
     assert got[1] == (1, 111)
     assert got[101] == (1, 1010)
     assert got[5] == (1, 50)  # same-partition neighbor survived the rewrite
-    # at-least-once redelivery: replay everything from a fresh checkpoint
+    # at-least-once redelivery: replay EVERYTHING from a fresh checkpoint.
+    # Both files may land in one micro-batch, putting two versions of k=1
+    # in the same batch — order_col makes the highest seq win
+    # deterministically, so the table still converges to the same contents.
     after_first = dict(got)
     run("chk2")
     again = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(target).collect()}
