@@ -400,3 +400,81 @@ def q_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.30)
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id, scale,
+               list_transform(v, x -> round(x / scale)) AS qv, v
+        FROM s WHERE scale > 0
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_max,
+           ROUND(list_max(list_transform(
+               list_zip(qv, v),
+               p -> abs(p[1] * scale - p[2]))), 6) AS max_abs_err
+    FROM q
+    GROUP BY vec_id, scale, qv, v
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding store — the 4x
+    compression every 100 TB vector corpus applies before ANN serving:
+    per-vector scale = max|x| / 127, codes = round(x / scale), and the
+    per-vector reconstruction error bound surfaces directly in the result
+    (max_abs_err <= scale/2 by construction — the oracle recomputes it from
+    the same arithmetic, so a wrong rounding mode or scale slip fails the
+    hash). Map-only array lambdas, zero shuffles, no UDFs; q_max <= 127
+    doubles as the code-range invariant."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    scale = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    ) / F.lit(127.0)
+    d = e.select("vec_id", v.alias("v"), scale.alias("scale")).filter(
+        F.col("scale") > 0
+    )
+    qv = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")))
+    d = d.withColumn("qv", qv)
+    # materialize raw values BEFORE aliasing a rounded column over "scale":
+    # putting round(scale) and the error fold in one select lets the planner
+    # resolve the fold's scale reference against the 6dp output alias,
+    # silently inflating the reported error (caught by the oracle gate)
+    d = d.withColumn(
+        "err_raw",
+        F.aggregate(
+            F.zip_with(
+                F.col("qv"),
+                F.col("v"),
+                lambda q, x: F.abs(q * F.col("scale") - x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ),
+    ).withColumn(
+        "q_max_raw",
+        F.aggregate(
+            F.transform(F.col("qv"), lambda q: F.abs(q)),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ),
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.col("q_max_raw").cast("bigint").alias("q_max"),
+        F.round("err_raw", 6).alias("max_abs_err"),
+    )
