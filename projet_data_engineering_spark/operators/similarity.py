@@ -478,3 +478,102 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q_max_raw").cast("bigint").alias("q_max"),
         F.round("err_raw", 6).alias("max_abs_err"),
     )
+
+
+@query(
+    "q_ann_recall",
+    oracle="""
+    WITH b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END
+                || CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 3),
+    truth AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, b.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(b.v, q.qv), 4)
+                                DESC, b.vec_id ASC) AS rn
+            FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id
+        ) WHERE rn <= 5
+    ),
+    ann AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, b.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(b.v, q.qv), 4)
+                                DESC, b.vec_id ASC) AS rn
+            FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+        ) WHERE rn <= 5
+    )
+    SELECT t.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(a.vec_id) / 5.0, 4) AS recall
+    FROM truth t
+    LEFT JOIN ann a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+    GROUP BY t.query_id
+    """,
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the sign-LSH ANN tier against the exact brute-force
+    top-5 — the accuracy contract an approximate index ships with (you
+    don't deploy an ANN path without measuring what it loses). Both sides
+    run in one plan: the exact side via the broadcast brute-force kNN, the
+    approximate side via the bucket join; recall = |ANN ∩ truth| / 5 per
+    query. At scale this runs over a sampled query panel — the corpus cost
+    is one scan per side, and the truth side is the expensive one (which
+    is the point: you compute it on the sample, not the fleet)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding"), n_bits=4).alias("bucket"),
+    ).persist()  # both ranking passes read it
+    q = b.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+
+    def top5(scored):
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "vec_id")
+        )
+
+    score = F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score")
+    truth = top5(
+        b.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score)
+    )
+    ann = top5(
+        b.join(F.broadcast(q), b["bucket"] == q["qbucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score)
+    )
+    hits = truth.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        truth.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias("recall"),
+        )
+    )
