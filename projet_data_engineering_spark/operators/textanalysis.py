@@ -573,3 +573,60 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+@query(
+    "q_bpe_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT w, COUNT(*) AS freq
+        FROM (SELECT UNNEST(str_split(lower(text), ' ')) AS w FROM documents)
+        WHERE w <> '' AND length(w) >= 2
+        GROUP BY w
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS BIGINT), 2) AS pair, freq
+        FROM words, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge step of BPE vocabulary training: corpus-weighted adjacent
+    symbol-pair counts, top 20 — the inner loop every tokenizer train run
+    iterates (find the most frequent pair, merge, repeat).
+
+    The scale trick is the same one real BPE trainers use: aggregate the
+    corpus to the WORD DICTIONARY first (one shuffle of (word, count) —
+    dictionary size grows ~Heaps-law sublinearly, so this is the corpus's
+    last appearance in the plan), then explode the dictionary's character
+    pairs weighted by word frequency. The pair aggregation runs over
+    dictionary-scale data regardless of corpus size; subsequent merge
+    iterations would loop on the dictionary alone. Top-20 is
+    TakeOrderedAndProject — no full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )
