@@ -630,3 +630,104 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    checkpoint_every: int = 4,
+) -> list:
+    """Distributed BPE vocabulary training: ``n_merges`` greedy merge steps
+    over the word dictionary, returning the ordered merge table (the model
+    artifact a tokenizer ships with).
+
+    Scale shape — the same one q_bpe_pairs documents: the corpus collapses
+    to (word, freq) ONCE; every merge iteration then runs at dictionary
+    scale. Per step: (1) adjacent-pair counts weighted by freq, (2) argmax
+    pair (count desc, pair asc — the deterministic tie-break), collected as
+    ONE driver row per step (the merge decision itself, like the
+    convergence probe in connected_components — never row data), (3) greedy
+    left-to-right in-word merge applied as a single ``aggregate`` fold with
+    a (out, pending) struct accumulator — JVM-side, no UDFs: overlapping
+    occurrences ("aaa" + merge "aa") resolve left-first exactly like the
+    reference BPE algorithm. Lineage is truncated with localCheckpoint
+    every ``checkpoint_every`` merges, the house discipline for iterative
+    plans. Python-reference parity is pinned in pytest."""
+    words = (
+        docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("w"))
+        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.filter(F.split("w", ""), lambda s: s != "").alias("syms"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list = []
+    for step in range(n_merges):
+        pair_counts = (
+            words.select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("syms") - 1),
+                        lambda i: F.concat(
+                            F.element_at("syms", i), F.element_at("syms", i + 1)
+                        ),
+                    )
+                ).alias("pair"),
+                "freq",
+            )
+            .filter(F.size("syms") >= 2)
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not pair_counts:
+            break
+        best = pair_counts[0]["pair"]
+        merges.append(best)
+        # greedy left-to-right merge: fold with (out, pending) accumulator
+        merged = F.aggregate(
+            F.col("syms"),
+            F.struct(
+                F.lit(None).cast("array<string>").alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+            lambda acc, s: F.when(
+                acc["pend"].isNotNull() & (F.concat(acc["pend"], s) == best),
+                F.struct(
+                    F.concat(
+                        F.coalesce(acc["out"], F.array()),
+                        F.array(F.lit(best)),
+                    ).alias("out"),
+                    F.lit(None).cast("string").alias("pend"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(
+                        acc["pend"].isNotNull(),
+                        F.concat(
+                            F.coalesce(acc["out"], F.array()),
+                            F.array(acc["pend"]),
+                        ),
+                    )
+                    .otherwise(F.coalesce(acc["out"], F.array()))
+                    .alias("out"),
+                    s.alias("pend"),
+                )
+            ),
+            lambda acc: F.when(
+                acc["pend"].isNotNull(),
+                F.concat(
+                    F.coalesce(acc["out"], F.array()), F.array(acc["pend"])
+                ),
+            ).otherwise(F.coalesce(acc["out"], F.array())),
+        )
+        words = words.select(merged.alias("syms"), "freq")
+        if (step + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges

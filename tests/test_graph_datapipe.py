@@ -609,3 +609,60 @@ def test_pack_sequences_property_matches_python_reference(spark):
         assert got == {k: list(v) for k, v in expect.items()}
 
     run()
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """Exact parity of the distributed BPE trainer with a literal python
+    BPE (same tie-break: count desc, pair asc), on a corpus engineered to
+    exercise greedy left-to-right overlap ('aaaa' + merge 'aa' -> [aa, aa])
+    and merged-symbol pairs in later rounds."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    from projet_data_engineering_spark.operators.textanalysis import bpe_train
+
+    texts = [
+        "aaaa abab low lower lowest",
+        "abab abab low low newer newer",
+        "aaaa banana low newer",
+    ]
+
+    def py_bpe(texts, n_merges):
+        words = Counter()
+        for t in texts:
+            for w in t.lower().split(" "):
+                if len(w) >= 2:
+                    words[w] += 1
+        vocab = {tuple(w): f for w, f in words.items()}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for syms, f in vocab.items():
+                for i in range(len(syms) - 1):
+                    pairs[syms[i] + syms[i + 1]] += f
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            new_vocab = {}
+            for syms, f in vocab.items():
+                out, pend = [], None
+                for s in syms:
+                    if pend is not None and pend + s == best:
+                        out.append(best)
+                        pend = None
+                    else:
+                        if pend is not None:
+                            out.append(pend)
+                        pend = s
+                if pend is not None:
+                    out.append(pend)
+                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+            vocab = new_vocab
+        return merges
+
+    docs = spark.createDataFrame([Row(text=t) for t in texts])
+    got = bpe_train(docs, n_merges=8)
+    want = py_bpe(texts, 8)
+    assert got == want
