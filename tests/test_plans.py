@@ -434,3 +434,31 @@ def test_no_query_plans_cartesian_or_rowwise_python(spark):
     from tools.plan_audit import audit
 
     assert audit(spark, SF_DIR) == {}
+
+
+def test_ann_bucketed_layout_prunes_probe_scan(spark, tmp_path):
+    """The ANN serving layout the similarity docstrings promise: embeddings
+    written partitioned by sign-LSH bucket turn each probe into a
+    partition-pruned scan — the probe's filter reaches PartitionFilters and
+    only the matching bucket directory is read."""
+    from projet_data_engineering_spark.io import load_table
+    from projet_data_engineering_spark.operators.similarity import sign_bucket
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+    from tests.conftest import SF_DIR
+
+    e = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        "embedding",
+        sign_bucket(F.col("embedding"), n_bits=4).alias("bucket"),
+    )
+    out = str(tmp_path / "emb_by_bucket")
+    e.write.partitionBy("bucket").parquet(out)
+    probe_bucket = e.filter(F.col("vec_id") == 0).select("bucket").first()[0]
+    probed = spark.read.parquet(out).filter(F.col("bucket") == probe_bucket)
+    plan = formatted_plan(probed)
+    assert any(
+        "PartitionFilters" in ln and "bucket" in ln for ln in plan.splitlines()
+    )
+    n_total = spark.read.parquet(out).count()
+    n_probed = probed.count()
+    assert 0 < n_probed < n_total  # genuinely pruned, not vacuous
