@@ -45,12 +45,60 @@ FETCH_SCHEMA = StructType(
 
 
 def default_fetch(urls) -> tuple[list[str | None], list[list[str]]]:
-    """The network boundary. No HTTP stack in this container — a real
-    deployment passes ``fetch_fn`` (requests/playwright inside the Arrow
-    batch). Raises rather than fake-succeeding."""
+    """The network boundary. This container has no network route — a real
+    deployment passes ``fetch_fn`` explicitly (``urllib_fetch`` below is
+    the shipped stdlib implementation; requests/playwright slot in the
+    same way). Raises rather than fake-succeeding, so an unconfigured
+    crawl fails loudly instead of timing out executor-side."""
     raise NotImplementedError(
-        "no network in this environment; pass fetch_fn to crawl_frontier"
+        "no network in this environment; pass fetch_fn to crawl_frontier "
+        "(e.g. crawl.urllib_fetch)"
     )
+
+
+def urllib_fetch(
+    urls, timeout: float = 10.0
+) -> tuple[list[str | None], list[list[str]]]:
+    """REAL fetch implementation on stdlib ``urllib`` — the production
+    ``fetch_fn`` for ``crawl_frontier`` (reference ``scraper/main.py:84-136``
+    drives Selenium page-by-page; here each Arrow batch fetches its slice of
+    the frontier in-executor). Handles ``http(s)://`` and ``file://`` URLs
+    (the latter lets the integration test drive this exact code path on
+    checked-in fixtures with zero network); out-links are parsed with
+    ``html.parser`` and resolved against the page URL, so relative hrefs
+    crawl correctly. A failed fetch yields (None, []) — recorded as a
+    visited dead page, the reference's behavior — never an exception that
+    would kill the whole Arrow batch."""
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin
+    from urllib.request import urlopen
+
+    class LinkParser(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__()
+            self.hrefs: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag == "a":
+                self.hrefs.extend(v for k, v in attrs if k == "href" and v)
+
+    contents: list[str | None] = []
+    links: list[list[str]] = []
+    for u in urls:
+        try:
+            with urlopen(u, timeout=timeout) as resp:  # noqa: S310 — URL
+                # schemes are whatever the caller seeded; scheme policy
+                # belongs in the frontier filter, not the fetcher
+                body = resp.read().decode("utf-8", "replace")
+        except Exception:
+            contents.append(None)
+            links.append([])
+            continue
+        p = LinkParser()
+        p.feed(body)
+        contents.append(body)
+        links.append([urljoin(u, h) for h in p.hrefs])
+    return contents, links
 
 
 def crawl_frontier(
