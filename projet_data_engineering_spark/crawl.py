@@ -22,6 +22,7 @@ a pluggable function and everything Spark-side is real and tested:
 
 from __future__ import annotations
 
+import re
 import time
 from collections.abc import Callable, Iterator
 from typing import Any
@@ -56,8 +57,29 @@ def default_fetch(urls) -> tuple[list[str | None], list[list[str]]]:
     )
 
 
+_SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.\-]*):")
+
+
+def url_scheme(url: str) -> str:
+    """Lowercased scheme of a URL ('' when absent)."""
+    m = _SCHEME_RE.match(url)
+    return m.group(1).lower() if m else ""
+
+
+def url_domain(url: str) -> str:
+    """Authority (host[:port]) of a URL — the politeness grouping key."""
+    from urllib.parse import urlsplit
+
+    try:
+        return urlsplit(url).netloc.lower()
+    except ValueError:
+        return ""
+
+
 def urllib_fetch(
-    urls, timeout: float = 10.0
+    urls,
+    timeout: float = 10.0,
+    allowed_schemes: tuple[str, ...] = ("http", "https", "file"),
 ) -> tuple[list[str | None], list[list[str]]]:
     """REAL fetch implementation on stdlib ``urllib`` — the production
     ``fetch_fn`` for ``crawl_frontier`` (reference ``scraper/main.py:84-136``
@@ -68,7 +90,14 @@ def urllib_fetch(
     ``html.parser`` and resolved against the page URL, so relative hrefs
     crawl correctly. A failed fetch yields (None, []) — recorded as a
     visited dead page, the reference's behavior — never an exception that
-    would kill the whole Arrow batch."""
+    would kill the whole Arrow batch.
+
+    ``allowed_schemes`` is a hard floor under whatever the caller queued:
+    anything else (data:, ftp:, mailto:, a scheme-less string) is treated as
+    a dead page without ever touching ``urlopen``. Whether ``file`` belongs
+    in a given CRAWL is decided one level up — ``crawl_frontier`` only
+    frontiers file:// links when the crawl was seeded with file:// (so a
+    remote page linking file:///etc/passwd is never fetched)."""
     from html.parser import HTMLParser
     from urllib.parse import urljoin
     from urllib.request import urlopen
@@ -85,10 +114,13 @@ def urllib_fetch(
     contents: list[str | None] = []
     links: list[list[str]] = []
     for u in urls:
+        if url_scheme(u) not in allowed_schemes:
+            contents.append(None)
+            links.append([])
+            continue
         try:
-            with urlopen(u, timeout=timeout) as resp:  # noqa: S310 — URL
-                # schemes are whatever the caller seeded; scheme policy
-                # belongs in the frontier filter, not the fetcher
+            with urlopen(u, timeout=timeout) as resp:  # noqa: S310 — scheme
+                # allowlisted above; file:// policy enforced by the caller
                 body = resp.read().decode("utf-8", "replace")
         except Exception:
             contents.append(None)
@@ -101,11 +133,33 @@ def urllib_fetch(
     return contents, links
 
 
+def polite_order(urls: list[str]) -> list[int]:
+    """Round-robin index order across domains: consecutive fetches hit
+    DIFFERENT domains whenever possible, so per-domain spacing waits overlap
+    with other domains' work instead of stalling the task. Deterministic
+    (domains in first-appearance order, per-domain queues in input order)."""
+    queues: dict[str, list[int]] = {}
+    for i, u in enumerate(urls):
+        queues.setdefault(url_domain(u), []).append(i)
+    order: list[int] = []
+    qs = list(queues.values())
+    while qs:
+        nxt = []
+        for q in qs:
+            order.append(q.pop(0))
+            if q:
+                nxt.append(q)
+        qs = nxt
+    return order
+
+
 def crawl_frontier(
     seeds: DataFrame,
     fetch_fn: Callable[[list[str]], tuple[list[str | None], list[list[str]]]]
     | None = None,
     max_depth: int = 3,
+    allowed_schemes: tuple[str, ...] | None = None,
+    min_delay_per_domain: float = 0.0,
 ) -> DataFrame:
     """S9 — breadth-first crawl as iterative DataFrame algebra.
 
@@ -114,24 +168,79 @@ def crawl_frontier(
     (url, content, depth): every page fetched exactly once (first depth
     wins), across ``max_depth`` BFS rounds.
 
+    Scheme policy (the default frontier filter): ``allowed_schemes=None``
+    derives the allowlist as http/https PLUS whatever schemes the seeds
+    themselves use — so a file://-seeded integration crawl works, but a
+    remote page linking ``file:///etc/passwd`` into an http(s) crawl never
+    reaches the fetcher. The filter applies to every round's frontier,
+    seeds included.
+
+    Politeness (reference ``scraper/main.py:101-103,135`` sleeps between
+    page loads): ``min_delay_per_domain`` > 0 enforces at-least-that spacing
+    between successive fetch STARTS against the same domain. The frontier is
+    repartitioned by domain so one task owns one domain's queue (spacing
+    needs a single clock per domain), and inside each Arrow batch the URLs
+    are reordered round-robin across domains (``polite_order``) so one
+    domain's wait overlaps other domains' fetches instead of stalling the
+    task — serialize within domain, parallelize across.
+
     Scale: the visited set stays distributed (anti-join, never collected);
     each round's frontier is checkpointed so the iteration doesn't stack
     lineage — same discipline as ``dedup.connected_components``."""
     fetch = fetch_fn or default_fetch
+    if allowed_schemes is None:
+        # '' (scheme-less seed names, as in the stub-fetch tests) is a seed
+        # scheme like any other: seeding bare names allows bare-name links.
+        seed_schemes = {
+            r[0]
+            for r in seeds.select(
+                F.lower(
+                    F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+                )
+            )
+            .distinct()
+            .collect()  # distinct SCHEMES — a handful of rows, never URLs
+        }
+        allowed_schemes = tuple({"http", "https"} | seed_schemes)
+    scheme_ok = F.lower(
+        F.regexp_extract("url", r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1)
+    ).isin(*allowed_schemes)
 
     def fetch_batches(it: Iterator[Any]) -> Iterator[Any]:
         import pandas as pd
 
         for pdf in it:
             urls = pdf["url"].tolist()
-            contents, links = fetch(urls)
+            if min_delay_per_domain > 0 and len(urls) > 1:
+                contents: list[str | None] = [None] * len(urls)
+                links: list[list[str]] = [[] for _ in urls]
+                last_start: dict[str, float] = {}
+                for i in polite_order(urls):
+                    dom = url_domain(urls[i])
+                    prev = last_start.get(dom)
+                    now = time.monotonic()
+                    if prev is not None and now - prev < min_delay_per_domain:
+                        time.sleep(min_delay_per_domain - (now - prev))
+                    last_start[dom] = time.monotonic()
+                    c, ls = fetch([urls[i]])
+                    contents[i], links[i] = c[0], ls[0]
+            else:
+                contents, links = fetch(urls)
             yield pd.DataFrame(
                 {"url": urls, "content": contents, "links": links}
             )
 
-    frontier = seeds.select("url").distinct().localCheckpoint(eager=True)
+    frontier = (
+        seeds.select("url").filter(scheme_ok).distinct()
+    ).localCheckpoint(eager=True)
     visited = None  # (url, content, depth)
     for depth in range(max_depth + 1):
+        if min_delay_per_domain > 0:
+            # one task per domain hash-bucket: a domain's queue never splits
+            # across tasks, so the per-domain clock in fetch_batches is global
+            frontier = frontier.repartition(
+                F.lower(F.regexp_extract("url", r"^[^:]+://([^/?#]*)", 1))
+            )
         fetched = frontier.mapInPandas(fetch_batches, schema=FETCH_SCHEMA)
         pages = fetched.select(
             "url", "content", F.lit(depth).alias("depth")
@@ -142,6 +251,7 @@ def crawl_frontier(
         out_links = (
             fetched.select(F.explode_outer("links").alias("url"))
             .filter(F.col("url").isNotNull())
+            .filter(scheme_ok)
             .distinct()
         )
         frontier = out_links.join(

@@ -33,20 +33,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     SparkSession (e.g. a harness that builds its own vanilla session)."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # The NTZ->timestamp cast below reinterprets the naive wall clock in
-        # the SESSION timezone; under a non-UTC vanilla session that would
-        # yield instants differing from both DuckDB's naive==UTC reading and
-        # the bigint/nanos branch (timestamp_micros is instant-based). Pin
-        # UTC here — runtime-settable SQL conf, same rationale as
-        # nanosAsLong — so both vintages agree on any caller's session.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            # naive wall clock == UTC instant, expressed WITHOUT touching the
+            # session timezone: micros since the NTZ epoch is pure wall-clock
+            # arithmetic (session-independent), and timestamp_micros is
+            # instant-based. A plain cast("timestamp") would reinterpret the
+            # wall clock in whatever the caller's session tz happens to be —
+            # and pinning spark.sql.session.timeZone here would leak a
+            # permanent order-dependent global into the caller's session.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr(
+                        "timestampdiff(MICROSECOND, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                    )
+                ),
+            )
     return df
 
 

@@ -1014,7 +1014,9 @@ def pack_sequences(
     windows, which wastes at most one partial window per shard — the same
     deal every sharded pretraining layout accepts."""
     ntok = F.size(F.split(F.col(text_col), " "))
-    shard = (F.col(id_col) / shard_size).cast("bigint")
+    # integer division, not float-divide-then-cast: stays exact over the
+    # full int64 id range (float division loses precision past 2^53)
+    shard = F.expr(f"{id_col} div {shard_size}")
     w = (
         Window.partitionBy("stream", "shard")
         .orderBy("doc")
@@ -1066,14 +1068,14 @@ def pack_sequences(
     """,
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``pack_sequences`` over the documents table: whitespace token counts,
-    {budget}-token windows, sharded per source stream. The window manifest
-    (doc span + token count per context window) is oracle-checked
-    bit-for-bit — a wrong boundary, a lost document, or an off-by-one in
-    the running total breaks the hash.""".replace(
-        "{budget}", str(PACK_BUDGET)
-    )
     return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+q_pack_sequences.__doc__ = f"""``pack_sequences`` over the documents table:
+whitespace token counts, {PACK_BUDGET}-token windows, sharded per source
+stream. The window manifest (doc span + token count per context window) is
+oracle-checked bit-for-bit — a wrong boundary, a lost document, or an
+off-by-one in the running total breaks the hash."""
 
 
 @query(

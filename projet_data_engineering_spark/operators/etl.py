@@ -486,9 +486,12 @@ def canonicalize_url(url) -> "F.Column":
         F.regexp_extract(rest, r"^[^/?#]*([^?#]*)", 1), r"/+$", ""
     )
     path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    # strip the fragment BEFORE extracting the query: a '?' inside the
+    # fragment of a query-less URL ('http://h/p#f?x=1') is not a query
+    nofrag = F.regexp_replace(url, r"#.*$", "")
     params = F.array_sort(
         F.filter(
-            F.split(F.regexp_extract(url, r"\?([^#]*)", 1), "&"),
+            F.split(F.regexp_extract(nofrag, r"\?(.*)$", 1), "&"),
             lambda p: (p != "") & ~p.rlike(TRACKING_PARAMS),
         )
     )
@@ -525,7 +528,8 @@ def canonicalize_url(url) -> "F.Column":
                lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
                    AS scheme,
                regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest,
-               regexp_extract(url, '\\?([^#]*)', 1) AS query
+               regexp_extract(regexp_replace(url, '#.*$', ''),
+                              '\\?(.*)$', 1) AS query
         FROM gen
     ),
     c2 AS (

@@ -96,17 +96,35 @@ _R3_GREEN = {
 }
 
 
+# Names the driver checked in round 4 (CORRECTNESS_r04.json: 50/50 green).
+# Cumulatively r1-r4 covers all 170 queries registered through round 4; any
+# round-5 additions are the only unchecked names and lead the walk.
+_R4_GREEN = {
+    "q_embed_quantize", "q_ann_recall", "q_dup_spans", "q_split_groupsafe",
+    "q_dedup_incremental", "q_bpe_pairs", "q_url_dedup", "q_media_decode",
+    "q_pagerank", "q_triangle_count", "q_degree_hist", "q_simhash_pairs",
+    "q_scd2", "q_sessionize", "q_profile", "q_train_test_split", "q_pmi",
+    "q_doc_logprob", "q_incremental_agg", "q_sample_weighted",
+    "q_token_count_bpe", "q_anomaly_mad", "q_entropy", "q_heavy_hitters",
+    "q_ngram_jaccard_pairs", "q_pack_sequences", "q_temporal_join", "q_kmeans",
+}
+
+
 def _ordered(names: list[str]) -> list[str]:
     """Walk order for a budget-limited (50 queries/round) driver sweep:
     never-driver-checked queries first, then proven names OLDEST evidence
-    first (r1 → r2 → r3) so the rotation re-confirms rows that predate the
-    most refactoring — VERDICT r3 item 8's cheap insurance. Registration
-    order is preserved within each group."""
-    unchecked = [n for n in names if n not in _PROVEN and n not in _R3_GREEN]
-    r1 = [n for n in names if n in _R1_GREEN]
-    r2 = [n for n in names if n in _R2_GREEN]
-    r3 = [n for n in names if n in _R3_GREEN]
-    return unchecked + r1 + r2 + r3
+    first (r1 → r2 → r3 → r4) so the rotation re-confirms rows that predate
+    the most refactoring — VERDICT r3 item 8's cheap insurance. Registration
+    order is preserved within each group. Names checked in several rounds
+    sort by their OLDEST evidence (dict-order of the first matching group)."""
+    seen: set[str] = set()
+    groups: list[list[str]] = []
+    known = _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN
+    groups.append([n for n in names if n not in known])
+    for tier in (_R1_GREEN, _R2_GREEN, _R3_GREEN, _R4_GREEN):
+        groups.append([n for n in names if n in tier and n not in seen])
+        seen |= tier
+    return [n for g in groups for n in g]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -212,3 +212,110 @@ def test_urllib_fetch_dead_url_yields_none_not_exception():
     contents, links = urllib_fetch(["file:///nonexistent/nowhere.html"])
     assert contents == [None]
     assert links == [[]]
+
+
+def test_urllib_fetch_blocks_non_allowlisted_schemes():
+    """data: URLs ARE openable by urllib — the allowlist must stop them
+    before urlopen, same for ftp:/mailto:/scheme-less strings."""
+    from projet_data_engineering_spark.crawl import urllib_fetch
+
+    bad = [
+        "data:text/html,<a href='file:///etc/passwd'>x</a>",
+        "ftp://host/x",
+        "mailto:a@b",
+        "not-a-url",
+    ]
+    contents, links = urllib_fetch(bad)
+    assert contents == [None] * 4
+    assert links == [[]] * 4
+    # and file:// is refused too when the caller narrows the allowlist
+    c2, _l2 = urllib_fetch(
+        ["file:///etc/hostname"], allowed_schemes=("http", "https")
+    )
+    assert c2 == [None]
+
+
+def test_crawl_http_seeded_frontier_never_fetches_file_links(spark):
+    """ADVICE r4: a remote page can link file:///etc/passwd; an http(s)-
+    seeded crawl must never frontier it. Everything fetched lands in the
+    visited set, so absence from ``visited`` proves it was never fetched."""
+    web = {
+        "http://site/a": ["http://site/b", "file:///etc/passwd",
+                          "data:text/html,x"],
+        "http://site/b": [],
+    }
+
+    def fetch(urls):
+        return [f"page:{u}" for u in urls], [web.get(u, []) for u in urls]
+
+    seeds = spark.createDataFrame([Row(url="http://site/a")])
+    got = {r["url"] for r in crawl_frontier(seeds, fetch, max_depth=3).collect()}
+    assert got == {"http://site/a", "http://site/b"}
+
+
+def test_crawl_file_seeded_frontier_allows_file_links(spark):
+    """file:// stays crawlable when the SEED itself is file:// (the
+    integration-test path) — the allowlist is seed-derived."""
+    web = {
+        "file:///site/a.html": ["file:///site/b.html", "ftp://host/x"],
+        "file:///site/b.html": [],
+    }
+
+    def fetch(urls):
+        return [f"page:{u}" for u in urls], [web.get(u, []) for u in urls]
+
+    seeds = spark.createDataFrame([Row(url="file:///site/a.html")])
+    got = {r["url"] for r in crawl_frontier(seeds, fetch, max_depth=3).collect()}
+    assert got == {"file:///site/a.html", "file:///site/b.html"}
+
+
+def test_polite_order_round_robins_across_domains():
+    from projet_data_engineering_spark.crawl import polite_order
+
+    urls = [
+        "http://d1/1", "http://d1/2", "http://d1/3",
+        "http://d2/1", "http://d2/2",
+        "http://d3/1",
+    ]
+    order = [urls[i] for i in polite_order(urls)]
+    # consecutive fetches rotate domains; per-domain order preserved
+    assert order == [
+        "http://d1/1", "http://d2/1", "http://d3/1",
+        "http://d1/2", "http://d2/2",
+        "http://d1/3",
+    ]
+
+
+def test_crawl_min_delay_spaces_same_domain_fetch_starts(spark):
+    """Reference ``scraper/main.py:101-103,135`` sleeps between page loads;
+    here ``min_delay_per_domain`` enforces spacing between successive fetch
+    starts within a domain. The fetch stamps time.monotonic() (system-wide
+    clock, comparable across executor worker processes) into the content;
+    spacing is asserted from the collected stamps."""
+    DELAY = 0.2
+    web = {
+        f"http://{d}/{i}": [] for d in ("alpha", "beta") for i in range(3)
+    }
+
+    def stamping_fetch(urls):
+        import time as _t
+
+        return [f"{_t.monotonic():.6f}" for _u in urls], [
+            web.get(u, []) for u in urls
+        ]
+
+    seeds = spark.createDataFrame([Row(url=u) for u in web])
+    rows = crawl_frontier(
+        seeds, stamping_fetch, max_depth=0, min_delay_per_domain=DELAY
+    ).collect()
+    assert len(rows) == 6
+    by_domain: dict[str, list[float]] = {}
+    for r in rows:
+        dom = r["url"].split("/")[2]
+        by_domain.setdefault(dom, []).append(float(r["content"]))
+    for dom, stamps in by_domain.items():
+        stamps.sort()
+        gaps = [b - a for a, b in zip(stamps, stamps[1:])]
+        assert len(stamps) == 3
+        # stamp is taken a hair after the recorded start; allow 10% slop
+        assert all(g >= DELAY * 0.9 for g in gaps), (dom, gaps)
