@@ -632,31 +632,109 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Pair-key separator for the in-fold merge lookup. Guaranteed absent from
+# symbols: initial symbols are single characters of words that survive the
+# dictionary filter (words containing the separator are dropped there), and
+# merged symbols are concatenations of surviving characters.
+BPE_SEP = "\x1e"
+
+
+def _bpe_safe_batch(top: list, max_batch: int, complete: bool) -> list:
+    """Largest PREFIX of the ranked pair list that provably replays the
+    sequential greedy order when applied together. Walking ranks in order
+    (count desc, (left, right) asc), a candidate closes the batch when:
+
+    - it shares a symbol with a selected pair, or its symbols/merged form
+      collide with a selected pair's symbols/merged form (merging one would
+      perturb the other's count, or their created pairs could stack);
+    - the previous selected pair is a self-pair (left == right): its greedy
+      merge leaves leftover adjacencies like (aa, a) whose count is bounded
+      by the SELF-pair's own count, not the batch boundary's.
+
+    A tie at the batch boundary is then trimmed away: every non-selected
+    pair — including any pair the batch's merges CREATE (each bounded by
+    one old pair ranked below the boundary) — must count STRICTLY below the
+    last selected pair, or it could steal a later argmax. ``complete``
+    means ``top`` holds every pair there is (no unseen tail to tie with).
+    A batch of 1 is literally the sequential step, so this never gets
+    stuck."""
+    sel: list = []
+    used: set[str] = set()
+    for row in top:
+        left, right = row["l"], row["r"]
+        if sel:
+            if sel[-1]["l"] == sel[-1]["r"]:
+                break
+            if (
+                left in used
+                or right in used
+                or (left + right) in used
+            ):
+                break
+        sel.append(row)
+        used |= {left, right, left + right}
+        if len(sel) == max_batch:
+            break
+    return _bpe_tie_trim(top, sel, complete)
+
+
+def _bpe_tie_trim(top: list, sel: list, complete: bool) -> list:
+    while len(sel) > 1:
+        if len(sel) >= len(top):
+            if complete:
+                break
+            sel.pop()  # unseen tail could tie with the last selected
+            continue
+        if top[len(sel)]["n"] == sel[-1]["n"]:
+            sel.pop()
+        else:
+            break
+    return sel
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 10,
     checkpoint_every: int = 4,
+    max_batch: int = 8,
+    scout: int = 64,
+    stats: dict | None = None,
 ) -> list:
     """Distributed BPE vocabulary training: ``n_merges`` greedy merge steps
-    over the word dictionary, returning the ordered merge table (the model
-    artifact a tokenizer ships with).
+    over the word dictionary, returning the ordered merge table as
+    ``(left, right)`` tuples (the model artifact a tokenizer ships with —
+    tuple-keyed, so distinct pairs that CONCATENATE identically, e.g.
+    ('a','ba') vs ('ab','a') -> 'aba', never conflate in counting or
+    application).
 
     Scale shape — the same one q_bpe_pairs documents: the corpus collapses
-    to (word, freq) ONCE; every merge iteration then runs at dictionary
-    scale. Per step: (1) adjacent-pair counts weighted by freq, (2) argmax
-    pair (count desc, pair asc — the deterministic tie-break), collected as
-    ONE driver row per step (the merge decision itself, like the
-    convergence probe in connected_components — never row data), (3) greedy
-    left-to-right in-word merge applied as a single ``aggregate`` fold with
-    a (out, pending) struct accumulator — JVM-side, no UDFs: overlapping
-    occurrences ("aaa" + merge "aa") resolve left-first exactly like the
-    reference BPE algorithm. Lineage is truncated with localCheckpoint
-    every ``checkpoint_every`` merges, the house discipline for iterative
-    plans. Python-reference parity is pinned in pytest."""
+    to (word, freq) ONCE; every iteration then runs at dictionary scale.
+    Per round: (1) adjacent-pair counts weighted by freq, top-``scout``
+    collected (the merge DECISIONS, like the convergence probe in
+    connected_components — never row data); (2) the longest provably-safe
+    prefix of that ranking (``_bpe_safe_batch``: pairwise non-interfering,
+    no tie at the batch boundary — conditions under which applying them
+    together replays the sequential greedy order EXACTLY, pinned against a
+    literal python BPE in pytest) is applied as ONE greedy left-to-right
+    fold with a (out, pending) struct accumulator — JVM-side, no UDFs:
+    the pending+next pair is looked up in a literal merge map keyed
+    ``left SEP right``, overlapping occurrences ("aaa" + merge (a,a))
+    resolve left-first exactly like the reference BPE algorithm; (3) a
+    one-round symbol-collision probe closes a batch at any rule whose
+    merged form already exists as a dictionary symbol (its merge would
+    INCREMENT an existing pair's count past the boundary bound). A real
+    32K-vocab train thus runs ~max_batch× fewer Spark rounds than
+    one-job-per-merge. Lineage is truncated with localCheckpoint every
+    ``checkpoint_every`` rounds, the house discipline for iterative plans.
+    ``stats['rounds']`` reports the round count when a dict is passed."""
     words = (
         docs.select(F.explode(F.split(F.lower(text_col), " ")).alias("w"))
-        .filter((F.col("w") != "") & (F.length("w") >= 2))
+        .filter(
+            (F.col("w") != "")
+            & (F.length("w") >= 2)
+            & ~F.col("w").contains(BPE_SEP)
+        )
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
         .select(
@@ -666,31 +744,66 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list = []
-    for step in range(n_merges):
-        pair_counts = (
-            words.select(
+    rounds = 0
+    while len(merges) < n_merges:
+        top = (
+            words.filter(F.size("syms") >= 2)
+            .select(
                 F.explode(
                     F.transform(
                         F.sequence(F.lit(1), F.size("syms") - 1),
-                        lambda i: F.concat(
-                            F.element_at("syms", i), F.element_at("syms", i + 1)
+                        lambda i: F.struct(
+                            F.element_at("syms", i).alias("l"),
+                            F.element_at("syms", i + 1).alias("r"),
                         ),
                     )
-                ).alias("pair"),
+                ).alias("p"),
                 "freq",
             )
-            .filter(F.size("syms") >= 2)
-            .groupBy("pair")
+            .groupBy("p.l", "p.r")
             .agg(F.sum("freq").alias("n"))
-            .orderBy(F.desc("n"), F.asc("pair"))
-            .limit(1)
+            .orderBy(F.desc("n"), F.asc("l"), F.asc("r"))
+            .limit(scout)
             .collect()
         )
-        if not pair_counts:
+        if not top:
             break
-        best = pair_counts[0]["pair"]
-        merges.append(best)
-        # greedy left-to-right merge: fold with (out, pending) accumulator
+        batch = _bpe_safe_batch(
+            top, min(max_batch, n_merges - len(merges)), len(top) < scout
+        )
+        if len(batch) > 1:
+            # merged forms that ALREADY exist as dictionary symbols: merging
+            # such a rule increments an existing pair's count (bounded by
+            # its old count + the created occurrences — possibly past the
+            # boundary bound), so it must be the LAST rule of its batch
+            hits = {
+                r[0]
+                for r in words.select(F.explode("syms").alias("s"))
+                .filter(
+                    F.col("s").isin([b["l"] + b["r"] for b in batch])
+                )
+                .distinct()
+                .collect()
+            }
+            for k, b in enumerate(batch):
+                if b["l"] + b["r"] in hits:
+                    batch = batch[: k + 1]
+                    break
+            batch = _bpe_tie_trim(top, batch, len(top) < scout)
+        merges.extend((b["l"], b["r"]) for b in batch)
+        rules = F.create_map(
+            *[
+                lit
+                for b in batch
+                for lit in (
+                    F.lit(b["l"] + BPE_SEP + b["r"]),
+                    F.lit(b["l"] + b["r"]),
+                )
+            ]
+        )
+        # greedy left-to-right merge: fold with (out, pending) accumulator;
+        # the (pending, next) pair is looked up in the batch's rule map
+        # (concat yields NULL key when pending is NULL -> no hit)
         merged = F.aggregate(
             F.col("syms"),
             F.struct(
@@ -698,11 +811,18 @@ def bpe_train(
                 F.lit(None).cast("string").alias("pend"),
             ),
             lambda acc, s: F.when(
-                acc["pend"].isNotNull() & (F.concat(acc["pend"], s) == best),
+                F.try_element_at(
+                    rules, F.concat(acc["pend"], F.lit(BPE_SEP), s)
+                ).isNotNull(),
                 F.struct(
                     F.concat(
                         F.coalesce(acc["out"], F.array()),
-                        F.array(F.lit(best)),
+                        F.array(
+                            F.try_element_at(
+                                rules,
+                                F.concat(acc["pend"], F.lit(BPE_SEP), s),
+                            )
+                        ),
                     ).alias("out"),
                     F.lit(None).cast("string").alias("pend"),
                 ),
@@ -728,6 +848,9 @@ def bpe_train(
             ).otherwise(F.coalesce(acc["out"], F.array())),
         )
         words = words.select(merged.alias("syms"), "freq")
-        if (step + 1) % checkpoint_every == 0:
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             words = words.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds
     return merges

@@ -611,58 +611,106 @@ def test_pack_sequences_property_matches_python_reference(spark):
     run()
 
 
-def test_bpe_train_matches_python_reference(spark):
-    """Exact parity of the distributed BPE trainer with a literal python
-    BPE (same tie-break: count desc, pair asc), on a corpus engineered to
-    exercise greedy left-to-right overlap ('aaaa' + merge 'aa' -> [aa, aa])
-    and merged-symbol pairs in later rounds."""
+def _py_bpe(texts, n_merges):
+    """Literal sequential BPE, TUPLE-keyed pairs (ADVICE r4: plain string
+    concatenation conflates ('a','ba') with ('ab','a')); tie-break count
+    desc, (left, right) asc — the ground truth both trainer modes must
+    replay exactly."""
     from collections import Counter
 
+    words = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if len(w) >= 2:
+                words[w] += 1
+    vocab = {tuple(w): f for w, f in words.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, pend = [], None
+            for s in syms:
+                if pend is not None and (pend, s) == best:
+                    out.append(pend + s)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+BPE_CORPORA = [
+    # greedy overlap ('aaaa' + merge (a,a) -> [aa, aa]) + merged-symbol pairs
+    [
+        "aaaa abab low lower lowest",
+        "abab abab low low newer newer",
+        "aaaa banana low newer",
+    ],
+    # concat-ambiguity stress: 'ab'/'ba' symbols coexist with 'a','b' so
+    # tuple pairs like ('ab','a') and ('a','ba') arise in later rounds —
+    # string-concat keying would conflate them
+    [
+        "ababa ababa abab aba",
+        "baba baab aab aba aba",
+        "aaaa aaab baaa abba",
+    ],
+    # self-pairs and chained merges over a tiny alphabet
+    [
+        "aaaaaa aaa aa",
+        "cc ccc cccc aacc",
+        "acac caca aacc ccaa",
+    ],
+]
+
+
+@pytest.mark.parametrize("corpus", range(len(BPE_CORPORA)))
+@pytest.mark.parametrize("max_batch", [1, 8])
+def test_bpe_train_matches_python_reference(spark, corpus, max_batch):
+    """Exact parity of the distributed BPE trainer — BOTH one-merge-per-round
+    (max_batch=1, literally sequential) and batched rounds (max_batch=8,
+    provably-safe prefixes) — with the tuple-keyed python reference."""
     from pyspark.sql import Row
 
     from projet_data_engineering_spark.operators.textanalysis import bpe_train
 
-    texts = [
-        "aaaa abab low lower lowest",
-        "abab abab low low newer newer",
-        "aaaa banana low newer",
-    ]
-
-    def py_bpe(texts, n_merges):
-        words = Counter()
-        for t in texts:
-            for w in t.lower().split(" "):
-                if len(w) >= 2:
-                    words[w] += 1
-        vocab = {tuple(w): f for w, f in words.items()}
-        merges = []
-        for _ in range(n_merges):
-            pairs = Counter()
-            for syms, f in vocab.items():
-                for i in range(len(syms) - 1):
-                    pairs[syms[i] + syms[i + 1]] += f
-            if not pairs:
-                break
-            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-            merges.append(best)
-            new_vocab = {}
-            for syms, f in vocab.items():
-                out, pend = [], None
-                for s in syms:
-                    if pend is not None and pend + s == best:
-                        out.append(best)
-                        pend = None
-                    else:
-                        if pend is not None:
-                            out.append(pend)
-                        pend = s
-                if pend is not None:
-                    out.append(pend)
-                new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
-            vocab = new_vocab
-        return merges
-
+    texts = BPE_CORPORA[corpus]
     docs = spark.createDataFrame([Row(text=t) for t in texts])
-    got = bpe_train(docs, n_merges=8)
-    want = py_bpe(texts, 8)
+    got = bpe_train(docs, n_merges=12, max_batch=max_batch)
+    want = _py_bpe(texts, 12)
     assert got == want
+
+
+def test_bpe_train_batching_cuts_round_count(spark):
+    """The point of batched selection: disjoint top pairs apply in ONE fold
+    round. A corpus with many independent frequent pairs must train the
+    same merge table in fewer Spark rounds than merges."""
+    from pyspark.sql import Row
+
+    from projet_data_engineering_spark.operators.textanalysis import bpe_train
+
+    # 8 disjoint two-letter words (one pair each) with strictly descending
+    # frequencies: all 8 are mutually safe, so one round fits the whole batch
+    pairs = ["ab", "cd", "ef", "gh", "ij", "kl", "mn", "op"]
+    texts = [" ".join(pairs[: 8 - k]) for k in range(8)]
+    docs = spark.createDataFrame([Row(text=t) for t in texts])
+    stats: dict = {}
+    got = bpe_train(docs, n_merges=8, max_batch=8, stats=stats)
+    assert got == _py_bpe(texts, 8)
+    assert stats["rounds"] < 8, stats
+    seq_stats: dict = {}
+    seq = bpe_train(docs, n_merges=8, max_batch=1, stats=seq_stats)
+    assert seq == got
+    assert seq_stats["rounds"] == 8
