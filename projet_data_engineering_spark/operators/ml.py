@@ -52,14 +52,15 @@ def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
     return best.select("vec_id", "b.cid", "b.e", "b.d2")
 
 
-def kmeans_stats(emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM) -> DataFrame:
-    """Lloyd's k-means, ``iters`` rounds from md5-deterministic seeds;
-    returns (centroid_id, n_members, inertia) for the final assignment.
-
-    At 100 TB: assignment never shuffles the corpus (broadcast centroids),
-    each update is one aggregate; for deep runs add a localCheckpoint on
-    the k-row centroid frame every few rounds (it is the only thing whose
-    lineage grows) — at 2 rounds the plan stays shallow without it."""
+def kmeans_centroids(
+    emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM
+) -> DataFrame:
+    """Lloyd's k-means TRAINING, ``iters`` rounds from md5-deterministic
+    seeds; returns the (cid, ce) centroid artifact — the k-row model that
+    downstream consumers (IVF coarse quantizer, cluster-balanced sampling)
+    broadcast. Determinism contract is the module docstring's: seeds by
+    md5(vec_id), 6dp-rounded means, so the artifact is bit-comparable to
+    the DuckDB transcription (:func:`kmeans_centroid_ctes`)."""
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
@@ -81,7 +82,22 @@ def kmeans_stats(emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM)
         cents = means.select(
             "cid", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("ce")
         )
-    final = _assign(e, cents)
+    return cents
+
+
+def kmeans_stats(emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM) -> DataFrame:
+    """Lloyd's k-means, ``iters`` rounds from md5-deterministic seeds;
+    returns (centroid_id, n_members, inertia) for the final assignment.
+
+    At 100 TB: assignment never shuffles the corpus (broadcast centroids),
+    each update is one aggregate; for deep runs add a localCheckpoint on
+    the k-row centroid frame every few rounds (it is the only thing whose
+    lineage grows) — at 2 rounds the plan stays shallow without it."""
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    final = _assign(e, kmeans_centroids(emb, k, iters, dim))
     return (
         final.groupBy(F.col("cid").alias("centroid_id"))
         .agg(
@@ -91,52 +107,83 @@ def kmeans_stats(emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM)
     )
 
 
-def _kmeans_oracle(k: int = K, iters: int = ITERS, dim: int = DIM) -> str:
-    """Unrolled-iteration DuckDB transcription of :func:`kmeans_stats`."""
+def kmeans_centroid_ctes(
+    k: int = K, iters: int = ITERS, dim: int = DIM, prefix: str = ""
+) -> tuple[list[str], str]:
+    """DuckDB CTE transcription of :func:`kmeans_centroids`, unrolled per
+    iteration. Returns (cte_list, final_centroid_cte_name) — the final CTE
+    has columns (cid, ce). ``prefix`` namespaces the CTEs so a consumer
+    query (IVF, recall) can splice them next to its own. Shared by
+    q_kmeans / q_ann_ivf / q_ann_recall so all three oracles train the
+    SAME centroids the Spark side does."""
+    p = prefix
     d2 = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
-        "i -> (e[i] - ce[i]) * (e[i] - ce[i])))"
+        f"i -> ({p}emb.e[i] - c.ce[i]) * ({p}emb.e[i] - c.ce[i])))"
     )
     ctes = [
-        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)",
-        f"""c0 AS (
+        f"{p}emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings)",
+        f"""{p}c0 AS (
             SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                        AS cid,
                    e AS ce
-            FROM (SELECT vec_id, e FROM emb
+            FROM (SELECT vec_id, e FROM {p}emb
                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
         )""",
     ]
-    for t in range(iters + 1):
+    for t in range(iters):
         ctes.append(
-            f"""a{t} AS (
+            f"""{p}a{t} AS (
+            SELECT vec_id, e, cid, d2 FROM (
+                SELECT {p}emb.vec_id, {p}emb.e, c.cid, {d2} AS d2,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY {p}emb.vec_id
+                           ORDER BY {d2}, c.cid
+                       ) AS rn
+                FROM {p}emb CROSS JOIN {p}c{t} c
+            ) WHERE rn = 1
+        )"""
+        )
+        ctes.append(
+            f"""{p}c{t + 1} AS (
+            SELECT cid, list(m ORDER BY i) AS ce FROM (
+                SELECT cid, g.i AS i, ROUND(AVG(e[g.i]), 6) AS m
+                FROM {p}a{t} CROSS JOIN
+                     (SELECT UNNEST(generate_series(1, {dim})) AS i) g
+                GROUP BY cid, g.i
+            ) GROUP BY cid
+        )"""
+        )
+    return ctes, f"{p}c{iters}"
+
+
+def _kmeans_oracle(k: int = K, iters: int = ITERS, dim: int = DIM) -> str:
+    """Unrolled-iteration DuckDB transcription of :func:`kmeans_stats`:
+    trained centroids (shared CTE builder) + one final assignment pass."""
+    ctes, cfinal = kmeans_centroid_ctes(k, iters, dim)
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (emb.e[i] - c.ce[i]) * (emb.e[i] - c.ce[i])))"
+    )
+    ctes = ctes + [
+        f"""afinal AS (
             SELECT vec_id, e, cid, d2 FROM (
                 SELECT emb.vec_id, emb.e, c.cid, {d2} AS d2,
                        ROW_NUMBER() OVER (
                            PARTITION BY emb.vec_id
                            ORDER BY {d2}, c.cid
                        ) AS rn
-                FROM emb CROSS JOIN c{t} c
+                FROM emb CROSS JOIN {cfinal} c
             ) WHERE rn = 1
         )"""
-        )
-        if t < iters:
-            ctes.append(
-                f"""c{t + 1} AS (
-                SELECT cid, list(m ORDER BY i) AS ce FROM (
-                    SELECT cid, g.i AS i, ROUND(AVG(e[g.i]), 6) AS m
-                    FROM a{t} CROSS JOIN
-                         (SELECT UNNEST(generate_series(1, {dim})) AS i) g
-                    GROUP BY cid, g.i
-                ) GROUP BY cid
-            )"""
-            )
+    ]
     joined = ",\n    ".join(ctes)
     return f"""
     WITH {joined}
     SELECT cid AS centroid_id, COUNT(*) AS n_members,
            ROUND(SUM(d2), 3) AS inertia
-    FROM a{iters}
+    FROM afinal
     GROUP BY cid
     """
 

@@ -21,7 +21,17 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.operators.ml import (
+    DIM,
+    kmeans_centroid_ctes,
+    kmeans_centroids,
+)
 from projet_data_engineering_spark.registry import query
+
+# IVF coarse quantizer: 8 k-means centroids, 2 Lloyd's rounds (trained by
+# operators.ml — the artifact q_ann_ivf/q_ann_recall broadcast)
+IVF_K = 8
+IVF_ITERS = 2
 
 
 def as_double(vec: Column) -> Column:
@@ -189,13 +199,63 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_cent_artifact(e: DataFrame) -> DataFrame:
+    """1-row broadcastable centroid artifact: collect_list of
+    struct(cent_id, cv) over the TRAINED k-means centroids (``operators.ml``
+    — k=8, 2 Lloyd's rounds, md5-deterministic seeds). The model a real IVF
+    index persists next to the data; at 100 TB you train it on a sample and
+    load it, here it trains inline in the same plan."""
+    return (
+        kmeans_centroids(e, k=IVF_K, iters=IVF_ITERS)
+        .select(
+            F.struct(
+                F.col("cid").alias("cent_id"), F.col("ce").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+        .persist()  # probe-depth slices re-read it through lineage on miss
+    )
+
+
+def _ivf_scored_cents(nprobe: int) -> Column:
+    """Per-vector scored centroid list over a broadcast ``cents`` artifact:
+    struct(cos, -cent_id), descending, so element 1 is the argmax with ties
+    toward the LOWEST centroid id; only the probe depth is kept."""
+    return F.slice(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        F.round(cosine(F.col("v"), c["cv"]), 4).alias("cos"),
+                        (-c["cent_id"]).alias("neg_id"),
+                    ),
+                )
+            )
+        ),
+        1,
+        nprobe,
+    )
+
+
+def _ivf_oracle_ctes() -> tuple[str, str]:
+    """(spliceable CTE text, final name) — trained centroids as (cent_id,
+    cv), shared verbatim with q_kmeans's oracle so both engines train the
+    SAME quantizer."""
+    ctes, cfinal = kmeans_centroid_ctes(IVF_K, IVF_ITERS, DIM, prefix="km")
+    ctes.append(
+        f"cent AS (SELECT cid AS cent_id, ce AS cv FROM {cfinal})"
+    )
+    return ",\n    ".join(ctes), "cent"
+
+
 @query(
     "q_ann_ivf",
-    oracle="""
-    WITH b AS (
+    oracle=f"""
+    WITH {_ivf_oracle_ctes()[0]},
+    b AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    cent AS (SELECT vec_id AS cent_id, v AS cv FROM b WHERE vec_id < 8),
     assign AS (
         SELECT vec_id, cent_id, v FROM (
             SELECT b.vec_id, c.cent_id, b.v,
@@ -233,49 +293,27 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the data-dependent alternative to sign-LSH bucketing.
 
-    Coarse quantizer = 8 deterministic centroids (vec_id < 8 — a k-means fit
-    would slot in identically; centroids are a small model artifact). Every
-    vector's centroid list is scored ONCE in a single map-only pass over a
-    broadcast centroid array and persisted; the assignment (top-1) and the
-    query probe lists (top-2) are both derived from that one materialization
-    — the corpus is scanned exactly once, no shuffle anywhere before the
-    probe join. At 100 TB the persisted assignment becomes a table written
-    partitioned by ``cent_id``, turning each probe into a partition-pruned
-    scan."""
+    Coarse quantizer = the TRAINED k-means artifact (``operators.ml``
+    ``kmeans_centroids``, k=8, 2 Lloyd's rounds — no placeholder; the
+    oracle trains the same centroids via the shared CTE transcription).
+    Every vector's centroid list is scored ONCE in a single map-only pass
+    over the broadcast centroid array and persisted; the assignment (top-1)
+    and the query probe lists (top-2) are both derived from that one
+    materialization — the corpus is scanned once for the index build (the
+    training rounds scan it separately, as any index build does; at scale
+    you train on a sample), no shuffle anywhere before the probe join. At
+    100 TB the persisted assignment becomes a table written partitioned by
+    ``cent_id``, turning each probe into a partition-pruned scan."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    cents = (
-        b.filter(F.col("vec_id") < 8)
-        .select(F.struct(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")).alias("c"))
-        .agg(F.collect_list("c").alias("cents"))
-        .persist()  # 1-row centroid artifact (the probe-depth slice below
-        # re-reads it through scored's lineage on cache miss)
-    )
-
-    # per-vector scored centroid list: struct(cos, -cent_id), descending, so
-    # element 1 is the argmax with ties toward the LOWEST centroid id
-    scored_cents = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.transform(
-                    F.col("cents"),
-                    lambda c: F.struct(
-                        F.round(cosine(F.col("v"), c["cv"]), 4).alias("cos"),
-                        (-c["cent_id"]).alias("neg_id"),
-                    ),
-                )
-            )
-        ),
-        1,
-        2,  # nprobe — only the probe depth is ever consumed
-    )
+    cents = _ivf_cent_artifact(e)
     # ONE corpus scan: (vec_id, v, top-2 centroid ids), persisted and shared
     # by the assignment and the probe branch (previously two full scans).
     scored = (
         b.crossJoin(F.broadcast(cents))
-        .select("vec_id", "v", scored_cents.alias("top2"))
+        .select("vec_id", "v", _ivf_scored_cents(2).alias("top2"))
         .persist()
     )
     assigned = scored.select(
@@ -482,8 +520,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_recall",
-    oracle="""
-    WITH b AS (
+    oracle=f"""
+    WITH {_ivf_oracle_ctes()[0]},
+    b AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END
                 || CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END
@@ -502,7 +541,7 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id
         ) WHERE rn <= 5
     ),
-    ann AS (
+    ann_lsh AS (
         SELECT query_id, vec_id FROM (
             SELECT q.query_id, b.vec_id,
                    ROW_NUMBER() OVER (
@@ -511,24 +550,64 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 DESC, b.vec_id ASC) AS rn
             FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id
         ) WHERE rn <= 5
-    )
-    SELECT t.query_id,
+    ),
+    assign AS (
+        SELECT vec_id, cent_id, v FROM (
+            SELECT b.vec_id, c.cent_id, b.v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(b.v, c.cv), 4) DESC,
+                                c.cent_id ASC) AS rn
+            FROM b CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probe AS (
+        SELECT query_id, cent_id, qv FROM (
+            SELECT b.vec_id AS query_id, c.cent_id, b.v AS qv,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(b.v, c.cv), 4) DESC,
+                                c.cent_id ASC) AS rn
+            FROM b CROSS JOIN cent c WHERE b.vec_id < 3
+        ) WHERE rn <= 2
+    ),
+    ann_ivf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY ROUND(list_cosine_similarity(a.v, p.qv), 4)
+                                DESC, a.vec_id ASC) AS rn
+            FROM assign a JOIN probe p
+              ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id
+        ) WHERE rn <= 5
+    ),
+    ann_all AS (
+        SELECT query_id, vec_id, 'lsh' AS method FROM ann_lsh
+        UNION ALL
+        SELECT query_id, vec_id, 'ivf' AS method FROM ann_ivf
+    ),
+    m AS (SELECT DISTINCT method FROM ann_all)
+    SELECT t.query_id, m.method,
            CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
            ROUND(COUNT(a.vec_id) / 5.0, 4) AS recall
-    FROM truth t
-    LEFT JOIN ann a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
-    GROUP BY t.query_id
+    FROM truth t CROSS JOIN m
+    LEFT JOIN ann_all a ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+                    AND a.method = m.method
+    GROUP BY t.query_id, m.method
     """,
 )
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the sign-LSH ANN tier against the exact brute-force
-    top-5 — the accuracy contract an approximate index ships with (you
-    don't deploy an ANN path without measuring what it loses). Both sides
-    run in one plan: the exact side via the broadcast brute-force kNN, the
-    approximate side via the bucket join; recall = |ANN ∩ truth| / 5 per
-    query. At scale this runs over a sampled query panel — the corpus cost
-    is one scan per side, and the truth side is the expensive one (which
-    is the point: you compute it on the sample, not the fleet)."""
+    """Recall@5 of BOTH approximate tiers — sign-LSH buckets and the
+    k-means-trained IVF index — against the exact brute-force top-5: the
+    accuracy contract an approximate index ships with (you don't deploy an
+    ANN path without measuring what it loses). One plan: the exact side via
+    the broadcast brute-force kNN, the LSH side via the bucket join, the
+    IVF side via the trained-quantizer probe; recall = |ANN ∩ truth| / 5
+    per (query, method). At scale this runs over a sampled query panel —
+    the corpus cost is one scan per side, and the truth side is the
+    expensive one (which is the point: you compute it on the sample, not
+    the fleet)."""
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -536,7 +615,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
         sign_bucket(F.col("embedding"), n_bits=4).alias("bucket"),
-    ).persist()  # both ranking passes read it
+    ).persist()  # every ranking pass reads it
     q = b.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -559,21 +638,54 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", score)
     )
-    ann = top5(
+    ann_lsh = top5(
         b.join(F.broadcast(q), b["bucket"] == q["qbucket"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", score)
     )
-    hits = truth.join(ann, ["query_id", "vec_id"]).groupBy("query_id").agg(
-        F.count("*").alias("n_hits")
+    # IVF tier: same shared-scan shape as q_ann_ivf, trained quantizer
+    cents = _ivf_cent_artifact(e)
+    scored_c = (
+        b.crossJoin(F.broadcast(cents))
+        .select("vec_id", "v", _ivf_scored_cents(2).alias("top2"))
+        .persist()
     )
-    return (
-        truth.select("query_id")
-        .distinct()
-        .join(hits, "query_id", "left")
+    assigned = scored_c.select(
+        "vec_id", (-F.col("top2")[0]["neg_id"]).alias("cent_id"), "v"
+    )
+    probes = (
+        scored_c.filter(F.col("vec_id") < 3)
         .select(
-            "query_id",
-            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias("recall"),
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(F.col("top2.neg_id")).alias("neg_id"),
         )
+        .select("query_id", "qv", (-F.col("neg_id")).alias("cent_id"))
     )
+    ann_ivf = top5(
+        assigned.join(F.broadcast(probes), "cent_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", score)
+    )
+
+    def recall_of(ann: DataFrame, method: str) -> DataFrame:
+        hits = (
+            truth.join(ann, ["query_id", "vec_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_hits"))
+        )
+        return (
+            truth.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(method).alias("method"),
+                F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+                F.round(F.coalesce("n_hits", F.lit(0)) / 5.0, 4).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    return recall_of(ann_lsh, "lsh").unionByName(recall_of(ann_ivf, "ivf"))
