@@ -3,10 +3,11 @@
 Treats image/audio/video as ``binary`` columns with a typed metadata struct,
 processed via Arrow-batched ``mapInPandas`` — the only operator family where
 Python is the right tool (codec libraries). The Spark-side plumbing (schemas,
-batch shapes, partitioning) is real and tested. Header-level decode is REAL
-for the two stdlib-parsable container formats — BMP dimensions and RIFF/WAVE
-duration via ``struct`` (``decode_media``) — while pixel/sample decode and
-compressed codecs (PNG/JPEG/MP4) raise ``NotImplementedError`` at the marked
+batch shapes, partitioning) is real and tested. Decode is REAL for the three
+stdlib-parsable container formats — BMP dimensions, RIFF/WAVE duration via
+``struct``, and FULL PNG pixel decode (chunk walk + ``zlib`` inflate +
+per-scanline unfiltering) in ``decode_media`` — while sample decode for
+compressed codecs (JPEG/MP4) raises ``NotImplementedError`` at the marked
 swap point (``_decode_stub``): no image/audio libraries in this container;
 swap in PIL/torchaudio/pyav in production.
 
@@ -57,52 +58,119 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), False),
         StructField("checksum", StringType(), False),
         StructField("features", ArrayType(FloatType()), False),
-        # header-decoded metadata — filled when decode_media recognizes the
-        # container (BMP/WAV), NULL for formats needing a real codec library
+        # decoded metadata — filled when decode_media recognizes the
+        # container (BMP/WAV/PNG), NULL for formats needing a codec library
         StructField("mime", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
         StructField("duration_ms", LongType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        # PNG only: sum of the fully-decoded (inflated + unfiltered) pixel
+        # bytes — nonsense unless inflate AND every row filter were undone
+        StructField("px_sum", LongType(), True),
     ]
 )
 
 N_FEATURES = 8
 
 
+# PNG color type -> samples per pixel (8-bit depths; palette needs PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+    """Undo the per-scanline PNG filters (types 0-4: None/Sub/Up/Average/
+    Paeth, bpp = channels at 8-bit depth) over the inflated byte stream.
+    Returns the reconstructed pixel bytes, row-major."""
+    bpp = channels
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise NotImplementedError("malformed PNG: truncated pixel data")
+    recon = bytearray()
+    prev = bytes(stride)
+    off = 0
+    for _r in range(height):
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        off += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b_
+                else:
+                    pred = c
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise NotImplementedError(f"unknown PNG filter type {ftype}")
+        recon += line
+        prev = bytes(line)
+    return bytes(recon)
+
+
 def decode_media(payload: bytes) -> dict:
-    """REAL header decode for stdlib-parsable containers, no dependencies.
+    """REAL decode for the stdlib-parsable containers, no dependencies.
 
     - BMP (``BM`` magic): width/height from the BITMAPINFOHEADER int32s at
       byte offsets 18/22 (height may be negative = top-down row order; the
-      magnitude is the pixel height).
+      magnitude is the pixel height); bit_depth from the uint16 at 28.
     - WAV (``RIFF..WAVE``): walks the RIFF chunk list with ``struct``; the
-      ``fmt `` chunk yields byte_rate, the ``data`` chunk its size;
-      duration_ms = data_size * 1000 // byte_rate.
+      ``fmt `` chunk yields byte_rate + bits/sample, the ``data`` chunk its
+      size; duration_ms = data_size * 1000 // byte_rate.
+    - PNG (8-byte signature): full PIXEL decode on the stdlib alone —
+      chunk walk with ``struct`` (IHDR dims/depth/color type, IDAT
+      concatenation), ``zlib.decompress`` of the IDAT stream (adler32
+      verified by zlib; chunk CRCs are not checked — decode-tolerant), and
+      per-scanline unfiltering (all five filter types). ``px_sum`` = sum of
+      the reconstructed pixel bytes, which is only right if inflate AND
+      unfilter both worked. 8-bit gray/RGB/GA/RGBA; palette, 16-bit and
+      interlaced images raise.
 
-    Anything else (PNG/JPEG/MP4/...) needs a real codec library and raises —
+    Anything else (JPEG/MP4/...) needs a real codec library and raises —
     same loud-failure policy as ``crawl.default_fetch``.
 
-    Returns ``{"mime", "width", "height", "duration_ms"}`` (absent
-    dimensions/duration are None)."""
+    Returns ``{"mime", "width", "height", "duration_ms", "bit_depth",
+    "px_sum"}`` (inapplicable fields are None)."""
     if payload is None:
         raise NotImplementedError("null payload: nothing to decode")
     b = bytes(payload)
-    if b[:2] == b"BM" and len(b) >= 26:
+    if b[:2] == b"BM" and len(b) >= 30:
         w, h = struct.unpack_from("<ii", b, 18)
+        depth = struct.unpack_from("<H", b, 28)[0]
         return {
             "mime": "image/bmp",
             "width": w,
             "height": abs(h),
             "duration_ms": None,
+            "bit_depth": depth,
+            "px_sum": None,
         }
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         byte_rate = None
+        bits = None
         data_size = None
         off = 12
         while off + 8 <= len(b):
             cid, sz = struct.unpack_from("<4sI", b, off)
-            if cid == b"fmt " and off + 20 <= len(b):
+            if cid == b"fmt " and off + 24 <= len(b):
                 byte_rate = struct.unpack_from("<I", b, off + 16)[0]
+                bits = struct.unpack_from("<H", b, off + 22)[0]
             elif cid == b"data":
                 data_size = sz
             off += 8 + sz + (sz & 1)  # chunks are word-aligned
@@ -112,10 +180,47 @@ def decode_media(payload: bytes) -> dict:
                 "width": None,
                 "height": None,
                 "duration_ms": data_size * 1000 // byte_rate,
+                "bit_depth": bits,
+                "px_sum": None,
             }
         raise NotImplementedError("malformed WAV: missing fmt/data chunk")
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        import zlib
+
+        w = h = None
+        depth = ctype = interlace = None
+        idat = bytearray()
+        off = 8
+        while off + 8 <= len(b):
+            length, ctag = struct.unpack_from(">I4s", b, off)
+            data = b[off + 8 : off + 8 + length]
+            if ctag == b"IHDR":
+                w, h = struct.unpack_from(">II", data, 0)
+                depth, ctype = data[8], data[9]
+                interlace = data[12]
+            elif ctag == b"IDAT":
+                idat += data
+            elif ctag == b"IEND":
+                break
+            off += 12 + length  # len + type + data + crc
+        if w is None:
+            raise NotImplementedError("malformed PNG: no IHDR")
+        if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
+            raise NotImplementedError(
+                "PNG beyond the stdlib decoder: palette/16-bit/interlaced"
+            )
+        raw = zlib.decompress(bytes(idat))
+        recon = _png_unfilter(raw, w, h, _PNG_CHANNELS[ctype])
+        return {
+            "mime": "image/png",
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+            "bit_depth": depth,
+            "px_sum": sum(recon),
+        }
     raise NotImplementedError(
-        "unrecognized container; only BMP/WAV decode without codec libraries"
+        "unrecognized container; only BMP/WAV/PNG decode without codec libs"
     )
 
 
@@ -144,6 +249,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             n_bytes, checksums, features = [], [], []
             mimes, widths, heights, durations = [], [], [], []
+            depths, px_sums = [], []
             # one pass, one digest per payload (checksum + features share it)
             for b in pdf["payload"]:
                 try:
@@ -154,6 +260,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                 widths.append(meta.get("width"))
                 heights.append(meta.get("height"))
                 durations.append(meta.get("duration_ms"))
+                depths.append(meta.get("bit_depth"))
+                px_sums.append(meta.get("px_sum"))
                 if b is None:
                     n_bytes.append(0)
                     checksums.append(hashlib.md5(b"").hexdigest()[:8])
@@ -175,6 +283,8 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "width": pd.array(widths, dtype="Int32"),
                     "height": pd.array(heights, dtype="Int32"),
                     "duration_ms": pd.array(durations, dtype="Int64"),
+                    "bit_depth": pd.array(depths, dtype="Int32"),
+                    "px_sum": pd.array(px_sums, dtype="Int64"),
                 }
             )
 
@@ -275,37 +385,61 @@ def _le_hex(col, n_bytes: int):
     )
 
 
+def _be_hex(col, n_bytes: int):
+    """Fixed-width big-endian hex rendering (PNG ints are network order)."""
+    return F.lpad(F.hex(col.cast("bigint")), 2 * n_bytes, "0")
+
+
 @query(
     "q_media_decode",
     oracle="""
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END
-               AS mime,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END AS BIGINT)
-               AS n_bytes,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN n_chars % 1920 + 32 END AS INT)
+           CASE doc_id % 3 WHEN 0 THEN 'image/bmp'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'image/png' END AS mime,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN 54
+                WHEN 1 THEN 44
+                ELSE 68 + (doc_id % 4 + 2) * (n_chars % 8 + 2)
+           END AS BIGINT) AS n_bytes,
+           CAST(CASE doc_id % 3 WHEN 0 THEN n_chars % 1920 + 32
+                                WHEN 2 THEN n_chars % 8 + 1 END AS INT)
                AS width,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN (doc_id * 7) % 1080 + 32 END
-                AS INT) AS height,
-           CAST(CASE WHEN doc_id % 2 = 1 THEN
+           CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id * 7) % 1080 + 32
+                                WHEN 2 THEN doc_id % 4 + 2 END AS INT)
+               AS height,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN
                 ((n_chars * 131) % 200000 + 4000) * 1000 //
-                (8000 * (1 + n_chars % 3) * ((doc_id % 4 + 1) // 2) * 2)
-           END AS BIGINT) AS duration_ms
+                (8000 * (1 + n_chars % 3) * (doc_id % 2 + 1) * 2)
+           END AS BIGINT) AS duration_ms,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 16 ELSE 8 END
+                AS INT) AS bit_depth,
+           CASE WHEN doc_id % 3 = 2 THEN
+               (SELECT CAST(SUM((doc_id * 31 + gr.r * 7 + gc.c * 13) % 256)
+                            AS BIGINT)
+                FROM UNNEST(generate_series(0, doc_id % 4 + 1)) AS gr(r),
+                     UNNEST(generate_series(0, n_chars % 8)) AS gc(c))
+           END AS px_sum
     FROM documents
     """,
 )
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL container decode end-to-end: genuine BMP headers (even doc_ids)
-    and RIFF/WAVE files (odd doc_ids) are assembled JVM-side byte-for-byte
-    (``unhex`` over little-endian hex fields derived from document columns),
-    cross the Arrow boundary as binary payloads, and ``decode_media`` parses
-    them back with stdlib ``struct`` inside ``mapInPandas``. The oracle
-    recomputes the expected dimensions/duration from the same generating
-    formulas — a wrong offset, endianness slip, or chunk-walk bug in the
-    decoder breaks the hash match. No codec library involved: BMP and WAV
-    are header-parsable by design."""
+    """REAL container decode end-to-end: genuine BMP headers (doc_id%3==0),
+    RIFF/WAVE files (%3==1) and complete PNG files (%3==2) are assembled
+    JVM-side byte-for-byte (``unhex`` over hex fields derived from document
+    columns), cross the Arrow boundary as binary payloads, and
+    ``decode_media`` parses them back inside ``mapInPandas``.
+
+    The PNG arm is a full pixel round-trip with zero codec libraries on
+    either side: the fixture packs the filtered scanlines (alternating
+    None/Sub row filters) into a STORED-block zlib stream whose adler32 is
+    computed IN SQL (two folds over the byte array), and the decoder must
+    ``zlib.decompress`` + unfilter to reproduce ``px_sum`` — the sum of the
+    reconstructed pixel bytes, which the oracle recomputes from the pixel
+    formula alone. A wrong offset, endianness slip, chunk-walk bug, or
+    unfilter error breaks the hash match."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    even = F.col("doc_id") % 2 == 0
+    arm = F.col("doc_id") % 3
     width = F.col("n_chars") % 1920 + 32
     height = (F.col("doc_id") * 7) % 1080 + 32
     bmp_hex = F.concat(
@@ -325,7 +459,7 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("00000000"),          # palette colors
         F.lit("00000000"),          # important colors
     )
-    channels = F.expr("(doc_id % 4 + 1) div 2")       # 1 or 2
+    channels = F.col("doc_id") % 2 + 1                # 1 or 2
     rate = 8000 * (1 + F.col("n_chars") % 3)          # 8/16/24 kHz
     byte_rate = rate * channels * 2                   # 16-bit PCM
     data_size = (F.col("n_chars") * 131) % 200000 + 4000
@@ -344,13 +478,76 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("64617461"),          # 'data'
         _le_hex(data_size, 4),      # declared size (samples not written)
     )
+
+    # --- PNG fixture: grayscale 8-bit, alternating None/Sub row filters,
+    # filtered scanlines packed in a STORED zlib block; adler32 computed in
+    # SQL so zlib.decompress's checksum verification passes on REAL bytes
+    w_png = F.col("n_chars") % 8 + 1                  # 1..8 px
+    h_png = F.col("doc_id") % 4 + 2                   # 2..5 rows
+    n_str = h_png * (w_png + 1)                       # filtered stream bytes
+
+    def px(r, c):
+        return F.pmod(F.col("doc_id") * 31 + r * 7 + c * 13, F.lit(256))
+
+    def fbyte(i):
+        r = F.floor(i / (w_png + 1)).cast("bigint")
+        k = i - r * (w_png + 1)
+        c = k - 1
+        return (
+            F.when(k == 0, F.pmod(r, F.lit(2)))       # row filter type
+            .when((F.pmod(r, F.lit(2)) == 0) | (c == 0), px(r, c))
+            .otherwise(F.pmod(px(r, c) - px(r, c - 1), F.lit(256)))  # Sub
+        )
+
+    fstream = F.transform(F.sequence(F.lit(0), n_str - 1), fbyte)
+    s1 = F.aggregate(
+        fstream, F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    s2 = F.aggregate(
+        F.zip_with(
+            fstream,
+            F.sequence(n_str, F.lit(1), F.lit(-1)),   # adler weights n..1
+            lambda b, wt: b * wt,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    adler = (
+        F.pmod(s2 + n_str, F.lit(65521)) * 65536
+        + F.pmod(s1 + 1, F.lit(65521))
+    )
+    stream_hex = F.array_join(
+        F.transform(fstream, lambda v: F.lpad(F.hex(v), 2, "0")), ""
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),                    # signature
+        F.lit("0000000D49484452"),                    # IHDR len + type
+        _be_hex(w_png, 4), _be_hex(h_png, 4),
+        F.lit("0800000000"),            # depth 8, gray, deflate, std, none
+        F.lit("00000000"),              # IHDR CRC (decoder is CRC-tolerant)
+        _be_hex(n_str + 11, 4),                       # IDAT length
+        F.lit("49444154"),                            # 'IDAT'
+        F.lit("780101"),                # zlib hdr + final stored block
+        _le_hex(n_str, 2), _le_hex(F.lit(65535) - n_str, 2),
+        stream_hex,
+        _be_hex(adler, 4),
+        F.lit("00000000"),                            # IDAT CRC
+        F.lit("0000000049454E4400000000"),            # IEND
+    )
     media = d.select(
         F.col("doc_id").alias("media_id"),
-        F.when(even, F.lit("image")).otherwise(F.lit("audio")).alias("kind"),
-        F.unhex(F.when(even, bmp_hex).otherwise(wav_hex)).alias("payload"),
+        F.when(arm == 1, F.lit("audio")).otherwise(F.lit("image")).alias(
+            "kind"
+        ),
+        F.unhex(
+            F.when(arm == 0, bmp_hex)
+            .when(arm == 1, wav_hex)
+            .otherwise(png_hex)
+        ).alias("payload"),
     )
     return extract_features(media).select(
-        "media_id", "mime", "n_bytes", "width", "height", "duration_ms"
+        "media_id", "mime", "n_bytes", "width", "height", "duration_ms",
+        "bit_depth", "px_sum",
     )
 
 

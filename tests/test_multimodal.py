@@ -89,7 +89,7 @@ def test_decode_media_bmp_dimensions():
 
     meta = decode_media(_bmp(640, 480))
     assert meta == {"mime": "image/bmp", "width": 640, "height": 480,
-                    "duration_ms": None}
+                    "duration_ms": None, "bit_depth": 24, "px_sum": None}
     # negative height = top-down row order; pixel height is the magnitude
     assert decode_media(_bmp(1920, -1080))["height"] == 1080
 
@@ -105,6 +105,112 @@ def test_decode_media_wav_duration_walks_chunks():
     assert decode_media(_wav(1, 16000, 16000, junk_chunk=True))[
         "duration_ms"
     ] == 500
+
+
+def _png(width: int, height: int, channels: int = 1,
+         filters: list[int] | None = None) -> tuple[bytes, int]:
+    """Hand-build a REAL spec-compliant PNG — genuine zlib deflate (not
+    stored blocks), real chunk CRCs, chosen per-row filter types — the
+    INDEPENDENT byte-builder the decoder is checked against. Returns
+    (png_bytes, expected_pixel_byte_sum)."""
+    import struct
+    import zlib
+
+    bpp = channels
+    stride = width * channels
+    raw_rows = [
+        bytes(
+            (r * 7 + c * 13 + ch * 31) % 256
+            for c in range(width)
+            for ch in range(channels)
+        )
+        for r in range(height)
+    ]
+    filters = filters or [r % 5 for r in range(height)]
+    stream = bytearray()
+    prev = bytes(stride)
+    for r, line in enumerate(raw_rows):
+        f = filters[r]
+        stream.append(f)
+        for i in range(stride):
+            a = line[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            stream.append((line[i] - pred) & 0xFF)
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+        + chunk(b"IEND", b"")
+    )
+    return png, sum(sum(line) for line in raw_rows)
+
+
+def test_decode_media_png_full_pixel_roundtrip():
+    """Real deflate + all five filter types + real CRCs, grayscale and RGB:
+    the decoder must inflate AND unfilter correctly to reproduce px_sum."""
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    png, want_sum = _png(11, 7, channels=1)  # filters cycle 0..4
+    meta = decode_media(png)
+    assert meta["mime"] == "image/png"
+    assert (meta["width"], meta["height"], meta["bit_depth"]) == (11, 7, 8)
+    assert meta["px_sum"] == want_sum
+
+    rgb, want_rgb = _png(5, 9, channels=3, filters=[4] * 9)  # all-Paeth
+    meta = decode_media(rgb)
+    assert (meta["width"], meta["height"]) == (5, 9)
+    assert meta["px_sum"] == want_rgb
+
+    rgba, want_rgba = _png(3, 4, channels=4, filters=[3, 1, 2, 0])
+    assert decode_media(rgba)["px_sum"] == want_rgba
+
+
+def test_decode_media_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    # 16-bit depth and interlaced images are beyond the stdlib decoder
+    for ihdr in [
+        struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0),   # 16-bit
+        struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0),    # palette
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1),    # Adam7
+    ]:
+        png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        with _pytest.raises(NotImplementedError):
+            decode_media(png)
 
 
 def test_decode_media_unknown_format_raises():
