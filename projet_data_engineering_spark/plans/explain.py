@@ -72,3 +72,50 @@ def shuffle_count(df: DataFrame) -> int:
     plan = formatted_plan(df)
     # count detail-section headers only — the tree section repeats each node
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
+
+
+def unbounded_global_windows(df: DataFrame) -> list[str]:
+    """Partition-less Window nodes whose input is NOT aggregate-bounded.
+
+    A global window (``Window.partitionBy()`` empty) serializes its entire
+    input onto one task — fine over an aggregate-sized intermediate (e.g.
+    window-over-groupBy in TPC-H Q15), fatal over a fact-sized input at
+    100 TB. This walks the optimized logical plan: for every Window with an
+    empty partitionSpec, its child subtree must reach an Aggregate /
+    Limit / Deduplicate (or a one-row relation) on EVERY path to a leaf —
+    i.e. the window's input cardinality is group-count-sized, not
+    row-count-sized. Returns one descriptive string per offending node
+    (empty list = clean); linted repo-wide by tools/plan_audit.py and
+    pinned in tests/test_plans.py."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+
+    def children(node):
+        cs = node.children()
+        return [cs.apply(i) for i in range(cs.size())]
+
+    def bounded(node) -> bool:
+        name = node.getClass().getSimpleName()
+        if (
+            "Aggregate" in name
+            or "Limit" in name
+            or "Deduplicate" in name
+            or "OneRowRelation" in name
+        ):
+            return True
+        cs = children(node)
+        if not cs:
+            return False  # leaf relation: fact-sized
+        return all(bounded(c) for c in cs)
+
+    bad: list[str] = []
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if (
+            node.getClass().getSimpleName() == "Window"
+            and node.partitionSpec().isEmpty()
+            and not all(bounded(c) for c in children(node))
+        ):
+            bad.append(node.simpleString(10))
+        stack.extend(children(node))
+    return bad

@@ -9,6 +9,9 @@ execution) and scan its formatted plan for patterns that do not survive a
 - ``CartesianProduct`` — an unkeyed all-pairs join; every cross join in the
   repo must ride a broadcast (BroadcastNestedLoopJoin over a 1-row/tiny
   aggregate), never a partitioned cartesian.
+- partition-less ``Window`` over a NON-aggregated input — a global window
+  serializes its whole input onto one task; it is only allowed over
+  aggregate/limit-bounded intermediates (``explain.unbounded_global_windows``).
 
 Usage: ``python tools/plan_audit.py [sf_dir]`` — prints one line per
 offending query and a summary; exit 1 if any query trips a rule. The pytest
@@ -22,7 +25,10 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
-from projet_data_engineering_spark.plans.explain import formatted_plan  # noqa: E402
+from projet_data_engineering_spark.plans.explain import (  # noqa: E402
+    formatted_plan,
+    unbounded_global_windows,
+)
 from projet_data_engineering_spark.session import get_spark  # noqa: E402
 
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
@@ -31,8 +37,11 @@ FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 def audit(spark, sf_dir: str) -> dict[str, list[str]]:
     bad: dict[str, list[str]] = {}
     for name, fn in entrymod.queries().items():
-        plan = formatted_plan(fn(spark, sf_dir))
+        df = fn(spark, sf_dir)
+        plan = formatted_plan(df)
         hits = [frag for frag in FORBIDDEN if frag in plan]
+        if unbounded_global_windows(df):
+            hits.append("GlobalWindowOverFactInput")
         if hits:
             bad[name] = hits
     return bad
