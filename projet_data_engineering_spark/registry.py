@@ -110,17 +110,29 @@ _R4_GREEN = {
 }
 
 
+# Queries whose RESULTS or implementation changed in round 5 (IVF trained
+# centroids, recall per-method schema, PNG decode arm, URL canonicalization
+# fix, pack_sequences shard div): their pre-r5 driver evidence no longer
+# describes the current code, so they walk FIRST alongside never-checked
+# names for prompt re-verification.
+_R5_CHANGED = {
+    "q_ann_ivf", "q_ann_recall", "q_media_decode", "q_url_dedup",
+    "q_pack_sequences",
+}
+
+
 def _ordered(names: list[str]) -> list[str]:
     """Walk order for a budget-limited (50 queries/round) driver sweep:
-    never-driver-checked queries first, then proven names OLDEST evidence
-    first (r1 → r2 → r3 → r4) so the rotation re-confirms rows that predate
-    the most refactoring — VERDICT r3 item 8's cheap insurance. Registration
-    order is preserved within each group. Names checked in several rounds
-    sort by their OLDEST evidence (dict-order of the first matching group)."""
-    seen: set[str] = set()
+    round-5-changed and never-driver-checked queries first, then proven
+    names OLDEST evidence first (r1 → r2 → r3 → r4) so the rotation
+    re-confirms rows that predate the most refactoring — VERDICT r3 item
+    8's cheap insurance. Registration order is preserved within each group.
+    Names checked in several rounds sort by their OLDEST evidence."""
+    seen: set[str] = set(_R5_CHANGED)
     groups: list[list[str]] = []
     known = _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN
-    groups.append([n for n in names if n not in known])
+    groups.append([n for n in names if n in _R5_CHANGED])
+    groups.append([n for n in names if n not in known and n not in seen])
     for tier in (_R1_GREEN, _R2_GREEN, _R3_GREEN, _R4_GREEN):
         groups.append([n for n in names if n in tier and n not in seen])
         seen |= tier
