@@ -854,3 +854,94 @@ def bpe_train(
     if stats is not None:
         stats["rounds"] = rounds
     return merges
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer INFERENCE — apply a trained merge table (``bpe_train``'s
+    ordered (left, right) tuples) to the corpus: the map-only stage that
+    tokenizes 100 TB once the vocab is fixed.
+
+    Replays training semantics exactly: rules in rank order, each applied
+    greedy left-to-right within the word — so a word segments identically
+    to how training would have segmented it (pytest pins this against a
+    pure-python encode of python-trained merges). Arrow path
+    (``mapInPandas``): the merge table is a vocab-sized closure constant
+    (exactly the artifact real tokenizers ship); per Arrow batch the
+    distinct words are encoded ONCE via a word->segmentation cache —
+    corpus token cost is per-DISTINCT-word, Zipf's gift to tokenizers.
+    Output: (id, lang?, n_words, n_tokens) — narrow rows, no shuffle."""
+    rules = list(merges)
+    out_cols = [c for c in (id_col, "lang") if c in docs.columns]
+    src = docs.select(*out_cols, F.col(text_col).alias("_text"))
+    schema = ", ".join(
+        [f"{c} bigint" if c == id_col else f"{c} string" for c in out_cols]
+        + ["n_words bigint", "n_tokens bigint"]
+    )
+
+    def encode_word(word: str, cache: dict) -> int:
+        hit = cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        for left, right in rules:
+            out = []
+            pend = None
+            for s in syms:
+                if pend is not None and pend == left and s == right:
+                    out.append(pend + s)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        cache[word] = len(syms)
+        return len(syms)
+
+    def batches(it):
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in it:
+            n_words = []
+            n_tokens = []
+            for t in pdf["_text"]:
+                ws = [w for w in (t or "").lower().split(" ") if w]
+                n_words.append(len(ws))
+                n_tokens.append(sum(encode_word(w, cache) for w in ws))
+            data = {c: pdf[c] for c in out_cols}
+            data["n_words"] = n_words
+            data["n_tokens"] = n_tokens
+            yield pd.DataFrame(data)
+
+    return src.mapInPandas(batches, schema=schema)
+
+
+@query("q_bpe_encode")  # iterative train + apply — not SQL-expressible,
+# rows-only driver check by design (parity pinned in pytest instead)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end tokenizer pipeline: train 6 BPE merges on the corpus
+    (``bpe_train``, batched rounds), then tokenize the SAME corpus with the
+    trained table (``bpe_encode``) and account tokens per language — the
+    train->apply loop every pretraining data pipeline runs. Token count
+    shrinks monotonically with each merge and is bounded below by word
+    count; both invariants are pytest-pinned along with exact segmentation
+    parity against a pure-python reference."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d, n_merges=6)
+    enc = bpe_encode(d, merges)
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -714,3 +714,77 @@ def test_bpe_train_batching_cuts_round_count(spark):
     seq = bpe_train(docs, n_merges=8, max_batch=1, stats=seq_stats)
     assert seq == got
     assert seq_stats["rounds"] == 8
+
+
+def _py_bpe_encode_count(word: str, merges: list) -> int:
+    """Sequential rank-order greedy encode — the segmentation bpe_train's
+    own merge application would produce for this word."""
+    syms = list(word)
+    for left, right in merges:
+        out, pend = [], None
+        for s in syms:
+            if pend is not None and (pend, s) == (left, right):
+                out.append(pend + s)
+                pend = None
+            else:
+                if pend is not None:
+                    out.append(pend)
+                pend = s
+        if pend is not None:
+            out.append(pend)
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_matches_python_segmentation(spark):
+    """Train on Spark, encode on Spark; every doc's token count equals the
+    pure-python encode with the PYTHON-trained merge table (which itself
+    matches the Spark-trained one — proven separately)."""
+    from pyspark.sql import Row
+
+    from projet_data_engineering_spark.operators.textanalysis import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = BPE_CORPORA[1]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text=t) for i, t in enumerate(texts)]
+    )
+    merges = bpe_train(docs, n_merges=10)
+    assert merges == _py_bpe(texts, 10)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = [w for w in t.lower().split(" ") if w]
+        want = sum(_py_bpe_encode_count(w, merges) for w in ws)
+        assert got[i] == (len(ws), want), (i, t)
+
+
+def test_bpe_encode_token_count_shrinks_with_merges(spark):
+    """More merges can only shrink (never grow) the token count, and the
+    count is always >= word count (a word is at least one token)."""
+    from pyspark.sql import Row
+
+    from projet_data_engineering_spark.operators.textanalysis import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = BPE_CORPORA[0]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    merges = bpe_train(docs, n_merges=8)
+    totals = []
+    for k in (0, 3, 8):
+        enc = bpe_encode(docs, merges[:k])
+        agg = enc.agg(
+            F.sum("n_tokens").alias("t"), F.sum("n_words").alias("w")
+        ).collect()[0]
+        totals.append(agg["t"])
+        assert agg["t"] >= agg["w"]
+    assert totals[0] >= totals[1] >= totals[2]
+    assert totals[0] > totals[2]  # the merges actually fired
