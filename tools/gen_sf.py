@@ -30,9 +30,11 @@ SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 STATUSES = ["F", "O", "P"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 PTYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
-ADJECTIVES = ["large", "hot", "blue", "old", "cold", "small", "green",
-              "red", "dark", "light"]
-NOUNS = ["ring", "bolt", "plate", "screw", "nut", "gear", "wheel", "pin"]
+# exact driver word sets (distinct p_name words observed in sf0.1) — literal
+# filters like contains('widget') / rlike('widget|gear|cog') /
+# startswith('small') must stay selective-but-nonempty at generated scales
+ADJECTIVES = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+NOUNS = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 LANGS = ["en", "de", "es", "fr", "zh"]
 LANG_P = [0.5, 0.125, 0.125, 0.125, 0.125]
@@ -111,7 +113,7 @@ def generate(out_dir: str, sf: float = 1.0, seed: int = 42) -> None:
                 rng.integers(0, len(NOUNS), n_part),
             )
         ],
-        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 51, n_part)],
+        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, n_part)],
         "p_type": np.array(PTYPES)[rng.integers(0, len(PTYPES), n_part)],
         "p_size": rng.integers(1, 51, n_part).astype(np.int32),
         "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2),
