@@ -108,6 +108,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark/canon error: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # queries may persist() intermediates; at large SFs the cached
+            # blocks accumulate across the sweep and evict/occupy heap the
+            # NEXT query needs — drop them like the driver's per-query runs
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"rows  {name}: {len(slines)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
