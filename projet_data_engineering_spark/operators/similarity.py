@@ -213,7 +213,11 @@ def _ivf_cent_artifact(e: DataFrame) -> DataFrame:
             ).alias("c")
         )
         .agg(F.collect_list("c").alias("cents"))
-        .persist()  # probe-depth slices re-read it through lineage on miss
+        # 1-row artifact, EAGERLY materialized: every later broadcast that
+        # references the quantizer builds from the stored row instantly
+        # instead of re-deriving the whole training inside a broadcast-build
+        # thread (which races spark.sql.broadcastTimeout under load)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -314,7 +318,8 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         b.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", _ivf_scored_cents(2).alias("top2"))
-        .persist()
+        .localCheckpoint(eager=True)  # the materialized assignment table —
+        # at 100 TB this is a parquet write partitioned by cent_id
     )
     assigned = scored.select(
         "vec_id", (-F.col("top2")[0]["neg_id"]).alias("cent_id"), "v"
@@ -648,7 +653,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_c = (
         b.crossJoin(F.broadcast(cents))
         .select("vec_id", "v", _ivf_scored_cents(2).alias("top2"))
-        .persist()
+        .localCheckpoint(eager=True)  # see q_ann_ivf: materialized assignment
     )
     assigned = scored_c.select(
         "vec_id", (-F.col("top2")[0]["neg_id"]).alias("cent_id"), "v"

@@ -105,7 +105,18 @@ def main() -> int:
             spdf = fn(spark, sf_dir).toPandas()
             scols, slines = canon(spdf)
         except Exception as e:
-            print(f"FAIL  {name}: spark/canon error: {str(e)[:300]}")
+            # py4j buries the real cause deep in the Java stack — surface
+            # the first "Caused by"/error-class lines, not just the wrapper
+            detail = str(e)
+            causes = [
+                ln.strip()
+                for ln in detail.splitlines()
+                if "Caused by" in ln or "Error" in ln or "Exception:" in ln
+            ][:4]
+            print(
+                f"FAIL  {name}: spark/canon error: {detail[:200]}"
+                + (" | " + " | ".join(causes) if causes else "")
+            )
             n_fail += 1
             continue
         finally:
