@@ -3,13 +3,16 @@
 Treats image/audio/video as ``binary`` columns with a typed metadata struct,
 processed via Arrow-batched ``mapInPandas`` — the only operator family where
 Python is the right tool (codec libraries). The Spark-side plumbing (schemas,
-batch shapes, partitioning) is real and tested. Decode is REAL for the three
+batch shapes, partitioning) is real and tested. Decode is REAL for the
 stdlib-parsable container formats — BMP dimensions, RIFF/WAVE duration via
-``struct``, and FULL PNG pixel decode (chunk walk + ``zlib`` inflate +
-per-scanline unfiltering) in ``decode_media`` — while sample decode for
-compressed codecs (JPEG/MP4) raises ``NotImplementedError`` at the marked
-swap point (``_decode_stub``): no image/audio libraries in this container;
-swap in PIL/torchaudio/pyav in production.
+``struct``, FULL PNG pixel decode (chunk walk + ``zlib`` inflate +
+per-scanline unfiltering), JPEG dimensions/precision via the marker walk
+(SOI → SOFn), and MP4/ISO-BMFF duration + track dimensions via the box walk
+(``moov``/``mvhd``/``tkhd``) in ``decode_media`` — while PIXEL/SAMPLE decode
+for the compressed codecs (JPEG entropy stream, MP4 packet payloads) raises
+``NotImplementedError`` at the marked swap point (``_decode_stub``): no
+image/audio libraries in this container; swap in PIL/torchaudio/pyav in
+production.
 
 Scale notes:
 - payloads stay in executor memory exactly one Arrow batch at a time
@@ -142,8 +145,22 @@ def decode_media(payload: bytes) -> dict:
       unfilter both worked. 8-bit gray/RGB/GA/RGBA; palette, 16-bit and
       interlaced images raise.
 
-    Anything else (JPEG/MP4/...) needs a real codec library and raises —
-    same loud-failure policy as ``crawl.default_fetch``.
+    - JPEG (``FF D8`` SOI): walks the marker stream — standalone markers
+      (RSTn/TEM) are skipped, sized segments advance by their big-endian
+      length — until the first SOFn frame header (C0-CF minus DHT C4 /
+      JPG C8 / DAC CC), which yields sample precision (bit_depth) and
+      height/width. The walk stops at SOS: past it lies the entropy-coded
+      stream, which genuinely needs a codec, so ``px_sum`` stays None.
+    - MP4/ISO-BMFF (``ftyp`` at byte 4): walks the top-level box list
+      (32-bit size, ``size==1`` → 64-bit largesize, ``size==0`` →
+      to-end-of-file), recurses into ``moov`` for ``mvhd`` (timescale +
+      duration, version 0 and 1 layouts) and each ``trak``'s ``tkhd``
+      (16.16 fixed-point presentation width/height; audio tracks carry 0,
+      so the max across tracks is the video dimensions).
+      duration_ms = duration * 1000 // timescale.
+
+    Anything else needs a real codec library and raises — same
+    loud-failure policy as ``crawl.default_fetch``.
 
     Returns ``{"mime", "width", "height", "duration_ms", "bit_depth",
     "px_sum"}`` (inapplicable fields are None)."""
@@ -219,8 +236,84 @@ def decode_media(payload: bytes) -> dict:
             "bit_depth": depth,
             "px_sum": sum(recon),
         }
+    if b[:2] == b"\xff\xd8":
+        off = 2
+        while off + 4 <= len(b):
+            if b[off] != 0xFF:
+                raise NotImplementedError("malformed JPEG: lost marker sync")
+            marker = b[off + 1]
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                off += 2  # standalone marker, no length field
+                continue
+            if marker in (0xD9, 0xDA):  # EOI / SOS: entropy stream follows
+                break
+            seglen = struct.unpack_from(">H", b, off + 2)[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                precision = b[off + 4]
+                h, w = struct.unpack_from(">HH", b, off + 5)
+                return {
+                    "mime": "image/jpeg",
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                    "bit_depth": precision,
+                    "px_sum": None,  # entropy decode needs a codec library
+                }
+            off += 2 + seglen
+        raise NotImplementedError("malformed JPEG: no SOF marker before SOS")
+    if len(b) >= 12 and b[4:8] == b"ftyp":
+
+        def boxes(start: int, end: int):
+            off = start
+            while off + 8 <= end:
+                size, tag = struct.unpack_from(">I4s", b, off)
+                payload = off + 8
+                if size == 1:  # 64-bit largesize follows the type
+                    size = struct.unpack_from(">Q", b, off + 8)[0]
+                    payload = off + 16
+                elif size == 0:  # box extends to end of file
+                    size = end - off
+                if size < payload - off:
+                    raise NotImplementedError("malformed MP4: bad box size")
+                yield tag, payload, off + size
+                off += size
+
+        duration_ms = None
+        width = height = 0
+        for tag, p, box_end in boxes(0, len(b)):
+            if tag != b"moov":
+                continue
+            for tag2, p2, t_end in boxes(p, box_end):
+                if tag2 == b"mvhd":
+                    ver = b[p2]
+                    if ver == 1:
+                        ts = struct.unpack_from(">I", b, p2 + 20)[0]
+                        dur = struct.unpack_from(">Q", b, p2 + 24)[0]
+                    else:
+                        ts, dur = struct.unpack_from(">II", b, p2 + 12)
+                    if ts:
+                        duration_ms = dur * 1000 // ts
+                elif tag2 == b"trak":
+                    for tag3, p3, _ in boxes(p2, t_end):
+                        if tag3 != b"tkhd":
+                            continue
+                        base = p3 + (88 if b[p3] == 1 else 76)
+                        w_fx, h_fx = struct.unpack_from(">II", b, base)
+                        width = max(width, w_fx >> 16)
+                        height = max(height, h_fx >> 16)
+        if duration_ms is None:
+            raise NotImplementedError("malformed MP4: no moov/mvhd box")
+        return {
+            "mime": "video/mp4",
+            "width": width or None,
+            "height": height or None,
+            "duration_ms": duration_ms,
+            "bit_depth": None,
+            "px_sum": None,  # packet/sample decode needs a codec library
+        }
     raise NotImplementedError(
-        "unrecognized container; only BMP/WAV/PNG decode without codec libs"
+        "unrecognized container; only BMP/WAV/PNG/JPEG/MP4 headers decode "
+        "without codec libs"
     )
 
 
@@ -548,6 +641,123 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select(
         "media_id", "mime", "n_bytes", "width", "height", "duration_ms",
         "bit_depth", "px_sum",
+    )
+
+
+@query(
+    "q_media_container_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 2 WHEN 0 THEN 'image/jpeg' ELSE 'video/mp4' END
+               AS mime,
+           CAST(CASE doc_id % 2 WHEN 0 THEN 49 ELSE 248 END AS BIGINT)
+               AS n_bytes,
+           CAST(CASE doc_id % 2 WHEN 0 THEN n_chars % 4000 + 8
+                                ELSE n_chars % 1280 + 16 END AS INT) AS width,
+           CAST(CASE doc_id % 2 WHEN 0 THEN (doc_id * 13) % 4000 + 8
+                                ELSE (doc_id * 11) % 720 + 16 END AS INT)
+               AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN
+                ((n_chars * 977) % 90000 + 1000) // (doc_id % 3 + 1)
+           END AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8 END AS INT) AS bit_depth
+    FROM documents
+    """,
+)
+def q_media_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-container metadata decode: genuine JPEG marker
+    streams (doc_id%2==0) and MP4/ISO-BMFF box trees (%2==1) are assembled
+    JVM-side byte-for-byte from document columns (``unhex``), cross the
+    Arrow boundary, and ``decode_media`` walks them back inside
+    ``mapInPandas`` — the JPEG walk must skip the sized APP0 and COM
+    segments to reach SOF0 (precision/height/width); the MP4 walk must skip
+    the ``free`` box, recurse ``moov`` → ``mvhd`` (timescale+duration → ms)
+    and ``moov`` → ``trak`` → ``tkhd`` (16.16 fixed-point dims). The oracle
+    recomputes every field from the generating formulas, so any offset,
+    endianness, or length-walk bug breaks the hash. Pixel/sample decode for
+    these codecs still needs a real codec library (px_sum stays None) —
+    this closes the metadata half of the boundary honestly.
+
+    Reference parity: the reference stores scraped image URLs as opaque
+    strings (scraper/main.py:150-164) and never decodes media; this engine
+    makes the binary column a first-class citizen."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    arm = F.col("doc_id") % 2
+    w_j = F.col("n_chars") % 4000 + 8
+    h_j = (F.col("doc_id") * 13) % 4000 + 8
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                      # SOI
+        F.lit("FFE00010"),                  # APP0, len 16
+        F.lit("4A46494600"),                # 'JFIF\\0'
+        F.lit("0101"),                      # version 1.1
+        F.lit("00"), F.lit("00480048"),     # units + 72dpi density
+        F.lit("0000"),                      # no thumbnail
+        F.lit("FFFE0006"),                  # COM, len 6 — must be skipped
+        F.lit("44415441"),                  # 'DATA'
+        F.lit("FFC00011"),                  # SOF0 (baseline), len 17
+        F.lit("08"),                        # precision 8
+        _be_hex(h_j, 2), _be_hex(w_j, 2),
+        F.lit("03"),                        # 3 components
+        F.lit("012200"), F.lit("021101"), F.lit("031101"),
+        F.lit("FFD9"),                      # EOI
+    )
+    ts_scale = (F.col("doc_id") % 3 + 1) * 1000
+    dur_units = (F.col("n_chars") * 977) % 90000 + 1000
+    w_m = F.col("n_chars") % 1280 + 16
+    h_m = (F.col("doc_id") * 11) % 720 + 16
+    matrix_hex = (
+        "000100000000000000000000"
+        "000000000001000000000000"
+        "000000000000000040000000"
+    )
+    tkhd_hex = F.concat(
+        _be_hex(F.lit(92), 4), F.lit("746B6864"),   # tkhd box
+        F.lit("00000007"),                          # v0, flags: enabled
+        F.lit("00000000"), F.lit("00000000"),       # ctime/mtime
+        _be_hex(F.lit(1), 4),                       # track id
+        F.lit("00000000"),                          # reserved
+        _be_hex(dur_units, 4),                      # duration
+        F.lit("0000000000000000"),                  # reserved
+        F.lit("000000000000"),                      # layer/altgroup/volume
+        F.lit("0000"),                              # reserved
+        F.lit(matrix_hex),
+        _be_hex(w_m * 65536, 4),                    # 16.16 fixed width
+        _be_hex(h_m * 65536, 4),                    # 16.16 fixed height
+    )
+    mvhd_hex = F.concat(
+        _be_hex(F.lit(108), 4), F.lit("6D766864"),  # mvhd box
+        F.lit("00000000"),                          # v0 + flags
+        F.lit("00000000"), F.lit("00000000"),       # ctime/mtime
+        _be_hex(ts_scale, 4),                       # timescale
+        _be_hex(dur_units, 4),                      # duration
+        F.lit("00010000"), F.lit("0100"),           # rate 1.0, volume 1.0
+        F.lit("0000"), F.lit("0000000000000000"),   # reserved
+        F.lit(matrix_hex),
+        F.lit("0" * 48),                            # pre_defined[6]
+        _be_hex(F.lit(2), 4),                       # next track id
+    )
+    mp4_hex = F.concat(
+        _be_hex(F.lit(16), 4), F.lit("66747970"),   # ftyp box
+        F.lit("69736F6D"), F.lit("00000000"),       # major isom, minor 0
+        _be_hex(F.lit(16), 4), F.lit("66726565"),   # free box — skipped
+        F.lit("0" * 16),
+        _be_hex(F.lit(216), 4), F.lit("6D6F6F76"),  # moov box
+        mvhd_hex,
+        _be_hex(F.lit(100), 4), F.lit("7472616B"),  # trak box
+        tkhd_hex,
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(arm == 0, F.lit("image")).otherwise(F.lit("video")).alias(
+            "kind"
+        ),
+        F.unhex(F.when(arm == 0, jpeg_hex).otherwise(mp4_hex)).alias(
+            "payload"
+        ),
+    )
+    return extract_features(media).select(
+        "media_id", "mime", "n_bytes", "width", "height", "duration_ms",
+        "bit_depth",
     )
 
 

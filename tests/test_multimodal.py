@@ -241,3 +241,84 @@ def test_extract_features_surfaces_decoded_header_meta(spark):
     # codec-needing formats still flow through with digest features, meta NULL
     assert got[12]["mime"] is None
     assert len(got[12]["features"]) == N_FEATURES
+
+
+def _jpeg(width: int, height: int, progressive: bool = False) -> bytes:
+    """Independent struct-built JPEG marker stream (APP0 + COM + SOFn)."""
+    import struct
+
+    sof = b"\xff\xc2" if progressive else b"\xff\xc0"
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 72, 72) + b"\x00\x00"
+        + b"\xff\xfe" + struct.pack(">H", 8) + b"noise!"
+        + sof + struct.pack(">H", 17) + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+        + b"\xff\xd9"
+    )
+
+
+def _mp4(timescale: int, duration: int, width: int, height: int,
+         v1: bool = False) -> bytes:
+    """Independent struct-built ISO-BMFF tree (ftyp + free + moov)."""
+    import struct
+
+    def be(v, n):
+        return int(v).to_bytes(n, "big")
+
+    matrix = (be(0x10000, 4) + bytes(12) + be(0x10000, 4) + bytes(12)
+              + be(0x40000000, 4))
+    if v1:
+        tkhd_body = (b"tkhd\x01\x00\x00\x07" + bytes(16) + be(1, 4)
+                     + bytes(4) + be(duration, 8) + bytes(16) + matrix
+                     + be(width << 16, 4) + be(height << 16, 4))
+        mvhd_body = (b"mvhd\x01\x00\x00\x00" + bytes(16) + be(timescale, 4)
+                     + be(duration, 8) + be(0x10000, 4) + be(0x100, 2)
+                     + bytes(10) + matrix + bytes(24) + be(2, 4))
+    else:
+        tkhd_body = (b"tkhd\x00\x00\x00\x07" + bytes(8) + be(1, 4)
+                     + bytes(4) + be(duration, 4) + bytes(16) + matrix
+                     + be(width << 16, 4) + be(height << 16, 4))
+        mvhd_body = (b"mvhd\x00\x00\x00\x00" + bytes(8) + be(timescale, 4)
+                     + be(duration, 4) + be(0x10000, 4) + be(0x100, 2)
+                     + bytes(10) + matrix + bytes(24) + be(2, 4))
+    tkhd = be(len(tkhd_body) + 4, 4) + tkhd_body
+    trak = be(len(tkhd) + 8, 4) + b"trak" + tkhd
+    mvhd = be(len(mvhd_body) + 4, 4) + mvhd_body
+    moov = be(len(mvhd) + len(trak) + 8, 4) + b"moov" + mvhd + trak
+    return (be(16, 4) + b"ftyp" + b"isom" + bytes(4)
+            + be(16, 4) + b"free" + bytes(8) + moov)
+
+
+def test_decode_media_jpeg_marker_walk():
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    meta = decode_media(_jpeg(1024, 768))
+    assert meta == {"mime": "image/jpeg", "width": 1024, "height": 768,
+                    "duration_ms": None, "bit_depth": 8, "px_sum": None}
+    # progressive SOF2 carries the same frame-header layout
+    assert decode_media(_jpeg(33, 7, progressive=True))["width"] == 33
+    # truncation before any SOF raises (entropy decode needs a codec)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xff\xda\x00\x02")
+
+
+def test_decode_media_mp4_box_walk_v0_and_v1():
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    meta = decode_media(_mp4(2000, 45321, 640, 360))
+    assert meta == {"mime": "video/mp4", "width": 640, "height": 360,
+                    "duration_ms": 22660, "bit_depth": None, "px_sum": None}
+    # version-1 (64-bit times) layouts shift every offset
+    meta = decode_media(_mp4(1000, 98765, 1920, 1080, v1=True))
+    assert (meta["duration_ms"], meta["width"], meta["height"]) == (
+        98765, 1920, 1080)
+    # moov-less file raises rather than fabricating metadata
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_media(bytes.fromhex("00000010") + b"ftypisom" + bytes(4))
