@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.io import load_table, spread
 from projet_data_engineering_spark.registry import query
 
 STOPWORDS = {
@@ -943,5 +943,96 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_words").cast("bigint").alias("total_words"),
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "q_boilerplate",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source, array_to_string(w[i:i+4], ' ') AS g
+        FROM docs,
+             UNNEST(generate_series(1, GREATEST(len(w) - 4, 0))) AS t(i)
+    ),
+    boiler AS (
+        SELECT source, g FROM sh
+        GROUP BY source, g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_windows,
+               COUNT(b.g) AS n_boiler_windows
+        FROM sh s LEFT JOIN boiler b
+          ON b.source = s.source AND b.g = s.g
+        GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(d.w) AS BIGINT) AS n_tokens,
+           CAST(h.n_windows AS BIGINT) AS n_windows,
+           CAST(h.n_boiler_windows AS BIGINT) AS n_boiler_windows,
+           h.n_boiler_windows * 2 < h.n_windows AS keep
+    FROM docs d JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-source boilerplate accounting — the CCNet/RefinedWeb-style
+    curation signal: token 5-gram windows that recur across >=2 DISTINCT
+    documents of the same source are navigation chrome / template text, and
+    a document dominated by them (>=half its windows) is dropped.
+
+    Distribution: one explode pass emits (source, shingle) rows; the
+    boilerplate dictionary is a groupBy on that pair (corpus-token bounded,
+    map-side combined by the distinct-doc aggregation) and is re-joined to
+    the shingle stream on the same (source, g) key — at 100 TB the
+    per-source dictionary is tiny relative to the corpus (template text is
+    by definition low-entropy), so AQE turns the recount join into a
+    broadcast; nothing is ever all-pairs. Reference parity: the reference
+    scrapes pages with Selenium and keeps whatever the CSS selector
+    matched (scraper/main.py:104-134) — boilerplate never removed; this
+    operator is the at-scale cleanup that step needs."""
+    d = (
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", "source", F.split("text", " ").alias("w"))
+    )
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("w") - 4, F.lit(0)))
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "source",
+        F.concat_ws(" ", F.slice("w", F.col("i"), F.lit(5))).alias("g"),
+    )
+    boiler = (
+        sh.groupBy("source", "g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("source", "g", F.lit(1).alias("is_boiler"))
+    )
+    hits = (
+        sh.join(boiler, ["source", "g"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.count("is_boiler").alias("n_boiler_windows"),
+        )
+    )
+    return (
+        d.select("doc_id", F.size("w").cast("bigint").alias("n_tokens"))
+        .join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("n_windows").cast("bigint").alias("n_windows"),
+            F.col("n_boiler_windows").cast("bigint").alias("n_boiler_windows"),
+            (F.col("n_boiler_windows") * 2 < F.col("n_windows")).alias("keep"),
         )
     )

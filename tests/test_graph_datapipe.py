@@ -788,3 +788,42 @@ def test_bpe_encode_token_count_shrinks_with_merges(spark):
         assert agg["t"] >= agg["w"]
     assert totals[0] >= totals[1] >= totals[2]
     assert totals[0] > totals[2]  # the merges actually fired
+
+
+def test_boilerplate_flags_within_source_templates(spark):
+    """The shared 5-gram dictionary is per-source: the template sentence
+    repeated in src-a's two docs is boilerplate THERE, but the same words in
+    the src-b doc (no second src-b doc shares them) are not."""
+    from pyspark.sql import Row
+
+    from projet_data_engineering_spark.operators import textanalysis as ta
+
+    tmpl = "subscribe to our newsletter today"
+    rows = [
+        Row(doc_id=1, source="a", text=tmpl + " alpha beta gamma delta"),
+        Row(doc_id=2, source="a", text=tmpl + " epsilon zeta eta theta"),
+        Row(doc_id=3, source="a", text="iota kappa lambda mu nu xi"),
+        Row(doc_id=4, source="b", text=tmpl + " omicron pi rho sigma"),
+    ]
+    docs = spark.createDataFrame(rows)
+    d = docs.select("doc_id", "source", F.split("text", " ").alias("w"))
+    sh = d.select(
+        "doc_id", "source",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.size("w") - 4, F.lit(0)))
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id", "source",
+        F.concat_ws(" ", F.slice("w", F.col("i"), F.lit(5))).alias("g"),
+    )
+    boiler = {
+        (r["source"], r["g"])
+        for r in sh.groupBy("source", "g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd >= 2")
+        .collect()
+    }
+    assert all(s == "a" for s, _ in boiler)  # src-b copy is NOT boilerplate
+    assert ("a", tmpl) in boiler
+    assert ta.q_boilerplate is not None  # registered
