@@ -423,7 +423,7 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, event_type,
            ROUND((value - AVG(value) OVER (PARTITION BY event_type))
                  / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY event_type), 0),
-                 4) AS z
+                 4) + 0.0 AS z
     FROM events
     """,
 )
@@ -437,10 +437,16 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "event_id",
         "event_type",
-        F.round(
-            (F.col("value") - F.avg("value").over(w))
-            / F.nullif(F.stddev_samp("value").over(w), F.lit(0.0)),
-            4,
+        (
+            F.round(
+                (F.col("value") - F.avg("value").over(w))
+                / F.nullif(F.stddev_samp("value").over(w), F.lit(0.0)),
+                4,
+            )
+            # + 0.0 normalizes IEEE negative zero: at large SFs partial-sum
+            # drift makes a mathematically-zero z round to -0.0 on one
+            # engine and +0.0 on the other, and they render differently
+            + F.lit(0.0)
         ).alias("z"),
     )
 

@@ -79,6 +79,10 @@ def main() -> int:
     from projet_data_engineering_spark import TABLES
 
     con = duckdb.connect()
+    # sharded big-SF sweeps run several check processes side by side; cap
+    # each one's DuckDB thread pool so the shards share the machine fairly
+    if os.environ.get("CHECK_DUCK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['CHECK_DUCK_THREADS'])}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
@@ -87,7 +91,9 @@ def main() -> int:
     from pyspark.sql import SparkSession
 
     spark = (
-        SparkSession.builder.master("local[*]")
+        # CHECK_MASTER lets a sharded sweep give each process a core slice
+        # (e.g. local[8] x4); the default stays the driver-shaped local[*]
+        SparkSession.builder.master(os.environ.get("CHECK_MASTER", "local[*]"))
         .appName("oracle-check-vanilla")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
