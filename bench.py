@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "q_bm25_multifield",# best_fields multi-column BM25 (r2)
     "q_bm25_fuzzy",     # AUTO-fuzziness BM25 expansion (r2)
     "q_curate",         # composed dedup∘quality∘token pipeline (r2)
+    "q_boilerplate",    # within-source template-shingle curation (r5)
+    "q_media_container_meta",  # JPEG/MP4 stdlib metadata decode (r5)
 ]
 
 # The 24-query set benched in round 1 (BENCH_r01/BASELINE.md anchor). The

@@ -118,6 +118,8 @@ _R4_GREEN = {
 _R5_CHANGED = {
     "q_ann_ivf", "q_ann_recall", "q_media_decode", "q_url_dedup",
     "q_pack_sequences",
+    # signed-zero normalization changed the rounding of ~0 z-scores
+    "q_zscore",
 }
 
 
