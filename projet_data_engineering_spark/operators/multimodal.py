@@ -128,6 +128,22 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
 
 
 def decode_media(payload: bytes) -> dict:
+    """Public wrapper: any malformed payload raises ``NotImplementedError``,
+    never a raw ``struct.error``/``zlib.error``/``IndexError`` from a
+    truncated or corrupt container. That guarantee is what keeps ONE bad
+    payload in a 100 TB corpus from killing its whole Arrow batch (and with
+    it the task): ``extract_features`` catches exactly
+    ``NotImplementedError`` and records the row as undecodable. Fuzz-pinned
+    by ``test_decode_media_never_raises_raw_parser_errors``."""
+    try:
+        return _decode_media(payload)
+    except NotImplementedError:
+        raise
+    except Exception as e:  # truncated/corrupt container mid-parse
+        raise NotImplementedError(f"malformed container: {e}") from e
+
+
+def _decode_media(payload: bytes) -> dict:
     """REAL decode for the stdlib-parsable containers, no dependencies.
 
     - BMP (``BM`` magic): width/height from the BITMAPINFOHEADER int32s at

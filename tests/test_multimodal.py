@@ -322,3 +322,39 @@ def test_decode_media_mp4_box_walk_v0_and_v1():
 
     with _pytest.raises(NotImplementedError):
         decode_media(bytes.fromhex("00000010") + b"ftypisom" + bytes(4))
+
+
+def test_decode_media_never_raises_raw_parser_errors():
+    """A corrupt payload anywhere in a 100 TB corpus must surface as the
+    recorded-undecodable row, not a struct/zlib error that kills the Arrow
+    batch: decode_media's contract is dict-or-NotImplementedError, nothing
+    else. Fuzz with truncations of every valid fixture (worst case for
+    offset math) plus hypothesis-random bytes behind magic prefixes."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    fixtures = [
+        _bmp(640, 480), _wav(2, 8000, 48000), _jpeg(100, 50),
+        _mp4(1000, 5000, 320, 240),
+    ]
+    for fx in fixtures:
+        for cut in range(len(fx)):
+            try:
+                decode_media(fx[:cut])
+            except NotImplementedError:
+                pass  # the only legal exception
+
+    magics = [b"", b"BM", b"RIFF", b"\x89PNG\r\n\x1a\n", b"\xff\xd8",
+              b"\x00\x00\x00\x10ftyp"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sampled_from(magics), st.binary(max_size=64))
+    def fuzz(prefix, tail):
+        try:
+            decode_media(prefix + tail)
+        except NotImplementedError:
+            pass
+
+    fuzz()
