@@ -120,6 +120,8 @@ _R5_CHANGED = {
     "q_pack_sequences",
     # signed-zero normalization changed the rounding of ~0 z-scores
     "q_zscore",
+    # stopword counters fused into one aggregate fold (2.2x at sf5.0)
+    "q_lang_id",
 }
 
 
