@@ -318,7 +318,7 @@ def connected_components(
     pairs: DataFrame,
     left: str = "doc1",
     right: str = "doc2",
-    max_iter: int = 15,
+    max_iter: int = 64,
     checkpoint_every: int = 3,
 ) -> DataFrame:
     """Connected components over candidate pairs → (node, root) with root =
@@ -358,6 +358,7 @@ def connected_components(
     # single aggregate per round instead of the old join+filter+count (a
     # second full labels shuffle per round).
     prev_sum = None
+    converged = False
     for i in range(max_iter):
         nbr = edges.join(
             labels, edges.b == labels.node
@@ -375,9 +376,21 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        # Truncated propagation would silently mislabel every node farther
+        # than max_iter hops from its component min — at sf5 the synthetic
+        # near-dup graph's giant component needs ~25 rounds, which a cap of
+        # 15 quietly got wrong. Wrong-but-plausible labels are worse than an
+        # error: refuse. Diameter-heavy graphs belong on the O(log n)
+        # ``connected_components_lss`` path instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter or use connected_components_lss (O(log n) rounds)"
+        )
     return labels
 
 
@@ -411,6 +424,8 @@ def connected_components_lss(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    prev_sig: tuple | None = None
+    converged = False
     for _ in range(max_iter):
         # Large-star: every node attaches its larger neighbors to the min of
         # its full neighborhood (including itself).
@@ -423,7 +438,9 @@ def connected_components_lss(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
-            .distinct()
+            # No distinct here: mins2's groupBy-min is duplicate-blind and
+            # new_edges re-distincts — dropping it saves one full shuffle
+            # per round (set semantics restored at the round boundary).
         )
         # Small-star: every node rewires its smaller neighbors (and itself)
         # to the min of those; operates on the (child > parent) edge list.
@@ -440,13 +457,28 @@ def connected_components_lss(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        stable = (
-            new_edges.count() == edges.count()
-            and new_edges.subtract(edges).count() == 0
+        # Convergence test in two tiers: a cheap 1-row (count, sum hi,
+        # sum lo) fingerprint every round, and only when the fingerprint
+        # matches the previous round's, the definitive set-equality check
+        # (subtract) — so steady-state rounds cost one aggregate, and the
+        # exact proof is paid once at the end, never heuristically skipped.
+        cur_sig = tuple(
+            new_edges.agg(
+                F.count("*"), F.sum("hi"), F.sum("lo")
+            ).first()
         )
+        stable = (
+            cur_sig == prev_sig and new_edges.subtract(edges).count() == 0
+        )
+        prev_sig = cur_sig
         edges = new_edges
         if stable:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_lss did not converge in {max_iter} rounds"
+        )
     # Converged: depth-1 stars — every child row points at its component min.
     child = edges.select(F.col("hi").alias("node"), F.col("lo").alias("root"))
     return nodes.join(child, "node", "left").select(
@@ -514,7 +546,10 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus — |near-dup nodes| rows), so applying dedup to
     100 TB costs one scan plus the pair pipeline."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    labels = connected_components(minhash_candidate_pairs(d, "doc_id", "text"))
+    # LSS: O(log n) rounds at any component diameter (see q_curate).
+    labels = connected_components_lss(
+        minhash_candidate_pairs(d, "doc_id", "text")
+    )
     drop = labels.filter(F.col("node") != F.col("root")).select(
         F.col("node").alias("doc_id")
     )
@@ -650,7 +685,8 @@ def q_split_groupsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. The relabel map has one row per CLUSTERED doc (near-dups
     only), so the join side is small at any corpus size."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    labels = connected_components(
+    # LSS: O(log n) rounds at any component diameter (see q_curate).
+    labels = connected_components_lss(
         minhash_candidate_pairs(d, "doc_id", "text")
     ).withColumnRenamed("node", "doc_id")
     keyed = d.select("doc_id", "n_chars").join(

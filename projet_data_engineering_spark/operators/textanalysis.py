@@ -370,12 +370,16 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     their composition."""
     from projet_data_engineering_spark.io import spread
     from projet_data_engineering_spark.operators.dedup import (
-        connected_components,
+        connected_components_lss,
         minhash_candidate_pairs,
     )
 
+    # LSS, not min-label propagation: the composed pipeline must survive
+    # whatever component shapes the corpus produces, and LSS converges in
+    # O(log n) rounds regardless of diameter (min-label is O(diameter) —
+    # at sf5 the giant near-dup component already needs ~25 rounds).
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    labels = connected_components(minhash_candidate_pairs(d, "doc_id", "text"))
+    labels = connected_components_lss(minhash_candidate_pairs(d, "doc_id", "text"))
     drop = labels.filter(F.col("node") != F.col("root")).select(
         F.col("node").alias("doc_id")
     )

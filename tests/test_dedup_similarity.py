@@ -123,6 +123,33 @@ def test_connected_components_lineage_bounded(spark):
     assert plan.count("Join") < 6, plan
 
 
+def test_connected_components_refuses_truncated_convergence(spark):
+    """A diameter-d component needs ~d min-label rounds; a max_iter below
+    that must RAISE, never return silently-wrong labels (at sf5 the giant
+    near-dup component needs ~25 rounds — a silent cap of 15 mislabeled it
+    until this guard existed). The same chain through LSS converges in
+    O(log n) rounds and must agree with the converged min-label run."""
+    from projet_data_engineering_spark.operators.dedup import (
+        connected_components,
+        connected_components_lss,
+    )
+
+    chain = spark.createDataFrame([Row(doc1=i, doc2=i + 1) for i in range(30)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=10).collect()
+
+    want = {i: 0 for i in range(31)}
+    got = {
+        r["node"]: r["root"]
+        for r in connected_components(chain, max_iter=40).collect()
+    }
+    assert got == want
+    got_lss = {
+        r["node"]: r["root"] for r in connected_components_lss(chain).collect()
+    }
+    assert got_lss == want
+
+
 def test_merge_upsert_null_overwrites_old_value(spark):
     """Mongo $set semantics: a matched new row wins WHOLESALE — a legitimate
     NULL in the new record must overwrite the old non-NULL value, not be
