@@ -395,7 +395,7 @@ def connected_components(
 
 
 def connected_components_lss(
-    pairs: DataFrame, left: str = "doc1", right: str = "doc2", max_iter: int = 20
+    pairs: DataFrame, left: str = "doc1", right: str = "doc2", max_iter: int = 40
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —

@@ -599,3 +599,156 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("df"), F.sum("tf").alias("total_tf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# T7 serving path: materialized BM25 index + index-served search
+# ---------------------------------------------------------------------------
+
+
+def build_search_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """T7 — write the full BM25 serving layout to ``path``: the ES
+    re-index analogue (reference ``scraper/main.py:271-277``) made concrete.
+
+    Two artifacts:
+
+    - ``{path}/postings`` — (term, doc_id, dl, tf), PARTITIONED by
+      ``term_bucket = crc32(term) % n_buckets`` so a query's scan prunes to
+      its terms' buckets (same discipline as the ANN bucket layout in
+      ``similarity.py``). Doc length is denormalized into the posting row —
+      exactly how Lucene stores norms in the index — so serving needs no
+      join back to a doc table.
+    - ``{path}/stats`` — the 1-row corpus stats (n_docs, avg_dl) BM25 needs.
+
+    One tokenize pass feeds both (the postings groupBy and the stats
+    aggregate); at 100 TB this build is the once-per-reindex cost that every
+    subsequent query amortizes."""
+    toks = docs.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
+    ).withColumn("dl", F.size("tokens"))
+    postings = (
+        toks.select(id_col, "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("term_bucket", F.crc32(F.col("term")) % n_buckets)
+    )
+    postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
+        f"{path}/postings"
+    )
+    toks.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+
+
+def bm25_serve(
+    spark: SparkSession,
+    index_path: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """T1 over T7 — score a query FROM the materialized index, never
+    touching the document corpus.
+
+    The bucket list is computed driver-side with the same CRC-32 the build
+    used (zlib and Spark share the standard polynomial), so the bucket
+    predicate is a literal IN-list that reaches the parquet reader as a
+    PartitionFilter: the scan reads |query-term buckets| directories, not
+    the index (plan-asserted in ``test_search.py``). Doc frequencies fold
+    per term from the pruned hits; corpus stats are the stored 1-row table;
+    both broadcast — the only non-trivial shuffle is the per-doc score sum
+    over hit rows."""
+    import zlib
+
+    terms = []
+    for t in (t.lower() for t in query_terms):
+        if t not in terms:
+            terms.append(t)
+    buckets = sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
+    hits = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .filter(F.col("term").isin(terms))
+    )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    # (term, doc_id) is unique in the postings table, so df = plain count.
+    dfc = hits.groupBy("term").agg(F.count("*").alias("df"))
+    return (
+        hits.join(F.broadcast(dfc), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+
+
+@query(
+    "q_bm25_served",
+    oracle="""
+    WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS dl,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tokens
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dl),
+    tf AS (
+        SELECT d.doc_id, d.dl, u.term, COUNT(*) AS tf
+        FROM dl d, UNNEST(d.tokens) AS u(term)
+        WHERE u.term IN ('spark', 'join', 'stream')
+        GROUP BY d.doc_id, d.dl, u.term
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term)
+    SELECT t.doc_id,
+           ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * (t.tf * 2.2)
+                     / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avg_dl))),
+                 4) AS score
+    FROM tf t JOIN dfc f ON t.term = f.term CROSS JOIN stats s
+    GROUP BY t.doc_id
+    ORDER BY score DESC, t.doc_id ASC
+    LIMIT 50
+    """,
+)
+def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 end-to-end — build the term-bucketed BM25 index, then serve the
+    SAME 'spark join stream' top-50 ``q_bm25_topk`` computes by scanning,
+    this time from the index. The oracle is q_bm25_topk's oracle verbatim:
+    the hash check proves the serving path reproduces the scan path's
+    scores exactly. The timed cost here is build+serve (the honest
+    once-per-reindex number); serve-only latency and the partition-pruned
+    scan are asserted in ``test_search.py``."""
+    import shutil
+    import tempfile
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    path = tempfile.mkdtemp(prefix="bm25_index_")
+    try:
+        build_search_index(d, "doc_id", "text", path)
+        served = bm25_serve(spark, path, ["spark", "join", "stream"])
+        out = served.orderBy(F.desc("score"), F.asc("doc_id")).limit(50)
+        # Materialize before the index directory is removed: the returned
+        # plan must not depend on the tempdir once this function exits.
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

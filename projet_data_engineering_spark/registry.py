@@ -122,6 +122,11 @@ _R5_CHANGED = {
     "q_zscore",
     # stopword counters fused into one aggregate fold (2.2x at sf5.0)
     "q_lang_id",
+    # connected components switched to LSS (converge-or-raise guard; exact
+    # label parity with converged min-label proven at sf5, but the executed
+    # plan changed)
+    "q_curate", "q_dedup_apply", "q_split_groupsafe", "q_dedup_clusters",
+    "q_dedup_clusters_lss",
 }
 
 
