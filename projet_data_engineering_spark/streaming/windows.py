@@ -445,3 +445,96 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", F.ntile(4).over(w).alias("quartile")
     )
+
+
+def run_stream_index_refresh(
+    doc_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """ST1 × T7 — keep the BM25 serving index (``search.build_search_index``
+    layout) fresh as documents stream in, exactly-once under at-least-once
+    redelivery.
+
+    Corpus semantics are APPEND-ONLY (the training-data ingest shape:
+    documents arrive once and never mutate; ES re-index handles edits in the
+    reference, ``scraper/main.py:271-277``). Each micro-batch:
+
+    1. tokenizes ONLY the batch (corpus never rescanned) into posting rows
+       ``(term, doc_id, dl, tf, term_bucket)``;
+    2. MERGEs them into ``{index_path}/postings`` keyed on the (term, doc)
+       posting key through the partition-pruned path — a batch touching k
+       term buckets rewrites k bucket directories, the rest of the index is
+       never read (``io.merge_upsert_partitioned``). The keyed merge is what
+       makes redelivery idempotent: a replayed batch regenerates identical
+       posting rows and overwrites them in place;
+    3. MERGEs the batch's ``(doc_id, dl)`` rows into
+       ``{index_path}/docstats`` keyed on the doc id (idempotent for the
+       same reason), then rewrites the 1-row ``{index_path}/stats`` from
+       docstats — stats are derived state recomputed from idempotent state,
+       so they can never double-count a replayed batch.
+
+    ``search.bm25_serve`` reads the refreshed index unchanged. Parity with a
+    from-scratch ``build_search_index`` over the same corpus and replay
+    idempotence are asserted in ``test_streaming.py``."""
+    from projet_data_engineering_spark.io import merge_upsert_partitioned
+    from projet_data_engineering_spark.operators.search import tokenize
+
+    postings_path = f"{index_path}/postings"
+    docstats_path = f"{index_path}/docstats"
+    stats_path = f"{index_path}/stats"
+
+    def refresh(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        toks = batch.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
+        ).withColumn("dl", F.size("tokens"))
+        postings = (
+            toks.select(id_col, "dl", F.explode("tokens").alias("term"))
+            .groupBy("term", id_col, "dl")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("term_bucket", F.crc32(F.col("term")) % n_buckets)
+            .withColumn(
+                "_pk",
+                F.concat_ws("|", F.col("term"), F.col(id_col).cast("string")),
+            )
+        )
+        try:
+            spark.read.parquet(postings_path).schema
+            merge_upsert_partitioned(
+                spark, postings_path, postings, "_pk", "term_bucket"
+            )
+        except Exception:
+            postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
+                postings_path
+            )
+        docstats = toks.select(id_col, "dl")
+        try:
+            old = spark.read.parquet(docstats_path)
+            merged = merge_upsert(old, docstats, id_col).localCheckpoint(
+                eager=True
+            )
+        except Exception:
+            merged = docstats
+        merged.write.mode("overwrite").parquet(docstats_path + "_next")
+        import shutil
+
+        shutil.rmtree(docstats_path, ignore_errors=True)
+        shutil.move(docstats_path + "_next", docstats_path)
+        # Derived 1-row stats, recomputed from the idempotent docstats state.
+        spark.read.parquet(docstats_path).agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
+        ).write.mode("overwrite").parquet(stats_path)
+
+    (
+        doc_stream.writeStream.foreachBatch(refresh)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

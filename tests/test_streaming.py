@@ -271,3 +271,81 @@ def test_stream_upsert_partitioned_prunes_untouched_partitions(spark, tmp_path):
     run("chk2")
     again = {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(target).collect()}
     assert again == after_first
+
+
+def test_stream_index_refresh_matches_scratch_build_and_replays(spark, tmp_path):
+    """ST1 × T7: streaming micro-batches into the BM25 index must yield the
+    same served scores as a from-scratch build over the full corpus, and a
+    full redelivery (fresh checkpoint) must leave the index semantically
+    identical — the keyed-merge idempotence contract."""
+    from projet_data_engineering_spark.operators.search import (
+        bm25_scores,
+        bm25_serve,
+        build_search_index,
+    )
+    from projet_data_engineering_spark.streaming.windows import (
+        run_stream_index_refresh,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, t)
+            for i, t in enumerate(
+                [
+                    "spark joins streams with spark sql",
+                    "vanilla cake recipe",
+                    "stream processing with spark",
+                    "join orders to lineitem",
+                    "fruit salad no sugar",
+                    "spark spark spark",
+                    "late arriving spark document about join plans",
+                    "another stream about nothing",
+                ]
+            )
+        ],
+        ["doc_id", "text"],
+    )
+    src = str(tmp_path / "src")
+    # 4 files -> maxFilesPerTrigger=1 forces multiple micro-batches
+    docs.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream_idx = str(tmp_path / "stream_idx")
+    scratch_idx = str(tmp_path / "scratch_idx")
+    build_search_index(docs, "doc_id", "text", scratch_idx, n_buckets=16)
+
+    def run(chk):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        run_stream_index_refresh(
+            stream, stream_idx, chk, n_buckets=16
+        )
+
+    run(str(tmp_path / "chk1"))
+    terms = ["spark", "join"]
+    served_stream = {
+        r["doc_id"]: r["score"]
+        for r in bm25_serve(spark, stream_idx, terms, n_buckets=16).collect()
+    }
+    served_scratch = {
+        r["doc_id"]: r["score"]
+        for r in bm25_serve(spark, scratch_idx, terms, n_buckets=16).collect()
+    }
+    scanned = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+    }
+    assert served_stream == served_scratch == scanned and served_stream
+
+    # full redelivery from a fresh checkpoint: merge-keyed refresh must not
+    # duplicate postings or double-count stats
+    run(str(tmp_path / "chk2"))
+    replayed = {
+        r["doc_id"]: r["score"]
+        for r in bm25_serve(spark, stream_idx, terms, n_buckets=16).collect()
+    }
+    assert replayed == served_stream
+    n_docstats = spark.read.parquet(f"{stream_idx}/docstats").count()
+    assert n_docstats == docs.count()

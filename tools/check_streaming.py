@@ -158,14 +158,54 @@ def main() -> int:
         for u, (n, t) in expected.items():
             assert last[u][0] == n and abs(last[u][1] - t) < 1e-6, u
 
+    def check_index_refresh():
+        from projet_data_engineering_spark.operators.search import (
+            bm25_scores,
+            bm25_serve,
+        )
+        from projet_data_engineering_spark.streaming.windows import (
+            run_stream_index_refresh,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        docs.repartition(4).write.mode("overwrite").parquet(f"{work}/docsrc")
+        idx = f"{work}/stream_idx"
+
+        def run(chk):
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/docsrc")
+            )
+            run_stream_index_refresh(stream, idx, chk, n_buckets=16)
+
+        run(f"{work}/chk_idx1")
+        terms = ["spark", "join", "stream"]
+        served = {
+            r["doc_id"]: r["score"]
+            for r in bm25_serve(spark, idx, terms, n_buckets=16).collect()
+        }
+        scanned = {
+            r["doc_id"]: r["score"]
+            for r in bm25_scores(docs, "doc_id", "text", terms).collect()
+        }
+        assert served == scanned and served, (len(served), len(scanned))
+        run(f"{work}/chk_idx2")  # full redelivery: keyed merges must not dup
+        replayed = {
+            r["doc_id"]: r["score"]
+            for r in bm25_serve(spark, idx, terms, n_buckets=16).collect()
+        }
+        assert replayed == served
+
     gate("windowed_stream", check_windowed)
     gate("dedup_stream", check_dedup)
     gate("stream_stream_join", check_join)
     gate("run_stream_upsert_idempotent", check_upsert)
     gate("running_user_totals_stateful", check_stateful)
+    gate("run_stream_index_refresh_serves_and_replays", check_index_refresh)
 
     shutil.rmtree(work, ignore_errors=True)
-    print(f"\n{5 - failures} ok, {failures} FAILED")
+    print(f"\n{6 - failures} ok, {failures} FAILED")
     return 1 if failures else 0
 
 
