@@ -283,3 +283,72 @@ def write_orc_sink(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
+    """Morton (Z-order) key over ``cols``: each column is normalized to a
+    ``2^bits`` grid against its own min/max (a 1-row broadcast aggregate —
+    no extra pass materialized driver-side), then the grid coordinates'
+    bits are interleaved with unrolled shift/or Column algebra. Pure
+    whole-stage-codegen expressions — no UDF.
+
+    Returns (df_with_stats, key_column): the caller sorts/ranges by the key
+    column over ``df_with_stats``."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],
+    )
+    d = df.crossJoin(F.broadcast(stats))
+    grid = (1 << bits) - 1
+    coords = []
+    for c in cols:
+        span = F.col(f"_max_{c}") - F.col(f"_min_{c}")
+        frac = F.when(span > 0, (F.col(c).cast("double") - F.col(f"_min_{c}")) / span).otherwise(F.lit(0.0))
+        coords.append(F.least(F.floor(frac * grid).cast("long"), F.lit(grid)))
+    key = F.lit(0).cast("long")
+    n = len(cols)
+    for bit in range(bits):
+        for j, coord in enumerate(coords):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(coord, bit).bitwiseAND(F.lit(1)), bit * n + j
+                )
+            )
+    return d, key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order-clustered parquet write — the engine-neutral shape of Delta's
+    ``OPTIMIZE ... ZORDER BY`` / Iceberg's sort-order rewrite.
+
+    Rows are range-partitioned and sorted by the Morton key of ``cols``, so
+    every output file covers a small rectangle of the multi-column value
+    space: each file's min/max footer stats are narrow on EVERY z-ordered
+    column at once, and a selective filter on ANY of them (or any
+    combination) skips most files at scan time. A single-column
+    ``sortWithinPartitions(col)`` gets skipping only on that column;
+    z-order is how a 100 TB table serves selective filters on two or three
+    dimensions from one layout. Verified against actual parquet footers in
+    ``test_io.py::test_zordered_write_narrows_file_stats``."""
+    d, key = zorder_key(df, cols, bits)
+    d = d.withColumn("_z", key)
+    # n_files sizes output files explicitly (target 128-256 MB each at
+    # scale); default lets AQE pick — which coalesces small tables to few
+    # files, correct for storage but useless for a skipping demo.
+    ranged = (
+        d.repartitionByRange(n_files, F.col("_z"))
+        if n_files
+        else d.repartitionByRange(F.col("_z"))
+    )
+    (
+        ranged.sortWithinPartitions("_z")
+        .drop("_z", *[f"_min_{c}" for c in cols], *[f"_max_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -276,3 +276,79 @@ def test_partitioned_merge_order_col_last_write_wins(spark, tmp_path):
     assert got[1] == 111  # seq 9 beat seq 5
     assert got[3] == 30
     assert got[2] == 20
+
+
+def test_zordered_write_narrows_file_stats(spark, tmp_path):
+    """Z-order clustering must make every output file's parquet footer
+    min/max narrow on BOTH clustered columns at once — the property file
+    skipping depends on. Checked against the actual footers via pyarrow:
+    a selective box filter on (x, y) must intersect far fewer z-ordered
+    files than linearly-sorted ones (a single-column sort gives skipping
+    on that column only)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from projet_data_engineering_spark.io import write_zordered
+
+    df = (
+        spark.range(0, 40000)
+        .withColumn("x", F.col("id") % 200)
+        .withColumn("y", (F.col("id") / F.lit(200)).cast("long") % 200)
+        .drop("id")
+    )
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(df, zpath, ["x", "y"], bits=8, n_files=16)
+    # Baseline: same file budget, single-dimension layout (sorted by x
+    # only) — the best a non-z layout gives a table that must also serve
+    # y-filters.
+    df.repartitionByRange(16, F.col("x")).sortWithinPartitions(
+        "x"
+    ).write.mode("overwrite").parquet(lpath)
+
+    def file_ranges(path):
+        out = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            lo = {"x": None, "y": None}
+            hi = {"x": None, "y": None}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    name = col.path_in_schema
+                    if name in lo and col.statistics is not None:
+                        s = col.statistics
+                        lo[name] = s.min if lo[name] is None else min(lo[name], s.min)
+                        hi[name] = s.max if hi[name] is None else max(hi[name], s.max)
+            if lo["x"] is not None:
+                out.append((lo["x"], hi["x"], lo["y"], hi["y"]))
+        return out
+
+    def touched(ranges, x0, x1, y0, y1):
+        return sum(
+            1
+            for (xl, xh, yl, yh) in ranges
+            if xh >= x0 and xl <= x1 and yh >= y0 and yl <= y1
+        )
+
+    zr, lr = file_ranges(zpath), file_ranges(lpath)
+    assert len(zr) > 4 and len(lr) > 4  # enough files for skipping to mean anything
+    # a 10%-per-side box: z-order should touch a small fraction of files on
+    # a filter constraining BOTH dims, and critically also prune on a
+    # filter constraining ONLY y (the dimension linear order can't skip)
+    box_both_z = touched(zr, 0, 20, 0, 20)
+    box_y_z = touched(zr, 0, 199, 0, 20)
+    box_y_l = touched(lr, 0, 199, 0, 20)
+    assert box_both_z <= len(zr) // 2, (box_both_z, len(zr))
+    # x-major order leaves y unsorted across files, so a y-only filter
+    # touches (nearly) everything; the z-layout must beat it decisively
+    assert box_y_l >= len(lr) - 1, (box_y_l, len(lr))
+    assert box_y_z <= box_y_l // 2, (box_y_z, box_y_l)
+    # round-trip fidelity: clustering reorders, never drops or mutates
+    got = spark.read.parquet(zpath)
+    assert got.count() == 40000
+    assert got.agg(F.sum("x"), F.sum("y")).first() == df.agg(
+        F.sum("x"), F.sum("y")
+    ).first()
