@@ -89,6 +89,16 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()  # drop persists so queries don't interfere
+        # also free orphaned localCheckpoint blocks (iterative CC/PageRank
+        # rounds) — clearCache misses them, and at sf>=5 they accumulate
+        # across the set; runs between timed regions, identically at every SF
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 3)
     print(

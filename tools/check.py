@@ -97,6 +97,11 @@ def main() -> int:
         .appName("oracle-check-vanilla")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.ui.enabled", "false")
+        # Heap is infrastructure, not semantics: the SQL-conf surface stays
+        # vanilla (that's what "driver replica" means), but the default 1 GB
+        # driver JVM OOMs sf>=1 sort-merge joins under local[32]'s 32
+        # concurrent tasks — size it like any executor would be sized
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
     qs = entrymod.queries()
@@ -130,6 +135,19 @@ def main() -> int:
             # blocks accumulate across the sweep and evict/occupy heap the
             # NEXT query needs — drop them like the driver's per-query runs
             spark.catalog.clearCache()
+            # clearCache misses localCheckpoint blocks (iterative CC /
+            # PageRank / LSS rounds): those are freed by the ContextCleaner
+            # only once the JVM sees the RDD unreachable, which needs the
+            # py4j reference dropped (Python gc) AND a JVM gc nudge —
+            # without this, a 174-query sweep at sf>=1 accumulates orphaned
+            # checkpoint blocks until the heap OOMs mid-sweep
+            import gc
+
+            gc.collect()
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         if name not in oracles:
             print(f"rows  {name}: {len(slines)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
