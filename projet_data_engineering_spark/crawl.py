@@ -153,6 +153,49 @@ def polite_order(urls: list[str]) -> list[int]:
     return order
 
 
+def default_robots_url(url: str) -> str:
+    """Well-known robots.txt location for ``url``'s authority. For schemes
+    with no authority-rooted layout (``file://`` mini-sites), pass a custom
+    ``robots_url_fn`` to ``crawl_frontier`` instead."""
+    return f"{url_scheme(url)}://{url_domain(url)}/robots.txt"
+
+
+def robots_checker(
+    robots_url_fn: Callable[[str], str] | None = None,
+    user_agent: str = "*",
+) -> Callable[[str], bool]:
+    """Per-task robots.txt gate: ``checker(url) -> fetch allowed?``.
+
+    Built on stdlib ``urllib.robotparser`` (the reference crawls without
+    honoring robots — ``scraper/main.py:84-136`` — which a production
+    crawler must not do). The parsed robots file is CACHED per
+    (scheme, authority) inside the closure, so a task fetches each domain's
+    robots.txt once no matter how many of its URLs the batch holds — and
+    since ``crawl_frontier`` routes one domain to one task, each robots.txt
+    is fetched once per crawl ROUND, not once per page. An unreachable or
+    missing robots.txt allows the crawl (the de-facto crawler convention;
+    401/403 are handled as disallow by ``robotparser`` itself)."""
+    import urllib.robotparser
+
+    to_url = robots_url_fn or default_robots_url
+    cache: dict[str, Any] = {}
+
+    def allowed(url: str) -> bool:
+        key = f"{url_scheme(url)}://{url_domain(url)}"
+        rp = cache.get(key)
+        if rp is None:
+            rp = urllib.robotparser.RobotFileParser()
+            rp.set_url(to_url(url))
+            try:
+                rp.read()
+            except Exception:
+                rp.allow_all = True  # no robots reachable -> no restrictions
+            cache[key] = rp
+        return rp.can_fetch(user_agent, url)
+
+    return allowed
+
+
 def crawl_frontier(
     seeds: DataFrame,
     fetch_fn: Callable[[list[str]], tuple[list[str | None], list[list[str]]]]
@@ -160,6 +203,10 @@ def crawl_frontier(
     max_depth: int = 3,
     allowed_schemes: tuple[str, ...] | None = None,
     min_delay_per_domain: float = 0.0,
+    politeness_jitter: float = 0.0,
+    respect_robots: bool = False,
+    robots_url_fn: Callable[[str], str] | None = None,
+    user_agent: str = "*",
 ) -> DataFrame:
     """S9 — breadth-first crawl as iterative DataFrame algebra.
 
@@ -183,6 +230,18 @@ def crawl_frontier(
     are reordered round-robin across domains (``polite_order``) so one
     domain's wait overlaps other domains' fetches instead of stalling the
     task — serialize within domain, parallelize across.
+    ``politeness_jitter`` widens each same-domain wait by up to that
+    fraction of ``min_delay_per_domain``, derived DETERMINISTICALLY from the
+    URL's CRC-32 (reproducible runs, unlike random jitter) — it breaks the
+    lock-step cadence a fixed delay produces when thousands of tasks crawl
+    in parallel, so same-instant fetch bursts against shared infrastructure
+    decorrelate.
+
+    ``respect_robots=True`` filters every fetch through the domain's
+    robots.txt (``robots_checker`` above: stdlib robotparser, cached one
+    fetch per domain per task). A disallowed URL is recorded as a dead page
+    (content NULL, links unfollowed) — it enters the visited set so later
+    rounds never re-queue it.
 
     Scale: the visited set stays distributed (anti-join, never collected);
     each round's frontier is checkpointed so the iteration doesn't stack
@@ -207,25 +266,46 @@ def crawl_frontier(
     ).isin(*allowed_schemes)
 
     def fetch_batches(it: Iterator[Any]) -> Iterator[Any]:
+        import zlib
+
         import pandas as pd
+
+        robots_ok = (
+            robots_checker(robots_url_fn, user_agent) if respect_robots else None
+        )
+
+        def spacing(url: str) -> float:
+            # deterministic per-URL jitter on top of the floor delay
+            frac = (zlib.crc32(url.encode("utf-8")) % 1000) / 1000.0
+            return min_delay_per_domain * (1.0 + politeness_jitter * frac)
 
         for pdf in it:
             urls = pdf["url"].tolist()
-            if min_delay_per_domain > 0 and len(urls) > 1:
-                contents: list[str | None] = [None] * len(urls)
-                links: list[list[str]] = [[] for _ in urls]
+            contents: list[str | None] = [None] * len(urls)
+            links: list[list[str]] = [[] for _ in urls]
+            todo = [
+                i
+                for i, u in enumerate(urls)
+                if robots_ok is None or robots_ok(u)
+            ]
+            sub = [urls[i] for i in todo]
+            if min_delay_per_domain > 0 and len(sub) > 1:
                 last_start: dict[str, float] = {}
-                for i in polite_order(urls):
+                for k in polite_order(sub):
+                    i = todo[k]
                     dom = url_domain(urls[i])
                     prev = last_start.get(dom)
                     now = time.monotonic()
-                    if prev is not None and now - prev < min_delay_per_domain:
-                        time.sleep(min_delay_per_domain - (now - prev))
+                    wait = spacing(urls[i])
+                    if prev is not None and now - prev < wait:
+                        time.sleep(wait - (now - prev))
                     last_start[dom] = time.monotonic()
                     c, ls = fetch([urls[i]])
                     contents[i], links[i] = c[0], ls[0]
-            else:
-                contents, links = fetch(urls)
+            elif sub:
+                c, ls = fetch(sub)
+                for k, i in enumerate(todo):
+                    contents[i], links[i] = c[k], ls[k]
             yield pd.DataFrame(
                 {"url": urls, "content": contents, "links": links}
             )

@@ -152,6 +152,112 @@ def merge_upsert(
     )
 
 
+# ---------------------------------------------------------------------------
+# Crash-atomic commit primitives (engine-neutral: Hadoop FileSystem API only,
+# so they work on local FS, HDFS, or any Hadoop-compatible object store).
+# A transactional format (Delta/Iceberg) subsumes all of this with a real
+# commit log; these are the minimal parquet-native protocols.
+# ---------------------------------------------------------------------------
+
+_MERGE_STAGE = "_merge_stage"
+_MERGE_MANIFEST = "_merge_manifest.json"
+
+
+def _fs_for(spark: SparkSession, path: str):
+    """(FileSystem, jvm) for ``path``'s scheme."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def _hpath(jvm, s: str):
+    return jvm.org.apache.hadoop.fs.Path(s)
+
+
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """Explicit existence probe. Streaming first-write-vs-merge decisions use
+    THIS, never ``try: read except: first-write`` — that idiom conflates
+    'target absent' with 'merge failed' and turns a transient merge error
+    into silent data loss (the failed batch would overwrite the table)."""
+    fs, jvm = _fs_for(spark, path)
+    return fs.exists(_hpath(jvm, path))
+
+
+def _write_small_file(spark: SparkSession, path: str, text: str) -> None:
+    """Atomically publish a small control file: write ``{path}.tmp``, then
+    rename over — a reader sees the old content or the new, never a torn
+    write."""
+    fs, jvm = _fs_for(spark, path)
+    tmp = _hpath(jvm, path + ".tmp")
+    out = fs.create(tmp, True)
+    out.write(bytearray(text, "utf-8"))
+    out.close()
+    fs.delete(_hpath(jvm, path), False)
+    fs.rename(tmp, _hpath(jvm, path))
+
+
+def _read_small_file(spark: SparkSession, path: str) -> str:
+    fs, jvm = _fs_for(spark, path)
+    stream = fs.open(_hpath(jvm, path))
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _commit_partitioned_merge(spark: SparkSession, path: str, manifest: dict) -> None:
+    """Roll the staged merge forward into the live table. Idempotent: every
+    step checks state before acting, so it can be re-run from any crash
+    point until the manifest is finally deleted (= commit complete).
+
+    Swap order per partition is delete-live → rename-staged-in; a crash in
+    between leaves the partition dir absent with its staged replacement
+    intact, which this function finishes on the next call."""
+    fs, jvm = _fs_for(spark, path)
+    stage = f"{path}/{manifest['stage']}"
+    for d in manifest["written"]:
+        staged = _hpath(jvm, f"{stage}/{d}")
+        live = _hpath(jvm, f"{path}/{d}")
+        if fs.exists(staged):
+            if fs.exists(live):
+                fs.delete(live, True)
+            fs.rename(staged, live)
+        # staged gone + live present => this partition already swapped
+    for d in manifest["stale"]:
+        live = _hpath(jvm, f"{path}/{d}")
+        if fs.exists(live):
+            fs.delete(live, True)
+    fs.delete(_hpath(jvm, stage), True)
+    fs.delete(_hpath(jvm, f"{path}/{_MERGE_MANIFEST}"), False)
+
+
+def recover_partitioned_merge(spark: SparkSession, path: str) -> bool:
+    """Crash recovery for ``merge_upsert_partitioned``. Call before reading
+    or merging a table that might have an interrupted commit.
+
+    - manifest present (crash AFTER the commit point): the staged output is
+      complete — roll FORWARD; the table reads back fully-new.
+    - no manifest (crash BEFORE the commit point): the live table was never
+      touched — delete any leftover staging garbage; the table reads back
+      fully-old.
+
+    Underscore-prefixed staging/manifest names are invisible to Spark's file
+    index, so even an un-recovered pre-commit table reads fully-old; only the
+    post-commit-point swap window needs this roll-forward. Returns True if a
+    roll-forward happened."""
+    import json as _json
+
+    fs, jvm = _fs_for(spark, path)
+    mpath = f"{path}/{_MERGE_MANIFEST}"
+    if fs.exists(_hpath(jvm, mpath)):
+        manifest = _json.loads(_read_small_file(spark, mpath))
+        _commit_partitioned_merge(spark, path, manifest)
+        return True
+    fs.delete(_hpath(jvm, f"{path}/{_MERGE_STAGE}"), True)
+    fs.delete(_hpath(jvm, mpath + ".tmp"), False)
+    return False
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     path: str,
@@ -160,31 +266,62 @@ def merge_upsert_partitioned(
     partition_col: str,
     order_col: str | None = None,
 ) -> list:
-    """S4 at warehouse scale: MERGE that rewrites ONLY partitions containing
-    touched keys, instead of the whole table.
+    """S4 at warehouse scale: crash-atomic MERGE that rewrites ONLY
+    partitions containing touched keys, instead of the whole table.
 
     ``merge_upsert`` is the correct relational semantics but rewrites every
     row; at 100 TB the cost that matters is rewriting untouched partitions
     (reference upsert ``scraper/main.py:263-264`` touches one document per
-    op). This variant:
+    op — and is atomic per document; this commit is atomic per BATCH). This
+    variant:
 
-    1. computes the touched partition set = partitions of the NEW rows ∪
+    1. rolls forward any interrupted previous commit (see
+       ``recover_partitioned_merge``);
+    2. computes the touched partition set = partitions of the NEW rows ∪
        partitions of OLD rows whose key is being replaced (covers keys that
        MOVE partitions) — a broadcast-semi probe, no old-table shuffle;
-    2. merges only the partition-pruned old slice (the filter on
-       ``partition_col`` prunes directories at the parquet scan);
-    3. writes back under ``partitionOverwriteMode=dynamic``, so only output
-       partitions are replaced — untouched partitions' files are never read,
-       rewritten, or deleted (asserted byte-identical in ``test_io.py``);
-    4. drops directories of touched partitions whose rows ALL moved away
-       (dynamic overwrite cannot write an empty partition) via the Hadoop
-       FileSystem API.
+    3. merges only the partition-pruned old slice (the filter on
+       ``partition_col`` prunes directories at the parquet scan) and writes
+       the result to ``{path}/_merge_stage`` — an underscore-prefixed dir
+       Spark's file index ignores, so concurrent readers still see the old
+       table; no localCheckpoint materialization is needed because the live
+       files being read are never overwritten mid-plan;
+    4. publishes ``{path}/_merge_manifest.json`` (tmp-write + rename — the
+       COMMIT POINT: before it exists a crash leaves the table fully-old,
+       after it exists recovery completes the swap to fully-new);
+    5. swaps staged partition dirs into place and deletes directories of
+       touched partitions whose rows ALL moved away, then removes the
+       manifest. Untouched partitions' files are never read, rewritten, or
+       deleted (asserted byte-identical in ``test_io.py``); the kill-between-
+       stages recovery contract is asserted in
+       ``test_io.py::test_partitioned_merge_crash_*``.
 
     The touched-partition list is collected to the driver — it is
     metadata-scale (bounded by partition count, like any partition listing),
-    never row-scale. With a transactional format (Delta/Iceberg) steps 2-4
-    collapse into ``MERGE INTO``; this is the engine-neutral parquet shape.
-    Returns the touched partition values."""
+    never row-scale. With Delta/Iceberg steps 3-5 collapse into
+    ``MERGE INTO``; this is the engine-neutral parquet shape. Returns the
+    touched partition values."""
+    recover_partitioned_merge(spark, path)
+    manifest = _stage_partitioned_merge(
+        spark, path, new, key, partition_col, order_col
+    )
+    _commit_partitioned_merge(spark, path, manifest)
+    return manifest["_parts"]
+
+
+def _stage_partitioned_merge(
+    spark: SparkSession,
+    path: str,
+    new: DataFrame,
+    key: str,
+    partition_col: str,
+    order_col: str | None = None,
+) -> dict:
+    """Steps 2-4 of ``merge_upsert_partitioned``: stage the merged output and
+    publish the manifest (the commit point). Split out so the crash-recovery
+    test can kill the job between staging and commit."""
+    import json as _json
+
     old = spark.read.parquet(path)
     new_keys = new.select(key).distinct()
     touched = (
@@ -198,26 +335,94 @@ def merge_upsert_partitioned(
     )
     parts = [r[0] for r in touched.collect()]
     old_touched = old.filter(F.col(partition_col).isin(parts))
-    # localCheckpoint materializes the merge BEFORE the write: Spark cannot
-    # overwrite a path its own plan is still reading from.
-    merged = merge_upsert(old_touched, new, key, order_col).localCheckpoint(
-        eager=True
+    merged = merge_upsert(old_touched, new, key, order_col)
+    stage = f"{path}/{_MERGE_STAGE}"
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+    # Partition dir names are taken from the staged listing verbatim (same
+    # Spark value-escaping as the live dirs) — no name reconstruction.
+    fs, jvm = _fs_for(spark, path)
+    written = sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(_hpath(jvm, stage))
+        if st.isDirectory() and st.getPath().getName().startswith(f"{partition_col}=")
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    written = {r[0] for r in merged.select(partition_col).distinct().collect()}
-    stale = [p for p in parts if p not in written]
-    if stale:
-        jvm = spark._jvm
-        hconf = spark._jsc.hadoopConfiguration()
-        for p in stale:
-            d = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={p}")
-            d.getFileSystem(hconf).delete(d, True)
-    return parts
+    stale = sorted(
+        d
+        for p in parts
+        if (d := f"{partition_col}={p}") not in set(written)
+        and fs.exists(_hpath(jvm, f"{path}/{d}"))
+    )
+    manifest = {
+        "stage": _MERGE_STAGE,
+        "partition_col": partition_col,
+        "touched": [str(p) for p in parts],
+        "written": written,
+        "stale": stale,
+    }
+    _write_small_file(
+        spark, f"{path}/{_MERGE_MANIFEST}", _json.dumps(manifest, indent=1)
+    )
+    manifest["_parts"] = parts
+    return manifest
+
+
+def _finish_partitioned_merge(spark: SparkSession, path: str) -> list:
+    """Step 5: roll the published manifest forward (idempotent)."""
+    import json as _json
+
+    manifest = _json.loads(_read_small_file(spark, f"{path}/{_MERGE_MANIFEST}"))
+    _commit_partitioned_merge(spark, path, manifest)
+    return manifest["touched"]
+
+
+def atomic_overwrite(df: DataFrame, path: str) -> None:
+    """Crash-atomic whole-table replace: write to ``{path}__next``, swap via
+    two renames, clean up. At every crash point the table is recoverable to
+    exactly one complete version (``recover_atomic_overwrite``):
+
+    - crash during the next-write: live table untouched (fully-old);
+    - crash after next completes, mid-swap: ``__next`` is complete — roll
+      forward (fully-new);
+    - crash during old-cleanup: table already new — finish deleting.
+
+    This is the versioned-dir protocol ADVICE r5 asked for, replacing the
+    rmtree-then-move window that could lose the table entirely. The plan may
+    read from ``path`` itself: the write targets ``__next`` so the source
+    files are untouched until the job has finished."""
+    spark = df.sparkSession
+    fs, jvm = _fs_for(spark, path)
+    nxt, old, live = (
+        _hpath(jvm, path + "__next"),
+        _hpath(jvm, path + "__old"),
+        _hpath(jvm, path),
+    )
+    fs.delete(nxt, True)
+    fs.delete(old, True)
+    df.write.mode("overwrite").parquet(path + "__next")
+    if fs.exists(live):
+        fs.rename(live, old)
+    fs.rename(nxt, live)
+    fs.delete(old, True)
+
+
+def recover_atomic_overwrite(spark: SparkSession, path: str) -> None:
+    """Roll an interrupted ``atomic_overwrite`` to a single complete version.
+    ``_SUCCESS`` in ``__next`` marks a completed write (Spark's own job-commit
+    marker), so a complete next wins (roll forward); an incomplete next is
+    discarded (roll back to old/live)."""
+    fs, jvm = _fs_for(spark, path)
+    nxt, old, live = (
+        _hpath(jvm, path + "__next"),
+        _hpath(jvm, path + "__old"),
+        _hpath(jvm, path),
+    )
+    if not fs.exists(live):
+        if fs.exists(nxt) and fs.exists(_hpath(jvm, path + "__next/_SUCCESS")):
+            fs.rename(nxt, live)
+        elif fs.exists(old):
+            fs.rename(old, live)
+    fs.delete(nxt, True)
+    fs.delete(old, True)
 
 
 def write_bucketed(
@@ -293,7 +498,21 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     whole-stage-codegen expressions — no UDF.
 
     Returns (df_with_stats, key_column): the caller sorts/ranges by the key
-    column over ``df_with_stats``."""
+    column over ``df_with_stats``.
+
+    The interleaved key must fit a 64-bit long: a shift amount of
+    ``bits*len(cols)-1 >= 64`` would silently wrap mod 64 on the JVM and
+    scramble the clustering. ``bits`` is auto-shrunk to the widest per-column
+    grid that fits (floor 1 bit/column); >64 columns cannot fit at all and
+    raise."""
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if len(cols) > 64:
+        raise ValueError(
+            f"zorder_key: {len(cols)} columns cannot interleave into a 64-bit "
+            "key (max 64 at 1 bit each); z-order the most selective <=4"
+        )
+    bits = min(bits, 64 // len(cols))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],

@@ -624,7 +624,10 @@ def build_search_index(
       ``similarity.py``). Doc length is denormalized into the posting row —
       exactly how Lucene stores norms in the index — so serving needs no
       join back to a doc table.
-    - ``{path}/stats`` — the 1-row corpus stats (n_docs, avg_dl) BM25 needs.
+    - ``{path}/stats`` — the 1-row corpus stats (n_docs, avg_dl) BM25 needs,
+      plus the layout manifest (``n_buckets``): serving derives its bucket
+      pruning from the stored value, so a build/serve bucket-count mismatch
+      (which would silently prune away valid postings) cannot happen.
 
     One tokenize pass feeds both (the postings groupBy and the stats
     aggregate); at 100 TB this build is the once-per-reindex cost that every
@@ -641,9 +644,11 @@ def build_search_index(
     postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
         f"{path}/postings"
     )
-    toks.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/stats")
+    toks.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+        F.lit(n_buckets).alias("n_buckets"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
 def bm25_serve(
@@ -653,21 +658,33 @@ def bm25_serve(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """T1 over T7 — score a query FROM the materialized index, never
     touching the document corpus.
 
-    The bucket list is computed driver-side with the same CRC-32 the build
-    used (zlib and Spark share the standard polynomial), so the bucket
-    predicate is a literal IN-list that reaches the parquet reader as a
-    PartitionFilter: the scan reads |query-term buckets| directories, not
-    the index (plan-asserted in ``test_search.py``). Doc frequencies fold
-    per term from the pruned hits; corpus stats are the stored 1-row table;
-    both broadcast — the only non-trivial shuffle is the per-doc score sum
-    over hit rows."""
+    The bucket count is read from the index's own stats manifest (persisted
+    by ``build_search_index``), never trusted from the caller: a mismatched
+    guess would silently prune away valid postings and return wrong or empty
+    scores. Passing ``n_buckets`` explicitly is allowed only as an assertion
+    — it must equal the stored value or this raises. The bucket list is then
+    computed driver-side with the same CRC-32 the build used (zlib and Spark
+    share the standard polynomial), so the bucket predicate is a literal
+    IN-list that reaches the parquet reader as a PartitionFilter: the scan
+    reads |query-term buckets| directories, not the index (plan-asserted in
+    ``test_search.py``). Doc frequencies fold per term from the pruned hits;
+    corpus stats are the stored 1-row table; both broadcast — the only
+    non-trivial shuffle is the per-doc score sum over hit rows."""
     import zlib
 
+    stats = spark.read.parquet(f"{index_path}/stats")
+    stored = stats.select("n_buckets").first()[0]
+    if n_buckets is not None and n_buckets != stored:
+        raise ValueError(
+            f"bm25_serve: caller asserted n_buckets={n_buckets} but the index "
+            f"at {index_path} was built with n_buckets={stored}"
+        )
+    n_buckets = int(stored)
     terms = []
     for t in (t.lower() for t in query_terms):
         if t not in terms:
@@ -678,7 +695,7 @@ def bm25_serve(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
-    stats = spark.read.parquet(f"{index_path}/stats")
+    stats = stats.drop("n_buckets")
     # (term, doc_id) is unique in the postings table, so df = plain count.
     dfc = hits.groupBy("term").agg(F.count("*").alias("df"))
     return (

@@ -200,27 +200,36 @@ def run_stream_upsert(
     parquet target keyed on ``key_cols`` (the streaming twin of the
     reference's Mongo bulk UpdateOne-upsert, ``scraper/main.py:263-264``).
     With Delta this becomes a transactional MERGE; plain parquet rewrite here
-    keeps the container dependency-free."""
+    keeps the container dependency-free.
+
+    First-write vs merge is decided by an EXPLICIT existence probe
+    (``io.path_exists``) — a try/except around the read would conflate
+    'target absent' with 'merge failed' and let a transient error overwrite
+    the table with one batch. Merge errors propagate, failing the streaming
+    query so the checkpoint replays the batch. The rewrite itself goes
+    through ``io.atomic_overwrite`` (versioned dir + two renames), so a
+    crash mid-swap is recoverable to exactly one complete table version."""
+    from projet_data_engineering_spark.io import (
+        atomic_overwrite,
+        path_exists,
+        recover_atomic_overwrite,
+    )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        recover_atomic_overwrite(spark, target_path)
         batch = batch.withColumn(
             "_merge_key", F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
         )
-        try:
+        if path_exists(spark, target_path):
             old = spark.read.parquet(target_path).withColumn(
                 "_merge_key",
                 F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols]),
             )
             merged = merge_upsert(old, batch, "_merge_key")
-        except Exception:
+        else:
             merged = batch
-        merged.drop("_merge_key").write.mode("overwrite").parquet(target_path + "_next")
-        # atomic-ish swap for the test harness; Delta/Iceberg do this natively
-        import shutil
-
-        shutil.rmtree(target_path, ignore_errors=True)
-        shutil.move(target_path + "_next", target_path)
+        atomic_overwrite(merged.drop("_merge_key"), target_path)
 
     (
         stream_df.writeStream.foreachBatch(upsert)
@@ -246,16 +255,20 @@ def run_stream_upsert_partitioned(
     batch, fine for a windowed-agg table, wrong for a keyed 100 TB one).
     Untouched partitions' files stay byte-identical across micro-batches
     (asserted in ``test_streaming.py``); with Delta/Iceberg the same loop
-    becomes a transactional MERGE."""
-    from projet_data_engineering_spark.io import merge_upsert_partitioned
+    becomes a transactional MERGE. First-write vs merge is an explicit
+    existence probe (never try/except-on-read); merge errors propagate so
+    the checkpoint replays the batch; crash-atomicity comes from
+    ``merge_upsert_partitioned``'s staged-manifest commit."""
+    from projet_data_engineering_spark.io import (
+        merge_upsert_partitioned,
+        path_exists,
+    )
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
-        try:
-            spark.read.parquet(target_path).schema  # target exists?
-        except Exception:
+        if not path_exists(spark, target_path):
             if order_col is not None:
                 from pyspark.sql import Window
 
@@ -477,10 +490,25 @@ def run_stream_index_refresh(
        docstats — stats are derived state recomputed from idempotent state,
        so they can never double-count a replayed batch.
 
-    ``search.bm25_serve`` reads the refreshed index unchanged. Parity with a
+    ``search.bm25_serve`` reads the refreshed index unchanged (including the
+    persisted ``n_buckets`` layout manifest in the stats row). Parity with a
     from-scratch ``build_search_index`` over the same corpus and replay
-    idempotence are asserted in ``test_streaming.py``."""
-    from projet_data_engineering_spark.io import merge_upsert_partitioned
+    idempotence are asserted in ``test_streaming.py``.
+
+    Failure semantics (ADVICE r5, medium): first-write vs merge is decided
+    by an EXPLICIT ``io.path_exists`` probe, never try/except-on-read — the
+    old idiom turned any merge failure (transient executor loss, schema
+    drift) into a silent whole-index overwrite by the current batch. Merge
+    errors now propagate, the streaming query fails, and the checkpoint
+    replays the batch; docstats is replaced through ``io.atomic_overwrite``
+    (versioned dir + rename swap, recovered at batch start), so no crash
+    window can lose prior doc lengths."""
+    from projet_data_engineering_spark.io import (
+        atomic_overwrite,
+        merge_upsert_partitioned,
+        path_exists,
+        recover_atomic_overwrite,
+    )
     from projet_data_engineering_spark.operators.search import tokenize
 
     postings_path = f"{index_path}/postings"
@@ -491,6 +519,8 @@ def run_stream_index_refresh(
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        recover_atomic_overwrite(spark, docstats_path)
+        recover_atomic_overwrite(spark, stats_path)
         toks = batch.select(
             F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
         ).withColumn("dl", F.size("tokens"))
@@ -504,32 +534,32 @@ def run_stream_index_refresh(
                 F.concat_ws("|", F.col("term"), F.col(id_col).cast("string")),
             )
         )
-        try:
-            spark.read.parquet(postings_path).schema
+        if path_exists(spark, postings_path):
             merge_upsert_partitioned(
                 spark, postings_path, postings, "_pk", "term_bucket"
             )
-        except Exception:
+        else:
             postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
                 postings_path
             )
         docstats = toks.select(id_col, "dl")
-        try:
+        if path_exists(spark, docstats_path):
             old = spark.read.parquet(docstats_path)
-            merged = merge_upsert(old, docstats, id_col).localCheckpoint(
-                eager=True
-            )
-        except Exception:
+            merged = merge_upsert(old, docstats, id_col)
+        else:
             merged = docstats
-        merged.write.mode("overwrite").parquet(docstats_path + "_next")
-        import shutil
-
-        shutil.rmtree(docstats_path, ignore_errors=True)
-        shutil.move(docstats_path + "_next", docstats_path)
-        # Derived 1-row stats, recomputed from the idempotent docstats state.
-        spark.read.parquet(docstats_path).agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avg_dl")
-        ).write.mode("overwrite").parquet(stats_path)
+        atomic_overwrite(merged, docstats_path)
+        # Derived 1-row stats (+ the n_buckets layout manifest bm25_serve
+        # reads), recomputed from the idempotent docstats state — can never
+        # double-count a replayed batch.
+        atomic_overwrite(
+            spark.read.parquet(docstats_path).agg(
+                F.count("*").alias("n_docs"),
+                F.avg("dl").alias("avg_dl"),
+                F.lit(n_buckets).alias("n_buckets"),
+            ),
+            stats_path,
+        )
 
     (
         doc_stream.writeStream.foreachBatch(refresh)

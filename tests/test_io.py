@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 import pyspark.sql.functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -352,3 +354,164 @@ def test_zordered_write_narrows_file_stats(spark, tmp_path):
     assert got.agg(F.sum("x"), F.sum("y")).first() == df.agg(
         F.sum("x"), F.sum("y")
     ).first()
+
+
+# ---------------------------------------------------------------------------
+# Crash-atomicity of the partitioned MERGE commit protocol (VERDICT r5 item 1)
+# ---------------------------------------------------------------------------
+
+
+def _seed_merge_table(spark, path):
+    spark.createDataFrame(
+        [(1, 0, 10), (2, 0, 20), (3, 1, 30), (4, 2, 40)],
+        "k bigint, p int, v bigint",
+    ).write.partitionBy("p").parquet(path)
+
+
+_MERGE_BATCH = [(2, 0, 222), (3, 2, 333), (9, 1, 90)]  # update, move, insert
+_OLD_STATE = {1: (0, 10), 2: (0, 20), 3: (1, 30), 4: (2, 40)}
+_NEW_STATE = {1: (0, 10), 2: (0, 222), 3: (2, 333), 4: (2, 40), 9: (1, 90)}
+
+
+def _table_state(spark, path):
+    return {r["k"]: (r["p"], r["v"]) for r in spark.read.parquet(path).collect()}
+
+
+def test_partitioned_merge_crash_before_commit_point_reads_fully_old(
+    spark, tmp_path, monkeypatch
+):
+    """A crash BEFORE the manifest publish (staging done, commit point not
+    reached) must leave the table fully-old: staging is invisible to readers
+    and recovery discards it."""
+    from projet_data_engineering_spark import io
+
+    path = str(tmp_path / "t_precrash")
+    _seed_merge_table(spark, path)
+    new = spark.createDataFrame(_MERGE_BATCH, "k bigint, p int, v bigint")
+
+    def die(*a, **kw):
+        raise RuntimeError("killed before manifest publish")
+
+    monkeypatch.setattr(io, "_write_small_file", die)
+    with pytest.raises(RuntimeError, match="killed before manifest"):
+        io.merge_upsert_partitioned(spark, path, new, "k", "p")
+    monkeypatch.undo()
+    # un-recovered read already sees fully-old (staging is underscore-hidden)
+    assert _table_state(spark, path) == _OLD_STATE
+    assert io.recover_partitioned_merge(spark, path) is False  # rolled back
+    assert _table_state(spark, path) == _OLD_STATE
+    assert not (tmp_path / "t_precrash" / "_merge_stage").exists()
+    # the interrupted merge can simply be retried
+    io.merge_upsert_partitioned(spark, path, new, "k", "p")
+    assert _table_state(spark, path) == _NEW_STATE
+
+
+def test_partitioned_merge_crash_after_commit_point_rolls_forward(
+    spark, tmp_path, monkeypatch
+):
+    """A crash AFTER the manifest publish but before any swap: recovery must
+    roll FORWARD to fully-new from the staged output alone."""
+    from projet_data_engineering_spark import io
+
+    path = str(tmp_path / "t_postcrash")
+    _seed_merge_table(spark, path)
+    new = spark.createDataFrame(_MERGE_BATCH, "k bigint, p int, v bigint")
+
+    def die(*a, **kw):
+        raise RuntimeError("killed at commit start")
+
+    monkeypatch.setattr(io, "_commit_partitioned_merge", die)
+    with pytest.raises(RuntimeError, match="killed at commit"):
+        io.merge_upsert_partitioned(spark, path, new, "k", "p")
+    monkeypatch.undo()
+    assert (tmp_path / "t_postcrash" / "_merge_manifest.json").exists()
+    assert io.recover_partitioned_merge(spark, path) is True  # rolled forward
+    assert _table_state(spark, path) == _NEW_STATE
+    assert not (tmp_path / "t_postcrash" / "_merge_stage").exists()
+    assert not (tmp_path / "t_postcrash" / "_merge_manifest.json").exists()
+
+
+def test_partitioned_merge_crash_mid_swap_rolls_forward(spark, tmp_path, monkeypatch):
+    """The worst window: manifest published and SOME partitions already
+    swapped (one of them caught between delete-live and rename-staged).
+    Recovery must complete the remaining swaps idempotently."""
+    import shutil
+
+    from projet_data_engineering_spark import io
+
+    path = str(tmp_path / "t_midswap")
+    _seed_merge_table(spark, path)
+    new = spark.createDataFrame(_MERGE_BATCH, "k bigint, p int, v bigint")
+
+    monkeypatch.setattr(
+        io, "_commit_partitioned_merge", lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("k"))
+    )
+    with pytest.raises(RuntimeError):
+        io.merge_upsert_partitioned(spark, path, new, "k", "p")
+    monkeypatch.undo()
+    root = tmp_path / "t_midswap"
+    # hand-execute a partial swap: p=0 fully swapped, p=1 deleted but not yet
+    # renamed in (the delete-live/rename-staged crash window)
+    shutil.rmtree(root / "p=0")
+    shutil.move(str(root / "_merge_stage" / "p=0"), str(root / "p=0"))
+    shutil.rmtree(root / "p=1")
+    assert io.recover_partitioned_merge(spark, path) is True
+    assert _table_state(spark, path) == _NEW_STATE
+    assert not (root / "_merge_stage").exists()
+    assert not (root / "_merge_manifest.json").exists()
+    # recovery is idempotent: a second call is a no-op
+    assert io.recover_partitioned_merge(spark, path) is False
+    assert _table_state(spark, path) == _NEW_STATE
+
+
+def test_atomic_overwrite_crash_windows_recover_to_one_version(spark, tmp_path):
+    """io.atomic_overwrite: every crash window recovers to exactly one
+    complete version (old before the swap completes the rename chain, new
+    after)."""
+    import os
+    import shutil
+
+    from projet_data_engineering_spark import io
+
+    path = str(tmp_path / "at")
+    v1 = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    v2 = spark.createDataFrame([(1, "b"), (2, "c")], "k bigint, s string")
+
+    def rows(p):
+        return {(r["k"], r["s"]) for r in spark.read.parquet(p).collect()}
+
+    # window 1: crash after __next written, before the live->old rename:
+    # live still present, recovery discards the complete-but-unswapped next
+    # (the swap never began; the caller replays the batch)
+    v1.write.parquet(path)
+    v2.write.parquet(path + "__next")
+    io.recover_atomic_overwrite(spark, path)
+    assert rows(path) == {(1, "a")}
+    assert not os.path.exists(path + "__next")
+
+    # window 2: crash between live->old and next->live: live missing,
+    # complete next present -> roll FORWARD
+    v2.write.mode("overwrite").parquet(path + "__next")
+    os.rename(path, path + "__old")
+    io.recover_atomic_overwrite(spark, path)
+    assert rows(path) == {(1, "b"), (2, "c")}
+    assert not os.path.exists(path + "__old")
+
+    # window 3: crash with an INCOMPLETE next (no _SUCCESS) mid-swap ->
+    # roll BACK to old
+    shutil.rmtree(path)
+    v1.write.parquet(path)
+    v2.write.mode("overwrite").parquet(path + "__next")
+    os.remove(path + "__next/_SUCCESS")
+    os.rename(path, path + "__old")
+    io.recover_atomic_overwrite(spark, path)
+    assert rows(path) == {(1, "a")}
+    assert not os.path.exists(path + "__next")
+
+    # window 4: crash after next->live, before old cleanup -> already new
+    shutil.rmtree(path)
+    v1.write.parquet(path + "__old")
+    v2.write.parquet(path)
+    io.recover_atomic_overwrite(spark, path)
+    assert rows(path) == {(1, "b"), (2, "c")}
+    assert not os.path.exists(path + "__old")
