@@ -761,6 +761,151 @@ def incremental_dedup_pairs(
     )
 
 
+def build_dedup_state(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """Materialize the corpus's near-dup SERVING STATE — the daily-ingest
+    answer to "don't re-minhash 100 TB per batch" (the corpus-signature
+    analogue of ``search.build_search_index``):
+
+    - ``{path}/bands``: (id, band_idx, band_val) PARTITIONED by
+      ``band_bucket = crc32(band_val) % n_buckets`` — a batch's probe scan
+      prunes to the buckets its own band values hash into;
+    - ``{path}/wordsets``: (id, distinct-word set) PARTITIONED by
+      ``doc_bucket = crc32(id) % n_buckets`` — exact-Jaccard verification
+      reads only the candidate docs' buckets;
+    - ``{path}/stats``: 1-row layout manifest (n_buckets) — serving derives
+      its bucket arithmetic from the stored value, never a caller guess
+      (the lesson ADVICE r5 taught ``bm25_serve``).
+
+    Build cost is one corpus pass per artifact, paid once per reindex; the
+    per-batch serve cost then tracks batch size (see
+    ``incremental_dedup_pairs_served`` and evidence/bench_incdedup_r06)."""
+    spark = corpus.sparkSession
+    bands = lsh_bands(
+        minhash_signatures(corpus, id_col, text_col), id_col
+    ).withColumn("band_bucket", F.pmod(F.crc32("band_val"), F.lit(n_buckets)))
+    # repartition ON the partition column before the partitioned write: each
+    # bucket directory gets ONE file instead of one per shuffle partition —
+    # a pruned probe then opens |buckets| files, not |buckets|×|partitions|
+    # (at real scale, size n_buckets so one bucket ~ one 128-256 MB file)
+    bands.repartition("band_bucket").write.partitionBy(
+        "band_bucket"
+    ).mode("overwrite").parquet(f"{path}/bands")
+    ws = corpus.select(
+        F.col(id_col),
+        F.array_distinct(F.split(F.lower(text_col), " ")).alias("ws"),
+    ).withColumn(
+        "doc_bucket",
+        F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_buckets)),
+    )
+    ws.repartition("doc_bucket").write.partitionBy("doc_bucket").mode(
+        "overwrite"
+    ).parquet(f"{path}/wordsets")
+    spark.range(1).select(F.lit(n_buckets).alias("n_buckets")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/stats")
+
+
+def incremental_dedup_pairs_served(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    plans_out: dict | None = None,
+) -> DataFrame:
+    """``incremental_dedup_pairs`` against MATERIALIZED corpus state: the
+    batch is the only text that gets shingled/hashed; the corpus side is
+    two partition-pruned columnar scans of stored signatures.
+
+    1. batch band signatures (map-only over the batch);
+    2. the batch's band-bucket list — at most ``n_buckets`` values, a
+       metadata-scale collect — prunes the stored bands scan to matching
+       partitions (PartitionFilters, plan-asserted in
+       ``test_dedup_similarity.py``); candidates come from a broadcast
+       hash join of batch bands onto that pruned scan;
+    3. the candidates' doc-bucket list likewise prunes the stored wordset
+       scan for exact-Jaccard verification.
+
+    Identical output to the state-free path (pytest parity + the shared
+    driver oracle via ``q_dedup_incremental_served``); the difference is
+    purely WHERE the corpus work happens — once at build, not per batch."""
+    n_buckets = int(
+        spark.read.parquet(f"{state_path}/stats").first()["n_buckets"]
+    )
+    bands_b = (
+        lsh_bands(minhash_signatures(batch, id_col, text_col), id_col)
+        .withColumn(
+            "band_bucket", F.pmod(F.crc32("band_val"), F.lit(n_buckets))
+        )
+        .localCheckpoint(eager=True)
+    )
+    buckets = [
+        r[0] for r in bands_b.select("band_bucket").distinct().collect()
+    ]
+    bands_c = spark.read.parquet(f"{state_path}/bands").filter(
+        F.col("band_bucket").isin(buckets)
+    )
+    cand = (
+        bands_c.alias("c")
+        .join(
+            F.broadcast(bands_b.alias("b")),
+            (F.col("c.band_idx") == F.col("b.band_idx"))
+            & (F.col("c.band_val") == F.col("b.band_val")),
+        )
+        .select(
+            F.col(f"b.{id_col}").alias("batch_doc"),
+            F.col(f"c.{id_col}").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    if plans_out is not None:
+        # the candidate probe executes eagerly below (its output feeds a
+        # metadata-scale collect), so its pruned-scan plan is not part of
+        # the returned DataFrame's plan — surface it for plan-assertions
+        plans_out["probe"] = (
+            cand._jdf.queryExecution().executedPlan().toString()
+        )
+    cand = cand.localCheckpoint(eager=True)
+    doc_buckets = [
+        r[0]
+        for r in cand.select(
+            F.pmod(
+                F.crc32(F.col("corpus_doc").cast("string")), F.lit(n_buckets)
+            ).alias("b")
+        )
+        .distinct()
+        .collect()
+    ]
+    ws_c = (
+        spark.read.parquet(f"{state_path}/wordsets")
+        .filter(F.col("doc_bucket").isin(doc_buckets))
+        .select(F.col(id_col).alias("corpus_doc"), F.col("ws").alias("wsc"))
+    )
+    ws_b = batch.select(
+        F.col(id_col).alias("batch_doc"),
+        F.array_distinct(F.split(F.lower(text_col), " ")).alias("wsb"),
+    )
+    inter = F.size(F.array_intersect("wsb", "wsc"))
+    union = F.size("wsb") + F.size("wsc") - inter
+    return (
+        ws_c.join(F.broadcast(cand), "corpus_doc")
+        .join(F.broadcast(ws_b), "batch_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            F.round(inter / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _incremental_oracle() -> str:
     return f"""
     WITH allpairs AS ({_minhash_oracle()}),
@@ -800,3 +945,31 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = d.filter(F.col("doc_id") % 10 == 0)
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     return incremental_dedup_pairs(corpus, batch)
+
+
+@query("q_dedup_incremental_served", oracle=_incremental_oracle())
+def q_dedup_incremental_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED daily-ingest shape end-to-end: materialize the corpus's
+    bucketed dedup state (``build_dedup_state``), then match the batch
+    against the stored state (``incremental_dedup_pairs_served``) — same
+    split and same independent oracle as ``q_dedup_incremental``, so the
+    hash check proves the serving path reproduces the state-free path's
+    pairs exactly. The timed cost is build+serve (the honest once-per-
+    reindex number); serve-only latency is published in
+    evidence/bench_incdedup_r06."""
+    import shutil
+    import tempfile
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    path = tempfile.mkdtemp(prefix="dedup_state_")
+    try:
+        build_dedup_state(corpus, path)
+        out = incremental_dedup_pairs_served(spark, path, batch)
+        # Materialize before the state directory is removed: the returned
+        # plan must not depend on the tempdir once this function exits.
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

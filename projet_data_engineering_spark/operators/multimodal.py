@@ -84,47 +84,69 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     """Undo the per-scanline PNG filters (types 0-4: None/Sub/Up/Average/
     Paeth, bpp = channels at 8-bit depth) over the inflated byte stream.
-    Returns the reconstructed pixel bytes, row-major."""
+    Returns the reconstructed pixel bytes, row-major.
+
+    This is the engine's only per-byte Python hot path, so the filters with
+    no left-neighbor data dependency are numpy-vectorized (uint8 arithmetic
+    wraps mod 256 exactly like the spec's arithmetic): None is a copy, Up is
+    one vector add against the previous reconstructed row, and Sub — though
+    serial along x — is a modular prefix-sum, i.e. ``np.add.accumulate``
+    over the row reshaped to (pixels, bpp). Average and Paeth predict from
+    the just-reconstructed LEFT neighbor, which forces a scalar scan;
+    tools/bench_media.py publishes the measured MB/s-per-core constant for
+    capacity planning, and the production swap-in for codec-grade speed is
+    a real image library behind the same ``extract_features`` seam."""
+    import numpy as np
+
     bpp = channels
     stride = width * channels
     if len(raw) < height * (stride + 1):
         raise NotImplementedError("malformed PNG: truncated pixel data")
-    recon = bytearray()
-    prev = bytes(stride)
-    off = 0
-    for _r in range(height):
-        ftype = raw[off]
-        line = bytearray(raw[off + 1 : off + 1 + stride])
-        off += 1 + stride
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
+    rows = np.frombuffer(raw, np.uint8, count=height * (stride + 1)).reshape(
+        height, stride + 1
+    )
+    ftypes = rows[:, 0]
+    if (ftypes > 4).any():
+        bad = int(ftypes[ftypes > 4][0])
+        raise NotImplementedError(f"unknown PNG filter type {bad}")
+    recon = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for r in range(height):
+        ftype = int(ftypes[r])
+        if ftype == 0:  # None
+            line = rows[r, 1:]
+        elif ftype == 1:  # Sub: modular prefix-sum with stride bpp
+            line = np.add.accumulate(
+                rows[r, 1:].reshape(width, bpp), axis=0, dtype=np.uint8
+            ).reshape(stride)
         elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b_ = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b_ - c
-                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b_
-                else:
-                    pred = c
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise NotImplementedError(f"unknown PNG filter type {ftype}")
-        recon += line
-        prev = bytes(line)
-    return bytes(recon)
+            line = rows[r, 1:] + prev  # uint8 add wraps mod 256
+        else:  # Average / Paeth: left-neighbor dependency -> scalar scan
+            src = rows[r, 1:].tolist()
+            pb = prev.tolist()
+            out = [0] * stride
+            if ftype == 3:
+                for i in range(stride):
+                    left = out[i - bpp] if i >= bpp else 0
+                    out[i] = (src[i] + ((left + pb[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    a = out[i - bpp] if i >= bpp else 0
+                    b_ = pb[i]
+                    c = pb[i - bpp] if i >= bpp else 0
+                    p = a + b_ - c
+                    pa, pbd, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    if pa <= pbd and pa <= pc:
+                        pred = a
+                    elif pbd <= pc:
+                        pred = b_
+                    else:
+                        pred = c
+                    out[i] = (src[i] + pred) & 0xFF
+            line = np.array(out, np.uint8)
+        recon[r] = line
+        prev = recon[r]
+    return recon.tobytes()
 
 
 def decode_media(payload: bytes) -> dict:
@@ -244,13 +266,15 @@ def _decode_media(payload: bytes) -> dict:
             )
         raw = zlib.decompress(bytes(idat))
         recon = _png_unfilter(raw, w, h, _PNG_CHANNELS[ctype])
+        import numpy as np
+
         return {
             "mime": "image/png",
             "width": w,
             "height": h,
             "duration_ms": None,
             "bit_depth": depth,
-            "px_sum": sum(recon),
+            "px_sum": int(np.frombuffer(recon, np.uint8).sum(dtype=np.int64)),
         }
     if b[:2] == b"\xff\xd8":
         off = 2

@@ -110,42 +110,65 @@ _R4_GREEN = {
 }
 
 
-# Queries whose RESULTS or implementation changed in round 5 (IVF trained
-# centroids, recall per-method schema, PNG decode arm, URL canonicalization
-# fix, pack_sequences shard div): their pre-r5 driver evidence no longer
-# describes the current code, so they walk FIRST alongside never-checked
-# names for prompt re-verification.
-_R5_CHANGED = {
-    "q_ann_ivf", "q_ann_recall", "q_media_decode", "q_url_dedup",
-    "q_pack_sequences",
-    # signed-zero normalization changed the rounding of ~0 z-scores
-    "q_zscore",
-    # stopword counters fused into one aggregate fold (2.2x at sf5.0)
-    "q_lang_id",
-    # connected components switched to LSS (converge-or-raise guard; exact
-    # label parity with converged min-label proven at sf5, but the executed
-    # plan changed)
-    "q_curate", "q_dedup_apply", "q_split_groupsafe", "q_dedup_clusters",
-    "q_dedup_clusters_lss",
+# Names the driver checked in round 5 (CORRECTNESS_r05.json: 49 hash-green +
+# q_bpe_encode rows-only by design). Cumulatively r1-r5 covers all 174
+# registered queries.
+_R5_GREEN = {
+    "q_ann_ivf", "q_ann_recall", "q_array_join", "q_blacklist_default",
+    "q_bm25_served", "q_boilerplate", "q_bpe_encode", "q_case_when",
+    "q_cast_rating", "q_coalesce", "q_contains", "q_count", "q_curate",
+    "q_dedup_apply", "q_dedup_clusters", "q_dedup_clusters_lss",
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_minhash", "q_dedup_simhash",
+    "q_duration_parse", "q_filter_isin", "q_filter_neq", "q_filter_prefix",
+    "q_filter_range", "q_grouping_sets", "q_join_nullsafe", "q_lang_id",
+    "q_md5_key", "q_media_container_meta", "q_media_decode",
+    "q_pack_sequences", "q_project", "q_regex_first_int", "q_replace",
+    "q_sample_stratified", "q_snapshot_diff", "q_split", "q_split_groupsafe",
+    "q_string_clean", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14", "q_tpch_q17",
+    "q_tpch_q18", "q_tpch_q4", "q_union_evolve", "q_url_dedup",
+    "q_window_range", "q_zscore",
 }
 
 
+# Queries whose executed plan changed in round 6 (numpy-vectorized PNG
+# unfilter + numpy px_sum; BM25 serving reads n_buckets from the stats
+# manifest): results are expected identical, but their pre-r6 driver
+# evidence no longer describes the current code, so they walk FIRST.
+_R6_CHANGED = {
+    "q_media_decode", "q_media_features", "q_bm25_served",
+}
+
+_TIERS = (
+    (5, _R5_GREEN),
+    (4, _R4_GREEN),
+    (3, _R3_GREEN),
+    (2, _R2_GREEN),
+    (1, _R1_GREEN),
+)
+
+
+def _latest_evidence(name: str) -> int:
+    """Most recent round whose CORRECTNESS file verified ``name`` (0 =
+    never driver-checked)."""
+    for rnd, tier in _TIERS:
+        if name in tier:
+            return rnd
+    return 0
+
+
 def _ordered(names: list[str]) -> list[str]:
-    """Walk order for a budget-limited (50 queries/round) driver sweep:
-    round-5-changed and never-driver-checked queries first, then proven
-    names OLDEST evidence first (r1 → r2 → r3 → r4) so the rotation
-    re-confirms rows that predate the most refactoring — VERDICT r3 item
-    8's cheap insurance. Registration order is preserved within each group.
-    Names checked in several rounds sort by their OLDEST evidence."""
-    seen: set[str] = set(_R5_CHANGED)
-    groups: list[list[str]] = []
-    known = _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN
-    groups.append([n for n in names if n in _R5_CHANGED])
-    groups.append([n for n in names if n not in known and n not in seen])
-    for tier in (_R1_GREEN, _R2_GREEN, _R3_GREEN, _R4_GREEN):
-        groups.append([n for n in names if n in tier and n not in seen])
-        seen |= tier
-    return [n for g in groups for n in g]
+    """Walk order for a budget-limited (50 queries/round) driver sweep —
+    VERDICT r5 item 7: round-6-changed names first (their old evidence
+    describes code that no longer runs), then everything else STALEST
+    driver evidence first (never-checked, then latest=r1, r2, ... r5), so
+    the sample rotates onto the cohort that has waited longest for
+    re-verification under current code (the r2-era q_avg/q_mode/
+    q_value_counts/q_limit/q_first group and the r3 TPC-H refresh set).
+    Python's stable sort preserves registration order within each tier."""
+    first = [n for n in names if n in _R6_CHANGED]
+    rest = [n for n in names if n not in _R6_CHANGED]
+    rest.sort(key=_latest_evidence)
+    return first + rest
 
 
 def all_queries() -> dict[str, QueryFn]:

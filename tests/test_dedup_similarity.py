@@ -356,3 +356,61 @@ def test_incremental_dedup_corpus_never_shuffles(spark):
     assert "ShuffledHashJoin" not in plan
     # the candidate-dedup HashAggregate pair is the single permitted exchange
     assert shuffle_count(df) <= 1
+
+
+def test_incremental_dedup_served_matches_statefree_and_prunes(spark, tmp_path):
+    """The materialized-state daily-ingest path (build_dedup_state +
+    incremental_dedup_pairs_served) must reproduce the state-free path's
+    (batch_doc, corpus_doc, jaccard) rows exactly, and both corpus-side
+    scans must carry PartitionFilters (band_bucket for candidate probing,
+    doc_bucket for Jaccard verification) — the contract that a batch never
+    pays a corpus-wide signature recompute."""
+    from projet_data_engineering_spark.operators.dedup import (
+        build_dedup_state,
+        incremental_dedup_pairs,
+        incremental_dedup_pairs_served,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog at dawn",
+        "completely different content about spark streaming joins",
+        "yet another unrelated document mentioning vector search",
+        "the quick brown fox jumps over the lazy dog tonight",
+        "spark streaming joins with completely different content",
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts * 5)]
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    state = str(tmp_path / "dedup_state")
+    build_dedup_state(corpus, state, n_buckets=16)
+    plans: dict = {}
+    served = incremental_dedup_pairs_served(
+        spark, state, batch, plans_out=plans
+    )
+    direct = incremental_dedup_pairs(corpus, batch)
+    got = {tuple(r) for r in served.collect()}
+    want = {tuple(r) for r in direct.collect()}
+    assert got == want and got
+
+    # candidate probe stage: stored bands scan pruned by band_bucket
+    assert "PartitionFilters" in plans["probe"], plans["probe"]
+    assert "band_bucket" in plans["probe"].split("PartitionFilters", 1)[1], (
+        plans["probe"]
+    )
+    # verification stage (the returned plan): wordsets pruned by doc_bucket
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "doc_bucket" in plan.split("PartitionFilters", 1)[1], plan
+    # state layout on disk is genuinely bucket-partitioned
+    assert any(
+        p.name.startswith("band_bucket=")
+        for p in (tmp_path / "dedup_state" / "bands").iterdir()
+    )
+    assert any(
+        p.name.startswith("doc_bucket=")
+        for p in (tmp_path / "dedup_state" / "wordsets").iterdir()
+    )
