@@ -258,6 +258,16 @@ def recover_partitioned_merge(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def read_merged_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table maintained by ``merge_upsert_partitioned``, rolling any
+    interrupted commit forward first. The recovery probe is one metadata
+    ``exists`` call when the table is healthy; after a mid-swap crash the
+    read observes fully-new (post-manifest) or fully-old (pre-manifest),
+    never a mix."""
+    recover_partitioned_merge(spark, path)
+    return spark.read.parquet(path)
+
+
 def merge_upsert_partitioned(
     spark: SparkSession,
     path: str,

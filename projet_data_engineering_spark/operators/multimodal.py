@@ -370,12 +370,33 @@ def _decode_stub(payload: bytes) -> list[float]:
     return [digest[i] / 255.0 for i in range(N_FEATURES)]
 
 
+def bound_arrow_batches_for_payloads(
+    spark, avg_payload_mb: float, target_batch_mb: float = 64.0
+) -> int:
+    """Payload-size-bounded Arrow batching knob (the capacity lever
+    evidence/BENCH_media_r06 calls for): Spark slices ``mapInPandas`` input
+    by RECORD count (``spark.sql.execution.arrow.maxRecordsPerBatch``,
+    default 10,000), so a corpus of ~1 MB payloads would materialize ~10 GB
+    pandas frames per batch and OOM the Python worker long before the
+    decode loop is the problem. Sets the records cap so one batch carries
+    ~``target_batch_mb`` of payload bytes; returns the cap it set. Call
+    once per session before a decode pass over large binaries (the conf is
+    runtime-settable; it only affects Python-boundary batching, no plan
+    change)."""
+    records = max(1, int(target_batch_mb / max(avg_payload_mb, 1e-6)))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", records)
+    return records
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Decode/featurize via mapInPandas: Arrow batches in, Arrow batches out.
 
     Column pruning upstream means only (media_id, kind, payload) cross the
     Python boundary; the returned frame is narrow (id + small feature vector),
-    so downstream joins/aggregations are cheap regardless of payload size."""
+    so downstream joins/aggregations are cheap regardless of payload size.
+    For large payloads, bound the per-batch byte footprint first with
+    ``bound_arrow_batches_for_payloads`` (record-count batching × payload
+    size is the executor-memory constraint at 100 TB)."""
     src = media.select("media_id", "kind", "payload")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -515,3 +515,25 @@ def test_atomic_overwrite_crash_windows_recover_to_one_version(spark, tmp_path):
     io.recover_atomic_overwrite(spark, path)
     assert rows(path) == {(1, "b"), (2, "c")}
     assert not os.path.exists(path + "__old")
+
+
+def test_read_merged_table_recovers_interrupted_commit(spark, tmp_path, monkeypatch):
+    """A plain reader helper must observe fully-new after a post-commit-point
+    crash without the caller knowing the merge protocol exists."""
+    from projet_data_engineering_spark import io
+
+    path = str(tmp_path / "t_reader")
+    _seed_merge_table(spark, path)
+    new = spark.createDataFrame(_MERGE_BATCH, "k bigint, p int, v bigint")
+    monkeypatch.setattr(
+        io, "_commit_partitioned_merge",
+        lambda *a, **kw: (_ for _ in ()).throw(RuntimeError("k")),
+    )
+    with pytest.raises(RuntimeError):
+        io.merge_upsert_partitioned(spark, path, new, "k", "p")
+    monkeypatch.undo()
+    got = {
+        r["k"]: (r["p"], r["v"])
+        for r in io.read_merged_table(spark, path).collect()
+    }
+    assert got == _NEW_STATE

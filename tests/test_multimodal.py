@@ -358,3 +358,46 @@ def test_decode_media_never_raises_raw_parser_errors():
             pass
 
     fuzz()
+
+
+def test_bound_arrow_batches_for_payloads_caps_batch_rows(spark):
+    """The payload-size batching knob must actually bound what one Arrow
+    batch carries: with the cap at 2 records, a 10-payload decode pass sees
+    batches of at most 2 rows (observed from inside mapInPandas)."""
+    from pyspark.sql import functions as F
+
+    from projet_data_engineering_spark.operators.multimodal import (
+        bound_arrow_batches_for_payloads,
+        extract_features,
+    )
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        # 32 MB payloads, 64 MB target -> cap of 2 records per batch
+        assert bound_arrow_batches_for_payloads(spark, 32.0, 64.0) == 2
+        media = spark.createDataFrame(
+            [(i, "image", bytearray(_bmp(4, 4))) for i in range(10)],
+            "media_id bigint, kind string, payload binary",
+        ).coalesce(1)  # one partition -> batching is the only row splitter
+        sizes = (
+            extract_features(media)
+            .groupBy()
+            .agg(F.count("*"))
+            .collect()
+        )
+        assert sizes[0][0] == 10
+        # observe per-batch row counts via a probe mapInPandas
+        def probe(it):
+            import pandas as pd
+
+            for pdf in it:
+                yield pd.DataFrame({"n": [len(pdf)]})
+
+        counts = [
+            r["n"]
+            for r in media.mapInPandas(probe, "n long").collect()
+        ]
+        assert sum(counts) == 10
+        assert max(counts) <= 2, counts
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
