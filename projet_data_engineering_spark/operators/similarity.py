@@ -253,9 +253,113 @@ def _ivf_oracle_ctes() -> tuple[str, str]:
     return ",\n    ".join(ctes), "cent"
 
 
-@query(
-    "q_ann_ivf",
-    oracle=f"""
+def build_ann_index(
+    embeddings: DataFrame, path: str, k: int = IVF_K, iters: int = IVF_ITERS
+) -> None:
+    """Materialize the IVF serving layout ``q_ann_ivf``'s docstring promises
+    ("at 100 TB the persisted assignment becomes a table written partitioned
+    by cent_id") — the ANN member of the serving-state trilogy
+    (``search.build_search_index``, ``dedup.build_dedup_state``):
+
+    - ``{path}/centroids``: the trained coarse quantizer (cent_id, cv) —
+      ``operators.ml.kmeans_centroids``, md5-deterministic seeds, so a
+      rebuild from the same corpus reproduces it exactly;
+    - ``{path}/assignments``: (vec_id, v, cent_id) PARTITIONED by
+      ``cent_id``, one file per inverted list — a query's probe reads
+      nprobe directories, not the corpus;
+    - ``{path}/stats``: 1-row layout manifest (k, iters) — serving derives
+      its parameters from the stored values, never a caller guess.
+
+    Build cost is the k-means training passes + one assignment scan, paid
+    once per reindex; every query then amortizes it
+    (``evidence/bench_search_serving_r06.json`` shows the same economics
+    for BM25)."""
+    spark = embeddings.sparkSession
+    kmeans_centroids(embeddings, k=k, iters=iters).select(
+        F.col("cid").alias("cent_id"), F.col("ce").alias("cv")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    cents = (
+        spark.read.parquet(f"{path}/centroids")
+        .select(F.struct("cent_id", "cv").alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    b = embeddings.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    assigned = b.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        (-_ivf_scored_cents(1)[0]["neg_id"]).alias("cent_id"),
+    )
+    assigned.repartition("cent_id").write.partitionBy("cent_id").mode(
+        "overwrite"
+    ).parquet(f"{path}/assignments")
+    spark.range(1).select(
+        F.lit(k).alias("k"), F.lit(iters).alias("iters")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def ann_serve(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    nprobe: int = 2,
+    topk: int = 5,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ANN top-k FROM the materialized IVF index, never scanning the
+    embedding corpus: (query_id, v) queries score the stored quantizer
+    (tiny table → 1-row broadcast artifact, same rounding/tiebreak as the
+    build), their union of probed list ids — ≤ |queries|·nprobe values, a
+    metadata-scale collect — prunes the assignments scan to those
+    partitions (PartitionFilters, plan-asserted in
+    ``test_dedup_similarity.py``), and exact cosine + per-query top-k runs
+    over the pruned lists only. Identical output to the in-query IVF path
+    (``q_ann_ivf_served`` shares ``q_ann_ivf``'s independent oracle)."""
+    from pyspark.sql import Window
+
+    cents = (
+        spark.read.parquet(f"{index_path}/centroids")
+        .select(F.struct("cent_id", "cv").alias("c"))
+        .agg(F.collect_list("c").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            F.col("v").alias("qv"),
+            F.explode(
+                _ivf_scored_cents(nprobe).getField("neg_id")
+            ).alias("neg_id"),
+        )
+        .select("query_id", "qv", (-F.col("neg_id")).alias("cent_id"))
+        .localCheckpoint(eager=True)
+    )
+    lists = [r[0] for r in probes.select("cent_id").distinct().collect()]
+    assigned = spark.read.parquet(f"{index_path}/assignments").filter(
+        F.col("cent_id").isin(lists)
+    )
+    scored = assigned.join(F.broadcast(probes), "cent_id")
+    if exclude_self:
+        scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("v"), F.col("qv")), 4).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+# Shared by q_ann_ivf (in-plan index) and q_ann_ivf_served (materialized
+# index): both must reproduce this independent transcription exactly.
+_IVF_ORACLE = f"""
     WITH {_ivf_oracle_ctes()[0]},
     b AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -292,8 +396,10 @@ def _ivf_oracle_ctes() -> tuple[str, str]:
                                   ORDER BY score DESC, vec_id ASC) AS rank
         FROM scored
     ) WHERE rank <= 5
-    """,
-)
+    """
+
+
+@query("q_ann_ivf", oracle=_IVF_ORACLE)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: the data-dependent alternative to sign-LSH bucketing.
 
@@ -348,6 +454,35 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "vec_id", "score", "rank")
     )
+
+
+@query("q_ann_ivf_served", oracle=_IVF_ORACLE)
+def q_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVED IVF path end-to-end: train + materialize the index
+    (``build_ann_index`` — cent_id-partitioned inverted lists + stored
+    quantizer), then answer the SAME three-query top-5 ``q_ann_ivf``
+    computes in-plan, this time from the index. The shared oracle's hash
+    check proves the serving path reproduces the in-plan path's ranks
+    exactly; partition pruning is plan-asserted in pytest. The timed cost
+    is build+serve (the honest once-per-reindex number)."""
+    import shutil
+    import tempfile
+
+    e = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ann_index_")
+    try:
+        build_ann_index(e, path)
+        queries = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("v"),
+        )
+        out = ann_serve(spark, path, queries, nprobe=2, topk=5)
+        # Materialize before the index directory is removed: the returned
+        # plan must not depend on the tempdir once this function exits.
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 @query(

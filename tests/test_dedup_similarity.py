@@ -414,3 +414,44 @@ def test_incremental_dedup_served_matches_statefree_and_prunes(spark, tmp_path):
         p.name.startswith("doc_bucket=")
         for p in (tmp_path / "dedup_state" / "wordsets").iterdir()
     )
+
+
+def test_ann_served_matches_inplan_ivf_and_prunes(spark, tmp_path):
+    """The materialized IVF index (build_ann_index + ann_serve) must
+    reproduce q_ann_ivf's in-plan (query, neighbor, score, rank) rows
+    exactly, and the serve scan must carry a cent_id PartitionFilter over
+    fewer inverted lists than the index holds — the corpus is never
+    scanned at query time."""
+    import glob
+
+    from projet_data_engineering_spark.operators.similarity import (
+        ann_serve,
+        as_double,
+        build_ann_index,
+        q_ann_ivf,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = str(tmp_path / "ann_idx")
+    build_ann_index(e, idx)
+    queries = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("v"),
+    )
+    served = ann_serve(spark, idx, queries, nprobe=2, topk=5)
+    got = {tuple(r) for r in served.collect()}
+    want = {tuple(r) for r in q_ann_ivf(spark, sf_dir).collect()}
+    assert got == want and got
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "cent_id" in plan.split("PartitionFilters", 1)[1], plan
+    # layout: one inverted-list directory per centroid, probes touch fewer
+    lists_on_disk = glob.glob(f"{idx}/assignments/cent_id=*")
+    assert len(lists_on_disk) >= 4
+    # 3 queries x nprobe 2 <= 6 lists; the IN-list in the plan must not
+    # name every list the index holds (otherwise nothing was pruned)
+    pf = plan.split("PartitionFilters", 1)[1][:300]
+    named = sum(1 for d in lists_on_disk if d.rsplit("=", 1)[1] in pf)
+    assert named < len(lists_on_disk), pf
