@@ -385,6 +385,123 @@ def _finish_partitioned_merge(spark: SparkSession, path: str) -> list:
     return manifest["touched"]
 
 
+def _data_files(fs, jvm, dirpath: str) -> list:
+    """Names of the data files directly under ``dirpath`` (skips _SUCCESS,
+    manifests and other underscore/dot control files)."""
+    return [
+        st.getPath().getName()
+        for st in fs.listStatus(_hpath(jvm, dirpath))
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+
+
+def _stage_compaction(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    min_files: int,
+    target_files: int,
+    sort_cols: list[str] | None,
+    parallelism: int,
+) -> dict | None:
+    """Stage compacted partition rewrites and publish the commit manifest.
+    Split from ``compact_partitions`` (same shape as
+    ``_stage_partitioned_merge``) so crash tests can kill between staging
+    and commit. Returns None when nothing needs compacting."""
+    import json as _json
+    from concurrent.futures import ThreadPoolExecutor
+
+    fs, jvm = _fs_for(spark, path)
+    candidates = sorted(
+        name
+        for st in fs.listStatus(_hpath(jvm, path))
+        if st.isDirectory()
+        and (name := st.getPath().getName()).startswith(f"{partition_col}=")
+        and len(_data_files(fs, jvm, f"{path}/{name}")) >= min_files
+    )
+    if not candidates:
+        return None
+    stage = f"{path}/{_MERGE_STAGE}"
+
+    def rewrite(d: str) -> None:
+        # The partition value lives in the directory NAME (hive layout), not
+        # in the files, so reading the dir directly sidesteps partition-value
+        # escaping entirely — staged output has the exact same shape the
+        # merge path stages, and the same swap commits it.
+        part = spark.read.parquet(f"{path}/{d}").coalesce(target_files)
+        if sort_cols:
+            part = part.sortWithinPartitions(*sort_cols)
+        part.write.mode("overwrite").parquet(f"{stage}/{d}")
+
+    # Independent per-partition jobs; Spark's scheduler runs them
+    # concurrently, so compaction throughput scales with cluster slack
+    # rather than serializing on the driver loop.
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+        list(pool.map(rewrite, candidates))
+    manifest = {
+        "stage": _MERGE_STAGE,
+        "partition_col": partition_col,
+        "touched": [d.split("=", 1)[1] for d in candidates],
+        "written": candidates,
+        "stale": [],
+    }
+    _write_small_file(
+        spark, f"{path}/{_MERGE_MANIFEST}", _json.dumps(manifest, indent=1)
+    )
+    return manifest
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    min_files: int = 2,
+    target_files: int = 1,
+    sort_cols: list[str] | None = None,
+    parallelism: int = 8,
+) -> dict:
+    """Crash-atomic small-file compaction for tables maintained by
+    ``merge_upsert_partitioned`` / streaming upserts (the parquet shape of
+    Delta ``OPTIMIZE``).
+
+    Every streaming micro-batch merge rewrites its touched partitions with
+    however many tasks the merge ran — over days of ingest a hot partition
+    accumulates hundreds of small files, and at 100 TB the scan cost becomes
+    file-open/footer overhead instead of bytes. This op rewrites each
+    partition directory holding ≥ ``min_files`` data files down to
+    ``target_files`` (optionally re-sorted via ``sort_cols`` to restore
+    min/max-stats clustering lost across incremental merges), through the
+    SAME staged-write → manifest → swap protocol as the merge itself:
+
+    - rewrites are pure ``coalesce`` (narrow — zero shuffles; ``sort_cols``
+      adds only an in-task ``sortWithinPartitions``);
+    - staged output is invisible to concurrent readers (underscore dir);
+    - the manifest publish is the commit point — a crash at ANY moment
+      leaves the table readable as fully-old or fully-new, recovered by the
+      existing ``recover_partitioned_merge`` with no compaction-specific
+      recovery code;
+    - partitions under ``min_files`` are never read, rewritten or deleted.
+
+    Returns ``{partition_dir: files_before}`` for the compacted partitions.
+    """
+    recover_partitioned_merge(spark, path)
+    fs, jvm = _fs_for(spark, path)
+    before = {
+        name: len(_data_files(fs, jvm, f"{path}/{name}"))
+        for st in fs.listStatus(_hpath(jvm, path))
+        if st.isDirectory()
+        and (name := st.getPath().getName()).startswith(f"{partition_col}=")
+    }
+    manifest = _stage_compaction(
+        spark, path, partition_col, min_files, target_files, sort_cols,
+        parallelism,
+    )
+    if manifest is None:
+        return {}
+    _commit_partitioned_merge(spark, path, manifest)
+    return {d: before[d] for d in manifest["written"]}
+
+
 def atomic_overwrite(df: DataFrame, path: str) -> None:
     """Crash-atomic whole-table replace: write to ``{path}__next``, swap via
     two renames, clean up. At every crash point the table is recoverable to

@@ -451,7 +451,14 @@ def test_ann_served_matches_inplan_ivf_and_prunes(spark, tmp_path):
     lists_on_disk = glob.glob(f"{idx}/assignments/cent_id=*")
     assert len(lists_on_disk) >= 4
     # 3 queries x nprobe 2 <= 6 lists; the IN-list in the plan must not
-    # name every list the index holds (otherwise nothing was pruned)
-    pf = plan.split("PartitionFilters", 1)[1][:300]
-    named = sum(1 for d in lists_on_disk if d.rsplit("=", 1)[1] in pf)
-    assert named < len(lists_on_disk), pf
+    # name every list the index holds (otherwise nothing was pruned).
+    # Parse the IN-list itself — substring checks against the raw plan are
+    # flaky (attribute ids like cent_id#30344 contain every digit).
+    import re
+
+    m = re.search(r"cent_id#\d+ IN \(([^)]*)\)", plan)
+    assert m, plan
+    probed = {s.strip() for s in m.group(1).split(",")}
+    on_disk = {d.rsplit("=", 1)[1] for d in lists_on_disk}
+    assert probed < on_disk, (probed, on_disk)
+    assert len(probed) <= 6, probed

@@ -537,3 +537,99 @@ def test_read_merged_table_recovers_interrupted_commit(spark, tmp_path, monkeypa
         for r in io.read_merged_table(spark, path).collect()
     }
     assert got == _NEW_STATE
+
+
+def _compact_seed(spark, path, parts=3, files_per_part=4):
+    """Partitioned table where every partition dir holds several small data
+    files — the shape days of streaming micro-batch merges leave behind."""
+    (
+        spark.range(240)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % parts).cast("int").alias("p"),
+            ((F.col("id") * 37) % 240).alias("v"),
+        )
+        .repartition(files_per_part)
+        .write.partitionBy("p")
+        .parquet(path)
+    )
+
+
+def _part_files(tmp_path, tbl, part):
+    d = tmp_path / tbl / f"p={part}"
+    return sorted(f.name for f in d.iterdir() if f.name.endswith(".parquet"))
+
+
+def test_compact_partitions_merges_small_files_preserving_rows(spark, tmp_path):
+    """Compaction rewrites every >=min_files partition down to one file with
+    identical content, leaves already-compact partitions byte-untouched, and
+    is a no-op when re-run."""
+    from projet_data_engineering_spark.io import compact_partitions
+
+    path = str(tmp_path / "t_compact")
+    _compact_seed(spark, path)
+    assert all(len(_part_files(tmp_path, "t_compact", p)) >= 2 for p in range(3))
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    done = compact_partitions(spark, path, "p")
+    assert set(done) == {"p=0", "p=1", "p=2"}
+    assert all(n >= 2 for n in done.values())
+    for p in range(3):
+        assert len(_part_files(tmp_path, "t_compact", p)) == 1
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    # no staging/manifest residue, and a second pass finds nothing to do
+    assert not (tmp_path / "t_compact" / "_merge_stage").exists()
+    assert not (tmp_path / "t_compact" / "_merge_manifest.json").exists()
+    assert compact_partitions(spark, path, "p") == {}
+
+
+def test_compact_partitions_sort_restores_file_clustering(spark, tmp_path):
+    """sort_cols re-sorts rows inside each compacted file, restoring the
+    min/max-stats clustering incremental merges destroy."""
+    from projet_data_engineering_spark.io import compact_partitions
+
+    path = str(tmp_path / "t_compact_sort")
+    _compact_seed(spark, path)
+    compact_partitions(spark, path, "p", sort_cols=["v"])
+    for p in range(3):
+        (f,) = _part_files(tmp_path, "t_compact_sort", p)
+        vals = [
+            r["v"]
+            for r in spark.read.parquet(str(tmp_path / "t_compact_sort" / f"p={p}" / f)).collect()
+        ]
+        assert vals == sorted(vals) and vals
+
+
+def test_compact_partitions_crash_windows(spark, tmp_path, monkeypatch):
+    """Compaction inherits the merge commit protocol: a crash before the
+    manifest publish leaves the table fully-old (small files intact, staging
+    discarded); a crash after it rolls forward to fully-compacted."""
+    from projet_data_engineering_spark import io
+
+    path = str(tmp_path / "t_compact_crash")
+    _compact_seed(spark, path)
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    n_before = {p: len(_part_files(tmp_path, "t_compact_crash", p)) for p in range(3)}
+
+    def die(*a, **kw):
+        raise RuntimeError("killed")
+
+    # window 1: before the commit point
+    monkeypatch.setattr(io, "_write_small_file", die)
+    with pytest.raises(RuntimeError, match="killed"):
+        io.compact_partitions(spark, path, "p")
+    monkeypatch.undo()
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    assert io.recover_partitioned_merge(spark, path) is False
+    assert {p: len(_part_files(tmp_path, "t_compact_crash", p)) for p in range(3)} == n_before
+    assert not (tmp_path / "t_compact_crash" / "_merge_stage").exists()
+
+    # window 2: after the commit point, before any swap
+    monkeypatch.setattr(io, "_commit_partitioned_merge", die)
+    with pytest.raises(RuntimeError, match="killed"):
+        io.compact_partitions(spark, path, "p")
+    monkeypatch.undo()
+    assert io.recover_partitioned_merge(spark, path) is True
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+    for p in range(3):
+        assert len(_part_files(tmp_path, "t_compact_crash", p)) == 1
