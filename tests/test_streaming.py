@@ -349,3 +349,94 @@ def test_stream_index_refresh_matches_scratch_build_and_replays(spark, tmp_path)
     assert replayed == served_stream
     n_docstats = spark.read.parquet(f"{stream_idx}/docstats").count()
     assert n_docstats == docs.count()
+
+
+def test_stream_upsert_interleaves_with_compaction(spark, tmp_path):
+    """Table maintenance composes with ingest: compaction between streaming
+    micro-batches speaks the SAME manifest protocol as the merge, so (a) a
+    completed compaction leaves later batches merging into the compacted
+    layout, and (b) a compaction interrupted AFTER its commit point is
+    rolled forward by the next micro-batch's own recovery probe — the
+    stream never sees a torn table."""
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from projet_data_engineering_spark import io
+    from projet_data_engineering_spark.streaming.windows import (
+        run_stream_upsert_partitioned,
+    )
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("p", IntegerType()),
+            StructField("v", LongType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    target = str(tmp_path / "tgt")
+
+    def arrives(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / name)
+        )
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        run_stream_upsert_partitioned(
+            stream, target, "k", "p", str(tmp_path / "chk"), order_col="seq"
+        )
+
+    def table():
+        return {
+            r["k"]: (r["p"], r["v"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    def files(part):
+        d = tmp_path / "tgt" / f"p={part}"
+        return {
+            f.name: f.read_bytes()
+            for f in d.iterdir()
+            if f.name.endswith(".parquet")
+        }
+
+    arrives([(i, i % 4, i * 10, i) for i in range(20)], "b0")
+    run()
+    before = table()
+
+    # (a) full compaction (min_files=1 rewrites every partition), then a
+    # batch touching only partition 1: contents preserved, other compacted
+    # partitions byte-identical through the later merge.
+    done = io.compact_partitions(spark, target, "p", min_files=1)
+    assert set(done) == {f"p={i}" for i in range(4)}
+    assert table() == before
+    snap = {p: files(p) for p in (0, 2, 3)}
+    arrives([(1, 1, 111, 100), (21, 1, 210, 101)], "b1")
+    run()
+    assert {p: files(p) for p in (0, 2, 3)} == snap
+    assert table()[1] == (1, 111) and table()[21] == (1, 210)
+
+    # (b) interrupted compaction: staged + manifest published, commit never
+    # ran. The NEXT micro-batch must roll it forward before merging.
+    manifest = io._stage_compaction(spark, target, "p", 1, 1, None, 2)
+    assert manifest is not None
+    assert (tmp_path / "tgt" / "_merge_manifest.json").exists()
+    arrives([(2, 2, 222, 200)], "b2")
+    run()
+    got = table()
+    assert got[2] == (2, 222)
+    assert got[1] == (1, 111) and got[21] == (1, 210)
+    assert len(got) == 21
+    assert not (tmp_path / "tgt" / "_merge_manifest.json").exists()
+    assert not (tmp_path / "tgt" / "_merge_stage").exists()
