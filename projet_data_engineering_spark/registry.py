@@ -200,7 +200,10 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
-    from projet_data_engineering_spark.streaming import windows  # noqa: F401
+    from projet_data_engineering_spark.streaming import (  # noqa: F401
+        dedup_ingest,
+        windows,
+    )
     from projet_data_engineering_spark.operators import (  # noqa: F401
         search,
         similarity,

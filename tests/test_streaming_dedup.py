@@ -1,0 +1,148 @@
+"""Streaming near-dup ingest (streaming/dedup_ingest.py): end-to-end stream
+semantics against hand-computed ground truth, replay idempotence, and
+crash-window recovery of the state writes."""
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from projet_data_engineering_spark.streaming import dedup_ingest as di
+
+T1 = "alpha beta gamma delta epsilon zeta"
+T2 = "one two three four five six seven"
+T3 = "red orange yellow green blue indigo violet"
+T4 = "north south east west up down strange charm"
+
+B0 = [(1, T1), (4, T1), (7, T2)]          # 4 drops within (dup of 1)
+B1 = [(2, T1), (5, T3)]                   # 2 drops cross (dup of accepted 1)
+B2 = [(3, T2), (8, T3), (11, T4), (14, T4)]  # 3, 8 cross; 14 within (11<14)
+EXPECTED = {1, 7, 5, 11}
+
+SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _accepted_ids(spark, path):
+    return {r["doc_id"] for r in spark.read.parquet(path).collect()}
+
+
+def _state_ids(spark, state):
+    return {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{state}/wordsets").collect()
+    }
+
+
+def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
+    """The real stream (3 ordered micro-batch files) produces exactly the
+    hand-computed greedy-ingest acceptance, the state tracks accepted docs
+    only, and re-running over the same checkpoint changes nothing."""
+    import time
+
+    src = tmp_path / "src"
+    for k, rows in enumerate((B0, B1, B2)):
+        _df(spark, rows).coalesce(1).write.parquet(str(src / f"b{k}"))
+        time.sleep(0.05)
+
+    def run():
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(str(src) + "/*")
+        )
+        di.run_stream_dedup_ingest(
+            stream,
+            str(tmp_path / "state"),
+            str(tmp_path / "accepted"),
+            str(tmp_path / "chk"),
+        )
+
+    run()
+    assert _accepted_ids(spark, str(tmp_path / "accepted")) == EXPECTED
+    assert _state_ids(spark, str(tmp_path / "state")) == EXPECTED
+    bands = spark.read.parquet(str(tmp_path / "state" / "bands"))
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == EXPECTED
+
+    run()  # same checkpoint: no new files, nothing changes
+    assert _accepted_ids(spark, str(tmp_path / "accepted")) == EXPECTED
+    assert _state_ids(spark, str(tmp_path / "state")) == EXPECTED
+
+
+def _ingest(spark, tmp_path, rows, sub=""):
+    di.dedup_ingest_batch(
+        _df(spark, rows),
+        str(tmp_path / f"state{sub}"),
+        str(tmp_path / f"accepted{sub}"),
+    )
+
+
+def test_dedup_ingest_batch_replay_idempotent(spark, tmp_path):
+    """Replaying a fully-committed batch (at-least-once redelivery) is a
+    no-op: accepted docs match only THEMSELVES in the state, and the
+    self-match filter plus idempotent merges keep table and state fixed."""
+    for rows in (B0, B1, B2):
+        _ingest(spark, tmp_path, rows)
+    acc = _accepted_ids(spark, str(tmp_path / "accepted"))
+    assert acc == EXPECTED
+    n_rows = spark.read.parquet(str(tmp_path / "accepted")).count()
+
+    _ingest(spark, tmp_path, B2)  # replay
+    assert _accepted_ids(spark, str(tmp_path / "accepted")) == EXPECTED
+    assert spark.read.parquet(str(tmp_path / "accepted")).count() == n_rows
+    assert _state_ids(spark, str(tmp_path / "state")) == EXPECTED
+
+
+def test_dedup_ingest_crash_window_replay(spark, tmp_path, monkeypatch):
+    """Kill the batch after each successive state write (accepted-but-no-
+    bands, bands-but-no-wordsets): the error propagates (so the stream
+    would replay), and the replayed batch converges to the same final
+    table/state as an uninterrupted run."""
+    for sub in ("", "_clean"):
+        _ingest(spark, tmp_path, B0, sub)
+    _ingest(spark, tmp_path, B1, "_clean")
+    _ingest(spark, tmp_path, B2, "_clean")
+
+    real = di.merge_upsert_partitioned
+    for crash_at in (2, 3):  # 1=accepted, 2=bands, 3=wordsets merge
+        calls = {"n": 0}
+
+        def boom(*a, _real=real, _at=crash_at, _c=calls, **kw):
+            _c["n"] += 1
+            if _c["n"] == _at:
+                raise RuntimeError("injected crash")
+            return _real(*a, **kw)
+
+        monkeypatch.setattr(di, "merge_upsert_partitioned", boom)
+        rows = B1 if crash_at == 2 else B2
+        try:
+            _ingest(spark, tmp_path, rows)
+            raise AssertionError("injected crash did not propagate")
+        except RuntimeError as e:
+            assert "injected crash" in str(e)
+        monkeypatch.setattr(di, "merge_upsert_partitioned", real)
+        _ingest(spark, tmp_path, rows)  # replay
+
+    assert _accepted_ids(spark, str(tmp_path / "accepted")) == EXPECTED
+    assert _state_ids(spark, str(tmp_path / "state")) == EXPECTED
+    # state equals the uninterrupted run's state, row-for-row
+    for art in ("bands", "wordsets"):
+        got = spark.read.parquet(str(tmp_path / "state" / art))
+        want = spark.read.parquet(str(tmp_path / "state_clean" / art))
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+
+def test_dedup_ingest_dropped_docs_never_enter_state(spark, tmp_path):
+    """A doc dropped as a near-dup leaves no trace in bands/wordsets — the
+    state is the ACCEPTED corpus's signatures, so later arrivals are never
+    compared against rejected documents."""
+    _ingest(spark, tmp_path, B0)
+    _ingest(spark, tmp_path, B1)
+    assert _state_ids(spark, str(tmp_path / "state")) == {1, 7, 5}
+    bands = spark.read.parquet(str(tmp_path / "state" / "bands"))
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 7, 5}

@@ -197,15 +197,53 @@ def main() -> int:
         }
         assert replayed == served
 
+    def check_dedup_ingest():
+        from projet_data_engineering_spark.streaming.dedup_ingest import (
+            dedup_ingest_batch,
+            run_stream_dedup_ingest,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+        src = f"{work}/di_src"
+        batches = []
+        for k in range(3):
+            b = docs.filter(F.col("doc_id") % 3 == k)
+            b.coalesce(1).write.parquet(f"{src}/b{k}")
+            batches.append(b)
+            time.sleep(0.05)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{src}/*")
+        )
+        run_stream_dedup_ingest(
+            stream, f"{work}/di_state", f"{work}/di_acc", f"{work}/di_chk"
+        )
+        streamed = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{work}/di_acc").collect()
+        }
+        for b in batches:  # batch twin: same steps, no stream machinery
+            dedup_ingest_batch(b, f"{work}/di_state2", f"{work}/di_acc2")
+        batched = {
+            r["doc_id"]
+            for r in spark.read.parquet(f"{work}/di_acc2").collect()
+        }
+        n_docs = docs.count()
+        assert streamed == batched, (len(streamed), len(batched))
+        assert 0 < len(streamed) < n_docs, (len(streamed), n_docs)
+
     gate("windowed_stream", check_windowed)
     gate("dedup_stream", check_dedup)
     gate("stream_stream_join", check_join)
     gate("run_stream_upsert_idempotent", check_upsert)
     gate("running_user_totals_stateful", check_stateful)
     gate("run_stream_index_refresh_serves_and_replays", check_index_refresh)
+    gate("run_stream_dedup_ingest_matches_batch_twin", check_dedup_ingest)
 
     shutil.rmtree(work, ignore_errors=True)
-    print(f"\n{6 - failures} ok, {failures} FAILED")
+    print(f"\n{7 - failures} ok, {failures} FAILED")
     return 1 if failures else 0
 
 
