@@ -298,6 +298,24 @@ def build_ann_index(
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+def train_ann_quantizer(
+    embeddings: DataFrame, path: str, k: int = IVF_K, iters: int = IVF_ITERS
+) -> None:
+    """Train and persist ONLY the coarse quantizer (centroids + the layout
+    manifest), leaving the inverted lists to be populated incrementally —
+    the production IVF bootstrap: train on a sample, freeze, then let
+    ingestion fill the lists (``streaming.ann_refresh``). Identical
+    centroid algebra to ``build_ann_index``, so an index populated by
+    streamed assignments converges to the scratch-built one exactly."""
+    spark = embeddings.sparkSession
+    kmeans_centroids(embeddings, k=k, iters=iters).select(
+        F.col("cid").alias("cent_id"), F.col("ce").alias("cv")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.range(1).select(
+        F.lit(k).alias("k"), F.lit(iters).alias("iters")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def ann_serve(
     spark: SparkSession,
     index_path: str,
