@@ -231,9 +231,120 @@ def _commit_partitioned_merge(spark: SparkSession, path: str, manifest: dict) ->
     fs.delete(_hpath(jvm, f"{path}/{_MERGE_MANIFEST}"), False)
 
 
-def recover_partitioned_merge(spark: SparkSession, path: str) -> bool:
-    """Crash recovery for ``merge_upsert_partitioned``. Call before reading
-    or merging a table that might have an interrupted commit.
+_MERGE_LOCK = "_merge_lock.json"
+# A crashed writer's lock is stealable after this many seconds even when its
+# pid can't be probed (different host). Same-host dead pids are stolen
+# immediately, which is what local crash-recovery tests exercise.
+MERGE_LOCK_LEASE_SEC = 900.0
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A second writer attempted to mutate a merge-protocol table while a
+    live writer holds its lock. The protocol's concurrency contract is
+    SINGLE-WRITER, enforced — not documented-and-hoped: concurrent stagers
+    would race the manifest swap and could interleave partition deletes with
+    each other's renames. Callers should retry after the current writer
+    finishes (streaming's foreachBatch serializes batches, so it never sees
+    this; an external compactor racing a stream does)."""
+
+
+def _lock_is_live(lock: dict, lease_sec: float) -> bool:
+    """A lock is LIVE (unstealable) iff its owner is provably alive, or
+    can't be probed and its lease hasn't expired. Same-host owners are
+    probed with ``os.kill(pid, 0)``: a crashed local writer is stealable
+    immediately, and a long-running local writer is NEVER stolen mid-commit
+    just because its merge outlived the lease. Unreachable owners (other
+    hosts, unprobeable pids) are assumed alive until the lease runs out —
+    stealing from a possibly-live remote writer is the one risk a file
+    lease can't close; a real deployment upgrades this to the table
+    format's commit log."""
+    import os
+    import socket
+    import time
+
+    if lock.get("host") == socket.gethostname():
+        try:
+            os.kill(int(lock["pid"]), 0)
+            return True  # provably alive: lease does not expire it
+        except ProcessLookupError:
+            return False  # provably dead: stealable immediately
+        except (PermissionError, ValueError, TypeError, OSError):
+            pass  # can't probe -> fall through to the lease
+    return time.time() - float(lock.get("ts", 0)) < lease_sec
+
+
+def acquire_merge_lock(
+    spark: SparkSession, path: str, lease_sec: float = MERGE_LOCK_LEASE_SEC
+) -> str:
+    """Take the table's writer lock (``{path}/_merge_lock.json``); returns
+    the ownership token to pass to ``release_merge_lock``. Raises
+    ``ConcurrentWriteError`` if a live writer holds it.
+
+    The create uses the Hadoop ``FileSystem.create(path, overwrite=False)``
+    primitive — atomic create-if-absent on HDFS (and the shape a conditional
+    PUT takes on object stores); on the local FS the check-then-create
+    window is microscopic and only reachable by two same-host writers
+    racing a STALE lock steal, which the token check in
+    ``release_merge_lock`` keeps harmless. A real lakehouse deployment
+    replaces this file with the table format's optimistic commit log
+    (Delta/Iceberg); this is the minimal parquet-native lease."""
+    import json as _json
+    import os
+    import socket
+    import time
+    import uuid
+
+    fs, jvm = _fs_for(spark, path)
+    lockpath = f"{path}/{_MERGE_LOCK}"
+    token = uuid.uuid4().hex
+    body = _json.dumps(
+        {
+            "token": token,
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "ts": time.time(),
+        }
+    )
+    for _ in range(2):  # second pass only after a stale-lock steal
+        try:
+            out = fs.create(_hpath(jvm, lockpath), False)
+            out.write(bytearray(body, "utf-8"))
+            out.close()
+            return token
+        except Exception:
+            if not fs.exists(_hpath(jvm, lockpath)):
+                raise  # create failed for a non-contention reason
+            try:
+                holder = _json.loads(_read_small_file(spark, lockpath))
+            except Exception:
+                holder = {}  # torn/unreadable lock: treat as stale
+            if _lock_is_live(holder, lease_sec):
+                raise ConcurrentWriteError(
+                    f"{path}: writer lock held by pid {holder.get('pid')}"
+                    f"@{holder.get('host')} (lease {lease_sec}s not expired)"
+                )
+            fs.delete(_hpath(jvm, lockpath), False)
+    raise ConcurrentWriteError(f"{path}: could not acquire writer lock")
+
+
+def release_merge_lock(spark: SparkSession, path: str, token: str) -> None:
+    """Release the writer lock IF we still own it. After a lease expiry +
+    steal, the token no longer matches and the release is a no-op — the
+    thief's lock survives."""
+    import json as _json
+
+    fs, jvm = _fs_for(spark, path)
+    lockpath = f"{path}/{_MERGE_LOCK}"
+    try:
+        holder = _json.loads(_read_small_file(spark, lockpath))
+    except Exception:
+        return
+    if holder.get("token") == token:
+        fs.delete(_hpath(jvm, lockpath), False)
+
+
+def _writer_recover(spark: SparkSession, path: str) -> bool:
+    """Full crash recovery — caller MUST hold the writer lock.
 
     - manifest present (crash AFTER the commit point): the staged output is
       complete — roll FORWARD; the table reads back fully-new.
@@ -241,9 +352,10 @@ def recover_partitioned_merge(spark: SparkSession, path: str) -> bool:
       touched — delete any leftover staging garbage; the table reads back
       fully-old.
 
-    Underscore-prefixed staging/manifest names are invisible to Spark's file
-    index, so even an un-recovered pre-commit table reads fully-old; only the
-    post-commit-point swap window needs this roll-forward. Returns True if a
+    Stage deletion lives ONLY here (under the lock): ADVICE r6 found the old
+    shared recovery path let a concurrent READER delete a live writer's
+    staged dirs between staging completion and manifest publish, turning the
+    writer's commit into a silent partial swap. Returns True iff a
     roll-forward happened."""
     import json as _json
 
@@ -258,12 +370,45 @@ def recover_partitioned_merge(spark: SparkSession, path: str) -> bool:
     return False
 
 
+def recover_partitioned_merge(spark: SparkSession, path: str) -> bool:
+    """Standalone crash recovery, safe to call concurrently with anything
+    (readers use it via ``read_merged_table``). ROLL-FORWARD ONLY:
+
+    - no manifest: do nothing. Underscore-prefixed staging is invisible to
+      Spark's file index, so a pre-commit-point table already reads
+      fully-old — and an in-flight writer may be mid-staging, so deleting
+      its stage here (the pre-ADVICE-r6 behavior) would silently truncate
+      that writer's commit. Pre-commit stage garbage is cleaned by the next
+      WRITER under the lock (``_writer_recover``).
+    - manifest present: an interrupted post-commit-point swap exists. Take
+      the writer lock (so two recoverers can't interleave delete/rename on
+      the same partition dirs) and roll it forward. If a LIVE writer holds
+      the lock, do nothing — that writer is mid-commit and will finish or
+      crash into a recoverable state; the un-rolled table still reads as a
+      complete version.
+
+    Returns True iff a roll-forward happened."""
+    fs, jvm = _fs_for(spark, path)
+    if not fs.exists(_hpath(jvm, f"{path}/{_MERGE_MANIFEST}")):
+        return False
+    try:
+        token = acquire_merge_lock(spark, path)
+    except ConcurrentWriteError:
+        return False
+    try:
+        return _writer_recover(spark, path)
+    finally:
+        release_merge_lock(spark, path, token)
+
+
 def read_merged_table(spark: SparkSession, path: str) -> DataFrame:
     """Read a table maintained by ``merge_upsert_partitioned``, rolling any
-    interrupted commit forward first. The recovery probe is one metadata
-    ``exists`` call when the table is healthy; after a mid-swap crash the
-    read observes fully-new (post-manifest) or fully-old (pre-manifest),
-    never a mix."""
+    ORPHANED interrupted commit forward first. The recovery probe is one
+    metadata ``exists`` call when the table is healthy; after a mid-swap
+    crash the read observes fully-new (post-manifest) or fully-old
+    (pre-manifest), never a mix. The read path never deletes staging — an
+    in-flight writer's stage is untouchable from here (ADVICE r6) — and
+    never touches anything while a live writer holds the lock."""
     recover_partitioned_merge(spark, path)
     return spark.read.parquet(path)
 
@@ -310,13 +455,24 @@ def merge_upsert_partitioned(
     metadata-scale (bounded by partition count, like any partition listing),
     never row-scale. With Delta/Iceberg steps 3-5 collapse into
     ``MERGE INTO``; this is the engine-neutral parquet shape. Returns the
-    touched partition values."""
-    recover_partitioned_merge(spark, path)
-    manifest = _stage_partitioned_merge(
-        spark, path, new, key, partition_col, order_col
-    )
-    _commit_partitioned_merge(spark, path, manifest)
-    return manifest["_parts"]
+    touched partition values.
+
+    Concurrency contract: SINGLE WRITER, enforced by a lease lock — a
+    second concurrent writer raises ``ConcurrentWriteError`` instead of
+    racing the manifest swap (two stagers sharing one stage dir + manifest
+    slot would interleave deletes and renames). A crashed writer's lock is
+    stolen after its lease (immediately when its pid is provably dead on
+    this host). Concurrent READERS need no lock and are never blocked."""
+    token = acquire_merge_lock(spark, path)
+    try:
+        _writer_recover(spark, path)
+        manifest = _stage_partitioned_merge(
+            spark, path, new, key, partition_col, order_col
+        )
+        _commit_partitioned_merge(spark, path, manifest)
+        return manifest["_parts"]
+    finally:
+        release_merge_lock(spark, path, token)
 
 
 def _stage_partitioned_merge(
@@ -480,26 +636,33 @@ def compact_partitions(
       leaves the table readable as fully-old or fully-new, recovered by the
       existing ``recover_partitioned_merge`` with no compaction-specific
       recovery code;
-    - partitions under ``min_files`` are never read, rewritten or deleted.
+    - partitions under ``min_files`` are never read, rewritten or deleted;
+    - takes the same writer lock as the merge: an external compactor racing
+      a streaming upsert raises ``ConcurrentWriteError`` instead of both
+      staging into the same dir (single-writer contract, enforced).
 
     Returns ``{partition_dir: files_before}`` for the compacted partitions.
     """
-    recover_partitioned_merge(spark, path)
-    fs, jvm = _fs_for(spark, path)
-    before = {
-        name: len(_data_files(fs, jvm, f"{path}/{name}"))
-        for st in fs.listStatus(_hpath(jvm, path))
-        if st.isDirectory()
-        and (name := st.getPath().getName()).startswith(f"{partition_col}=")
-    }
-    manifest = _stage_compaction(
-        spark, path, partition_col, min_files, target_files, sort_cols,
-        parallelism,
-    )
-    if manifest is None:
-        return {}
-    _commit_partitioned_merge(spark, path, manifest)
-    return {d: before[d] for d in manifest["written"]}
+    token = acquire_merge_lock(spark, path)
+    try:
+        _writer_recover(spark, path)
+        fs, jvm = _fs_for(spark, path)
+        before = {
+            name: len(_data_files(fs, jvm, f"{path}/{name}"))
+            for st in fs.listStatus(_hpath(jvm, path))
+            if st.isDirectory()
+            and (name := st.getPath().getName()).startswith(f"{partition_col}=")
+        }
+        manifest = _stage_compaction(
+            spark, path, partition_col, min_files, target_files, sort_cols,
+            parallelism,
+        )
+        if manifest is None:
+            return {}
+        _commit_partitioned_merge(spark, path, manifest)
+        return {d: before[d] for d in manifest["written"]}
+    finally:
+        release_merge_lock(spark, path, token)
 
 
 def atomic_overwrite(df: DataFrame, path: str) -> None:
@@ -515,16 +678,23 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     This is the versioned-dir protocol ADVICE r5 asked for, replacing the
     rmtree-then-move window that could lose the table entirely. The plan may
     read from ``path`` itself: the write targets ``__next`` so the source
-    files are untouched until the job has finished."""
+    files are untouched until the job has finished.
+
+    Entry first RECOVERS any interrupted prior overwrite instead of blindly
+    deleting ``__next``/``__old`` (ADVICE r6): after a mid-swap crash those
+    dirs can hold the ONLY complete version of the table, and a blind delete
+    followed by a failed write (e.g. a plan reading the now-missing live
+    path) would lose it entirely. ``recover_atomic_overwrite`` rolls the
+    table to exactly one complete live version and THEN clears both side
+    dirs, so the primitive is safe called standalone from any crash state."""
     spark = df.sparkSession
+    recover_atomic_overwrite(spark, path)
     fs, jvm = _fs_for(spark, path)
     nxt, old, live = (
         _hpath(jvm, path + "__next"),
         _hpath(jvm, path + "__old"),
         _hpath(jvm, path),
     )
-    fs.delete(nxt, True)
-    fs.delete(old, True)
     df.write.mode("overwrite").parquet(path + "__next")
     if fs.exists(live):
         fs.rename(live, old)
@@ -627,19 +797,23 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     Returns (df_with_stats, key_column): the caller sorts/ranges by the key
     column over ``df_with_stats``.
 
-    The interleaved key must fit a 64-bit long: a shift amount of
-    ``bits*len(cols)-1 >= 64`` would silently wrap mod 64 on the JVM and
-    scramble the clustering. ``bits`` is auto-shrunk to the widest per-column
-    grid that fits (floor 1 bit/column); >64 columns cannot fit at all and
-    raise."""
+    The interleaved key must fit the NON-NEGATIVE range of a 64-bit long: a
+    shift amount of ``bits*len(cols)-1 >= 64`` would silently wrap mod 64 on
+    the JVM, and a top bit landing in position 63 (the sign bit) would make
+    high-coordinate keys negative, rotating signed range-partition order at
+    the sign boundary — one output file would span a non-contiguous Morton
+    range (ADVICE r6). ``bits`` is therefore auto-shrunk to the widest
+    per-column grid whose total stays within 63 bits (floor 1 bit/column);
+    >63 columns cannot fit at all and raise."""
     if not cols:
         raise ValueError("zorder_key needs at least one column")
-    if len(cols) > 64:
+    if len(cols) > 63:
         raise ValueError(
-            f"zorder_key: {len(cols)} columns cannot interleave into a 64-bit "
-            "key (max 64 at 1 bit each); z-order the most selective <=4"
+            f"zorder_key: {len(cols)} columns cannot interleave into the "
+            "sign-safe 63 bits of a long (max 63 at 1 bit each); z-order "
+            "the most selective <=4"
         )
-    bits = min(bits, 64 // len(cols))
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],

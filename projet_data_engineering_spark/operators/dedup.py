@@ -542,9 +542,15 @@ def _dedup_apply_oracle() -> str:
 def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline applied: MinHash candidates → connected
     components → drop every non-keeper → surviving corpus counts per lang.
-    The final subtraction is a broadcast anti-join (the drop list is tiny
-    relative to the corpus — |near-dup nodes| rows), so applying dedup to
-    100 TB costs one scan plus the pair pipeline."""
+
+    The final subtraction is a plain ``left_anti`` with NO broadcast hint:
+    the drop list's cardinality is O(near-duplicate docs), which on a real
+    web corpus (30-80% near-dup rate) is O(corpus) — billions of rows at
+    100 TB. A hard ``broadcast()`` there OOMs the driver; leaving the
+    strategy to AQE means Spark broadcasts when the runtime size actually
+    fits ``autoBroadcastJoinThreshold`` and falls back to a shuffled
+    sort-merge anti-join that degrades gracefully when it doesn't
+    (see SCALING.md "Drop-list anti-joins")."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # LSS: O(log n) rounds at any component diameter (see q_curate).
     labels = connected_components_lss(
@@ -554,7 +560,7 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("doc_id")
     )
     return (
-        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        d.join(drop, "doc_id", "left_anti")
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -772,9 +778,13 @@ def build_dedup_state(
     answer to "don't re-minhash 100 TB per batch" (the corpus-signature
     analogue of ``search.build_search_index``):
 
-    - ``{path}/bands``: (id, band_idx, band_val) PARTITIONED by
+    - ``{path}/bands``: (_pk, id, band_idx, band_val) PARTITIONED by
       ``band_bucket = crc32(band_val) % n_buckets`` — a batch's probe scan
-      prunes to the buckets its own band values hash into;
+      prunes to the buckets its own band values hash into. ``_pk`` is the
+      ``"{id}|{band_idx}"`` merge key the streaming refresher
+      (``streaming.dedup_ingest.dedup_ingest_batch``) upserts on, so a
+      batch-built state bootstraps straight into the streaming path
+      (ADVICE r6: the two writers must agree on the bands schema);
     - ``{path}/wordsets``: (id, distinct-word set) PARTITIONED by
       ``doc_bucket = crc32(id) % n_buckets`` — exact-Jaccard verification
       reads only the candidate docs' buckets;
@@ -786,9 +796,16 @@ def build_dedup_state(
     per-batch serve cost then tracks batch size (see
     ``incremental_dedup_pairs_served`` and evidence/bench_incdedup_r06)."""
     spark = corpus.sparkSession
-    bands = lsh_bands(
-        minhash_signatures(corpus, id_col, text_col), id_col
-    ).withColumn("band_bucket", F.pmod(F.crc32("band_val"), F.lit(n_buckets)))
+    bands = (
+        lsh_bands(minhash_signatures(corpus, id_col, text_col), id_col)
+        .withColumn(
+            "band_bucket", F.pmod(F.crc32("band_val"), F.lit(n_buckets))
+        )
+        .withColumn(
+            "_pk",
+            F.concat_ws("|", F.col(id_col).cast("string"), F.col("band_idx")),
+        )
+    )
     # repartition ON the partition column before the partitioned write: each
     # bucket directory gets ONE file instead of one per shuffle partition —
     # a pruned probe then opens |buckets| files, not |buckets|×|partitions|

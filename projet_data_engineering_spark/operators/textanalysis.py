@@ -364,10 +364,13 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor ∘ per-language token accounting, in ONE plan.
 
     Scale shape: the quality score is map-only; the dedup drop list is a
-    broadcast anti-join; the only corpus-wide shuffle is the final per-lang
-    aggregate. Every stage is individually oracle-checked elsewhere
-    (q_dedup_clusters, q_text_quality, q_token_count); this query checks
-    their composition."""
+    plain ``left_anti`` with NO broadcast hint — its cardinality is
+    O(near-dup docs), which a real web corpus makes O(corpus), so the join
+    strategy is left to AQE (broadcast only when the runtime size fits;
+    see SCALING.md "Drop-list anti-joins"); the only corpus-wide shuffle is
+    the final per-lang aggregate. Every stage is individually oracle-checked
+    elsewhere (q_dedup_clusters, q_text_quality, q_token_count); this query
+    checks their composition."""
     from projet_data_engineering_spark.io import spread
     from projet_data_engineering_spark.operators.dedup import (
         connected_components_lss,
@@ -390,7 +393,7 @@ def q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.5 + F.least(n_stop.cast("double") / n_tokens, F.lit(0.5))
     )
     return (
-        d.join(F.broadcast(drop), "doc_id", "left_anti")
+        d.join(drop, "doc_id", "left_anti")
         .select("lang", n_tokens.alias("n_tokens"), quality.alias("q"))
         .filter(F.col("q") >= 0.5)
         .groupBy("lang")

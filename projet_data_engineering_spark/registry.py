@@ -130,15 +130,38 @@ _R5_GREEN = {
 }
 
 
-# Queries whose executed plan changed in round 6 (numpy-vectorized PNG
-# unfilter + numpy px_sum; BM25 serving reads n_buckets from the stats
-# manifest): results are expected identical, but their pre-r6 driver
-# evidence no longer describes the current code, so they walk FIRST.
-_R6_CHANGED = {
-    "q_media_decode", "q_media_features", "q_bm25_served",
+# Names the driver checked in round 6 (CORRECTNESS_r06.json: 50/50 green —
+# the r5-verdict-demanded stale cohort plus the r6 served-index additions).
+# Cumulatively r1-r6 covers all 177 registered queries.
+_R6_GREEN = {
+    "q_ann_ivf_served", "q_ann_lsh", "q_avg", "q_binary_meta", "q_bm25_fuzzy",
+    "q_bm25_multifield", "q_bm25_served", "q_bm25_topk", "q_cohort_retention",
+    "q_concat", "q_contamination", "q_count_distinct", "q_datediff",
+    "q_dedup_incremental_served", "q_domain_mix", "q_embed_dup_pairs",
+    "q_embed_knn", "q_embed_knn_arrow", "q_fingerprint", "q_first",
+    "q_join_salted", "q_limit", "q_media_decode", "q_media_features", "q_mode",
+    "q_ngrams", "q_ntile", "q_pii_redact", "q_posexplode", "q_posting_lists",
+    "q_repetition", "q_salted_agg", "q_search_boolean", "q_search_fridge",
+    "q_search_fuzzy", "q_should_score", "q_stream_dedup_ingest",
+    "q_stream_session", "q_stream_sliding", "q_stream_tumbling", "q_substring",
+    "q_term_join", "q_text_quality", "q_tfidf_topterms", "q_timestamp",
+    "q_token_count", "q_topk", "q_tpch_q1", "q_value_counts",
+    "q_value_counts_num",
+}
+
+
+# Queries whose executed plan/protocol changed in round 7 (drop-list
+# broadcast hints removed from q_dedup_apply/q_curate; build_dedup_state
+# bands now carry the _pk merge key; the partitioned-merge writer lock):
+# results are expected identical, but their pre-r7 driver evidence no longer
+# describes the current code, so they walk FIRST.
+_R7_CHANGED = {
+    "q_dedup_apply", "q_curate", "q_dedup_incremental_served",
+    "q_stream_dedup_ingest",
 }
 
 _TIERS = (
+    (6, _R6_GREEN),
     (5, _R5_GREEN),
     (4, _R4_GREEN),
     (3, _R3_GREEN),
@@ -158,15 +181,15 @@ def _latest_evidence(name: str) -> int:
 
 def _ordered(names: list[str]) -> list[str]:
     """Walk order for a budget-limited (50 queries/round) driver sweep —
-    VERDICT r5 item 7: round-6-changed names first (their old evidence
+    VERDICT r6 item 6: round-7-changed names first (their old evidence
     describes code that no longer runs), then everything else STALEST
-    driver evidence first (never-checked, then latest=r1, r2, ... r5), so
-    the sample rotates onto the cohort that has waited longest for
-    re-verification under current code (the r2-era q_avg/q_mode/
-    q_value_counts/q_limit/q_first group and the r3 TPC-H refresh set).
-    Python's stable sort preserves registration order within each tier."""
-    first = [n for n in names if n in _R6_CHANGED]
-    rest = [n for n in names if n not in _R6_CHANGED]
+    driver evidence first (never-checked, then latest=r1, r2, ... r6), so
+    the r7 sample lands on the cohort last verified in r1/r2/r3 (the
+    q_tpch_q7/8/9/15/19/22 + q_grouping_sets + q_window_range + warehouse
+    set the r6 verdict named). Python's stable sort preserves registration
+    order within each tier."""
+    first = [n for n in names if n in _R7_CHANGED]
+    rest = [n for n in names if n not in _R7_CHANGED]
     rest.sort(key=_latest_evidence)
     return first + rest
 

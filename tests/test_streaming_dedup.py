@@ -146,3 +146,33 @@ def test_dedup_ingest_dropped_docs_never_enter_state(spark, tmp_path):
     assert _state_ids(spark, str(tmp_path / "state")) == {1, 7, 5}
     bands = spark.read.parquet(str(tmp_path / "state" / "bands"))
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 7, 5}
+
+
+def test_bootstrap_batch_built_state_then_stream(spark, tmp_path):
+    """ADVICE r6 (medium): ``build_dedup_state``'s bands artifact must carry
+    the same ``_pk`` merge key the streaming refresher upserts on — the
+    module workflow is "batch-build the corpus state once, stream on top",
+    and before the fix the first streamed merge died with
+    AnalysisException (cannot resolve o._pk)."""
+    from projet_data_engineering_spark.operators.dedup import build_dedup_state
+
+    state = str(tmp_path / "state")
+    corpus = _df(spark, [(1, T1), (7, T2)])  # an already-deduped corpus
+    build_dedup_state(corpus, state)
+    assert "_pk" in spark.read.parquet(f"{state}/bands").columns
+
+    # stream two micro-batches on top of the batch-built state
+    di.dedup_ingest_batch(_df(spark, B1), state, str(tmp_path / "accepted"))
+    di.dedup_ingest_batch(_df(spark, B2), state, str(tmp_path / "accepted"))
+
+    # 2 drops (dup of corpus doc 1), 3 drops (dup of corpus doc 7),
+    # 8 drops (dup of streamed-accepted 5), 14 drops within-batch vs 11
+    assert _accepted_ids(spark, str(tmp_path / "accepted")) == {5, 11}
+    assert _state_ids(spark, state) == {1, 7, 5, 11}
+    bands = spark.read.parquet(f"{state}/bands")
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 7, 5, 11}
+    # merge key consistency: one row per (doc, band_idx) across both writers
+    assert (
+        bands.groupBy("doc_id", "band_idx").count().filter("count > 1").count()
+        == 0
+    )
