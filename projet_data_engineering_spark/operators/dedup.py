@@ -686,17 +686,20 @@ def q_split_groupsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of the holdout). Membership is a pure function of the cluster
     root: deterministic across runs, engines, and corpus growth.
 
-    Pipeline: MinHash candidates -> connected components -> broadcast the
+    Pipeline: MinHash candidates -> connected components -> join the
     (node, root) relabel map onto the corpus -> map-only split + one tiny
-    aggregate. The relabel map has one row per CLUSTERED doc (near-dups
-    only), so the join side is small at any corpus size."""
+    aggregate. The relabel map has one row per CLUSTERED doc — O(near-dup
+    docs), which a high-duplication web corpus makes O(corpus) — so the
+    join carries NO broadcast hint: AQE broadcasts when the runtime size
+    fits and shuffle-joins when it doesn't (SCALING.md "Drop-list
+    anti-joins"; same reasoning as q_dedup_apply/q_curate)."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     # LSS: O(log n) rounds at any component diameter (see q_curate).
     labels = connected_components_lss(
         minhash_candidate_pairs(d, "doc_id", "text")
     ).withColumnRenamed("node", "doc_id")
     keyed = d.select("doc_id", "n_chars").join(
-        F.broadcast(labels), "doc_id", "left"
+        labels, "doc_id", "left"
     ).withColumn("root", F.coalesce("root", "doc_id"))
     bucket = F.conv(
         F.substring(F.md5(F.col("root").cast("string")), 1, 2), 16, 10
