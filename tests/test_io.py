@@ -809,3 +809,45 @@ def test_zorder_key_never_uses_the_sign_bit(spark):
     d2, key2 = io.zorder_key(df.select("a", "b"), ["a", "b"], bits=32)
     vals = [r["z"] for r in d2.select(key2.alias("z")).collect()]
     assert all(v >= 0 for v in vals)
+
+
+def test_atomic_overwrite_standalone_after_midswap_crash(spark, tmp_path):
+    """ADVICE r6 (low): atomic_overwrite called STANDALONE after a mid-swap
+    crash (live dir absent; __old holding the only complete copy) must not
+    blind-delete the survivors before writing — entry recovery restores one
+    live version first, so even if the new write then fails the table still
+    exists, and a successful write lands the new contents."""
+    import os
+
+    from projet_data_engineering_spark import io
+
+    path = str(tmp_path / "at2")
+    v1 = spark.createDataFrame([(1, "a")], "k bigint, s string")
+
+    # crash state: live renamed away, __old holds the ONLY complete copy
+    v1.write.parquet(path + "__old")
+    assert not os.path.exists(path)
+
+    # first overwrite attempt FAILS mid-write (ANSI integer div by zero at
+    # execution). Old behavior: fs.delete(__old) at entry -> the only copy
+    # is gone before the failed write. New behavior: entry recovery restores
+    # live from __old first, so the failure leaves the table intact.
+    bad = spark.range(1).select(
+        F.col("id").alias("k"), F.expr("1 div 0").alias("s")
+    )
+    with pytest.raises(Exception):
+        io.atomic_overwrite(bad, path)
+    assert {(r["k"], r["s"]) for r in spark.read.parquet(path).collect()} == {
+        (1, "a")
+    }
+
+    # and a subsequent good overwrite (whose plan reads the recovered live
+    # table) completes the read-modify-write normally
+    io.atomic_overwrite(
+        spark.read.parquet(path).withColumn("s", F.upper("s")), path
+    )
+    assert {(r["k"], r["s"]) for r in spark.read.parquet(path).collect()} == {
+        (1, "A")
+    }
+    assert not os.path.exists(path + "__next")
+    assert not os.path.exists(path + "__old")
