@@ -59,6 +59,7 @@ from projet_data_engineering_spark.operators.textanalysis import (
     STOPWORDS,
     stopword_hits,
 )
+from projet_data_engineering_spark.registry import query
 
 EMAIL_RE = r"[a-z0-9#_]+@[a-z]+[.][a-z]+"
 PHONE_RE = r"[+]1-555-[0-9]+"
@@ -213,3 +214,135 @@ def curate_corpus(
         "funnel": funnel,
         "_labels": labels,  # caller unpersists when done
     }
+
+
+def _funnel_oracle() -> str:
+    """Full-pipeline transcription for DuckDB: the exact six relations of
+    ``curate_corpus``, composed from the SAME oracle fragments the standalone
+    queries use (minhash transitive closure, q_curate's quality score,
+    q_contamination's 5-grams, q_split_groupsafe's root bucket,
+    q_pack_sequences' running-total windows) — a hash match proves the
+    COMPOSITION end to end, not just each stage in isolation."""
+    from projet_data_engineering_spark.operators.datapipe import (
+        PACK_BUDGET,
+        PACK_SHARD,
+    )
+    from projet_data_engineering_spark.operators.dedup import _minhash_oracle
+
+    bucket = (
+        "CAST(concat('0x', substr(md5(CAST(root AS VARCHAR)), 1, 2)) AS INT)"
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    undirected AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    clusters AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a
+    ),
+    base AS (
+        SELECT doc_id, source,
+               str_split(lower(text), ' ') AS toks,
+               len(str_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+    ),
+    labeled AS (
+        SELECT b.*, COALESCE(c.root, b.doc_id) AS root
+        FROM base b LEFT JOIN clusters c ON c.node = b.doc_id
+    ),
+    dedup AS (SELECT * FROM labeled WHERE doc_id = root),
+    qual_ok AS (
+        SELECT * FROM (
+            SELECT *,
+                   LEAST(n_tokens / 50.0, 1.0)
+                   * (0.5 + LEAST(CAST(len(list_filter(toks,
+                         x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+                         / n_tokens, 0.5)) AS q
+            FROM dedup
+        ) WHERE q >= 0.5
+    ),
+    g_all AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   generate_series(1, len(toks) - 4),
+                   i -> array_to_string(toks[i:i+4], ' '))) AS gram
+        FROM base WHERE len(toks) >= 5
+    ),
+    ev AS (SELECT DISTINCT gram FROM g_all WHERE doc_id % 97 = 0),
+    candidate AS (SELECT * FROM qual_ok WHERE doc_id % 97 <> 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM g_all g JOIN ev USING (gram)
+        WHERE g.doc_id IN (SELECT doc_id FROM candidate)
+    ),
+    clean AS (
+        SELECT * FROM candidate
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    splitted AS (
+        SELECT *, CASE WHEN {bucket} < 13 THEN 'test'
+                       WHEN {bucket} < 26 THEN 'valid'
+                       ELSE 'train' END AS split
+        FROM clean
+    ),
+    packc AS (
+        SELECT source AS stream, doc_id AS doc,
+               doc_id // {PACK_SHARD} AS shard, n_tokens AS ntok,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source, doc_id // {PACK_SHARD}
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM splitted WHERE split = 'train'
+    ),
+    win AS (
+        SELECT stream, shard, cum_before // {PACK_BUDGET} AS seq_id,
+               SUM(ntok) AS wtok
+        FROM packc GROUP BY stream, shard, cum_before // {PACK_BUDGET}
+    )
+    SELECT stage, n_docs, n_tokens FROM (
+        SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM base
+        UNION ALL SELECT '1_dedup', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM dedup
+        UNION ALL SELECT '2_quality', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM qual_ok
+        UNION ALL SELECT '3_decontaminated', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM clean
+        UNION ALL SELECT '4_redacted', COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM clean
+        UNION ALL SELECT concat('5_split_', split), COUNT(*),
+               CAST(SUM(n_tokens) AS BIGINT) FROM splitted GROUP BY split
+        UNION ALL SELECT '6_train_windows', COUNT(*),
+               CAST(SUM(wtok) AS BIGINT) FROM win
+    )
+    """
+
+
+@query("q_curation_funnel", oracle=_funnel_oracle())
+def q_curation_funnel(spark, sf_dir: str) -> DataFrame:
+    """The COMPOSED pretraining-data build, driver-checked end to end: run
+    ``curate_corpus`` over the documents table and return the per-stage
+    docs/tokens funnel. The oracle independently recomputes all six stage
+    relations in one SQL program (near-dup transitive closure, quality
+    floor, eval-gram decontamination, root-keyed split, running-total
+    packing), so the hash match certifies the full composition — including
+    that label reuse across stages 1 and 5 changes nothing semantically.
+    Measured at sf10 in evidence/bench_curation_r07_sf10.json."""
+    from projet_data_engineering_spark.io import load_table, spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    out = curate_corpus(docs)
+    try:
+        result = out["funnel"]
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        out["_labels"].unpersist()
