@@ -225,6 +225,7 @@ def _load_all() -> None:
         return
     from projet_data_engineering_spark.recipes import curation  # noqa: F401
     from projet_data_engineering_spark.streaming import (  # noqa: F401
+        ann_refresh,
         dedup_ingest,
         windows,
     )

@@ -41,6 +41,7 @@ from projet_data_engineering_spark.operators.similarity import (
     _ivf_scored_cents,
     as_double,
 )
+from projet_data_engineering_spark.registry import query
 
 
 def assign_to_stored_centroids(
@@ -119,3 +120,66 @@ def run_stream_ann_refresh(
         .start()
         .awaitTermination()
     )
+
+
+def _stream_ann_oracle() -> str:
+    # The streamed index must converge to EXACTLY the scratch build: frozen
+    # quantizer trained on the same corpus + per-batch assignment with the
+    # build-path algebra => the shared IVF oracle (q_ann_ivf /
+    # q_ann_ivf_served) is the independent transcription for this query too.
+    from projet_data_engineering_spark.operators.similarity import _IVF_ORACLE
+
+    return _IVF_ORACLE
+
+
+@query("q_stream_ann_refresh", oracle=_stream_ann_oracle())
+def q_stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL streaming IVF maintenance end-to-end, driver-checked: the
+    quantizer is trained once and frozen (``train_ann_quantizer`` — the
+    production bootstrap), the embeddings table arrives as three ordered
+    micro-batch files through ``run_stream_ann_refresh`` (foreachBatch →
+    crash-atomic keyed merges into cent_id-partitioned inverted lists), and
+    ``ann_serve`` answers the same three-query top-5 from the streamed
+    index. The shared IVF oracle hash-match proves the streamed index is
+    indistinguishable from a from-scratch build — the exactly-once
+    contract, certified by an independent SQL engine rather than a
+    Spark-vs-Spark comparison (those live in tests/test_streaming_ann.py).
+    """
+    import shutil
+    import tempfile
+    import time
+
+    from projet_data_engineering_spark.io import load_table
+    from projet_data_engineering_spark.operators.similarity import (
+        ann_serve,
+        as_double,
+        train_ann_quantizer,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="stream_ann_")
+    try:
+        src = f"{root}/src"
+        for k in range(3):
+            e.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
+                f"{src}/b{k}"
+            )
+            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+        idx = f"{root}/idx"
+        train_ann_quantizer(e, idx)
+        stream = (
+            spark.readStream.schema(e.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{src}/*")
+        )
+        run_stream_ann_refresh(stream, idx, f"{root}/chk")
+        queries = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("v"),
+        )
+        out = ann_serve(spark, idx, queries, nprobe=2, topk=5)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
