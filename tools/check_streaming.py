@@ -234,6 +234,50 @@ def main() -> int:
         assert streamed == batched, (len(streamed), len(batched))
         assert 0 < len(streamed) < n_docs, (len(streamed), n_docs)
 
+    def check_ann_refresh():
+        from projet_data_engineering_spark.operators.similarity import (
+            ann_serve,
+            as_double,
+            build_ann_index,
+            train_ann_quantizer,
+        )
+        from projet_data_engineering_spark.streaming.ann_refresh import (
+            run_stream_ann_refresh,
+        )
+
+        e = load_table(spark, SF_DIR, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        e.repartition(3).write.mode("overwrite").parquet(f"{work}/embsrc")
+        idx, scratch = f"{work}/ann_idx", f"{work}/ann_scratch"
+        train_ann_quantizer(e, idx)
+        build_ann_index(e, scratch)
+
+        def run(chk):
+            stream = (
+                spark.readStream.schema(e.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{work}/embsrc")
+            )
+            run_stream_ann_refresh(stream, idx, chk)
+
+        run(f"{work}/chk_ann1")
+        queries = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            as_double(F.col("embedding")).alias("v"),
+        )
+
+        def served(path):
+            return {
+                (r["query_id"], r["rank"]): (r["vec_id"], r["score"])
+                for r in ann_serve(spark, path, queries).collect()
+            }
+
+        got, want = served(idx), served(scratch)
+        assert got == want and got, (len(got), len(want))
+        run(f"{work}/chk_ann2")  # full redelivery: keyed merges must not dup
+        assert served(idx) == want
+
     gate("windowed_stream", check_windowed)
     gate("dedup_stream", check_dedup)
     gate("stream_stream_join", check_join)
@@ -241,9 +285,10 @@ def main() -> int:
     gate("running_user_totals_stateful", check_stateful)
     gate("run_stream_index_refresh_serves_and_replays", check_index_refresh)
     gate("run_stream_dedup_ingest_matches_batch_twin", check_dedup_ingest)
+    gate("run_stream_ann_refresh_matches_scratch_build", check_ann_refresh)
 
     shutil.rmtree(work, ignore_errors=True)
-    print(f"\n{7 - failures} ok, {failures} FAILED")
+    print(f"\n{8 - failures} ok, {failures} FAILED")
     return 1 if failures else 0
 
 
