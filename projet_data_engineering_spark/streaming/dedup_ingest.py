@@ -141,7 +141,10 @@ def dedup_ingest_batch(
             drops = drop_within
         # MATERIALIZE the decision before any write: every artifact below
         # must derive from one fixed accepted set, not re-read a state the
-        # earlier writes are mutating.
+        # earlier writes are mutating. The broadcast here is legitimate
+        # under the repo's hint policy (SCALING.md "Drop-list anti-joins"):
+        # |drops| is bounded by MICRO-BATCH size by construction, unlike
+        # the corpus-sized drop lists in q_dedup_apply/q_curate.
         accepted = batch.join(
             F.broadcast(drops.distinct()), id_col, "left_anti"
         ).localCheckpoint(eager=True)
