@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "q_curate",         # composed dedup∘quality∘token pipeline (r2)
     "q_boilerplate",    # within-source template-shingle curation (r5)
     "q_media_container_meta",  # JPEG/MP4 stdlib metadata decode (r5)
+    "q_shuffle_shard",  # deterministic shard-shuffle layout (r7)
+    "q_token_budget",   # banded two-level prefix-sum budget selection (r7)
+    "q_vocab_coverage", # dictionary coverage cutoff (r7)
+    "q_domain_temperature",  # tau=2 mixture weights (r7)
 ]
 
 # The 24-query set benched in round 1 (BENCH_r01/BASELINE.md anchor). The

@@ -1,0 +1,252 @@
+"""Corpus assembly operators: shard-shuffle, budget selection, mixtures.
+
+The last mile of a training-data pipeline, after cleaning and dedup: put
+the corpus in a reproducible shuffled order split into shards, select the
+best documents under a token budget, size the tokenizer vocabulary, and
+weight the domain mixture. The reference reaches this stage implicitly —
+its per-document upserts (``scraper/main.py:263``) build one collection a
+dashboard reads — but at pretraining scale these four are explicit,
+corpus-wide operators, so they are registered here as first-class,
+oracle-checked queries.
+
+Scale notes (the part that matters at 100 TB):
+
+- The shard-shuffle NEVER runs a global ``row_number`` — positions are
+  windowed PER SHARD, and the shard count is a knob that grows with the
+  corpus, so each window partition stays task-sized.
+- Budget selection never runs a corpus-wide cumulative sum either: a
+  two-level prefix sum aggregates per score-band totals (tiny), takes
+  whole bands wholesale, and only the single BOUNDARY band gets a
+  row-level running sum. The oracle states the same selection as one
+  global window — fine for DuckDB at test SF, fatal on a cluster — and
+  the hash compare proves the banded plan computes the identical set.
+- Vocabulary coverage windows over the AGGREGATED term dictionary
+  (|vocab| rows, not corpus rows); the coverage cutoff is evaluated in
+  integer arithmetic so no float boundary can flip membership.
+- Mixture weights are pure aggregate arithmetic; temperature tau=2 uses
+  ``sqrt``, which IEEE defines exactly, so Spark and DuckDB agree
+  bit-for-bit before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table
+from projet_data_engineering_spark.registry import query
+
+N_SHARDS = 64
+TOKEN_BUDGET = 10_000
+COVERAGE_NUM, COVERAGE_DEN = 19, 20  # keep terms while prior coverage < 95%
+
+
+def _ntok(col: str = "text") -> F.Column:
+    return F.size(F.split(col, " "))
+
+
+@query(
+    "q_shuffle_shard",
+    oracle=f"""
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+           ) AS pos
+    FROM (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                    AS INT) % {N_SHARDS} AS shard
+        FROM documents
+    )
+    """,
+)
+def q_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the write-side order every
+    training run consumes. ``rand()`` breaks reproducibility; instead both
+    the shard AND the within-shard order derive from md5(key), so any
+    engine (and any re-run on a grown corpus) produces the identical
+    layout. One shuffle, partitioned BY SHARD: position is
+    ``row_number`` windowed per shard, never globally, so no single task
+    ever sees more than corpus/N_SHARDS rows — N_SHARDS is the scale
+    knob (64 here; ~100k shards at 100 TB keeps shards ~1 GB)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("int") % N_SHARDS
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+@query(
+    "q_token_budget",
+    oracle=f"""
+    SELECT doc_id, n_tokens
+    FROM (
+        SELECT doc_id,
+               CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens,
+               SUM(len(str_split(text, ' '))) OVER (
+                   ORDER BY CAST(n_chars AS DOUBLE) / len(str_split(text, ' '))
+                            DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM documents
+    )
+    WHERE cum <= {TOKEN_BUDGET}
+    """,
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best documents until a token budget is exhausted (quality
+    proxy: mean word length, desc; ties by doc_id). The oracle writes the
+    textbook form — one GLOBAL cumulative sum — which serializes the whole
+    corpus through one task and is exactly what must NOT run at 100 TB.
+
+    The Spark plan is the scalable two-level prefix sum instead: (1) band
+    scores at 0.1 granularity and aggregate per-band token totals (tiny);
+    (2) a cumulative sum over the BAND table (bounded window over an
+    aggregate — plan-audit-clean) splits bands into taken-wholesale /
+    boundary / dropped; (3) only the one boundary band gets a row-level
+    running sum, windowed BY BAND. Banding is monotone in score, so the
+    selected set is identical — the hash compare against the global-window
+    oracle proves it on every run. Two small shuffles + one broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = _ntok()
+    score = F.col("n_chars").cast("double") / ntok
+    scored = d.select(
+        "doc_id",
+        ntok.cast("bigint").alias("n_tokens"),
+        score.alias("score"),
+        F.floor(score * 10).cast("int").alias("band"),
+    )
+    bands = scored.groupBy("band").agg(F.sum("n_tokens").alias("band_toks"))
+    wb = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bands = bands.select(
+        "band",
+        F.sum("band_toks").over(wb).alias("cum"),
+        (F.sum("band_toks").over(wb) - F.col("band_toks")).alias("offset"),
+    )
+    whole = bands.where(F.col("cum") <= TOKEN_BUDGET).select("band")
+    boundary = bands.where(
+        (F.col("offset") < TOKEN_BUDGET) & (F.col("cum") > TOKEN_BUDGET)
+    ).select("band", "offset")
+    taken_whole = scored.join(F.broadcast(whole), "band", "semi")
+    wr = Window.partitionBy("band").orderBy(F.desc("score"), "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    taken_boundary = (
+        scored.join(F.broadcast(boundary), "band")
+        .withColumn("run", F.sum("n_tokens").over(wr))
+        .where(F.col("offset") + F.col("run") <= TOKEN_BUDGET)
+    )
+    return taken_whole.select("doc_id", "n_tokens").unionByName(
+        taken_boundary.select("doc_id", "n_tokens")
+    )
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    SELECT term, c, cum
+    FROM (
+        SELECT u.term,
+               COUNT(*) AS c,
+               CAST(SUM(COUNT(*)) OVER (
+                   ORDER BY COUNT(*) DESC, u.term
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum,
+               SUM(COUNT(*)) OVER () AS total
+        FROM (SELECT str_split(lower(text), ' ') AS t FROM documents) toks,
+             UNNEST(toks.t) AS u(term)
+        GROUP BY u.term
+    )
+    WHERE (cum - c) * {COVERAGE_DEN} < total * {COVERAGE_NUM}
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary truncated at 95% corpus coverage — how a
+    tokenizer's vocab size is actually chosen. Keep a term while the
+    coverage accumulated BEFORE it is still under 95%, so the vocabulary
+    is the shortest prefix reaching the target. The windows run over the
+    AGGREGATED dictionary (|vocab| rows), never the token stream, so the
+    partition-less window is aggregate-bounded (plan-audit-clean). The
+    cutoff compares ``(cum - c) * 20 < total * 19`` in pure integer
+    arithmetic — no float rounding can flip a term's membership."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    wc = Window.orderBy(F.desc("c"), "term").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        uni.select(
+            "term",
+            "c",
+            F.sum("c").over(wc).alias("cum"),
+            F.sum("c").over(wt).alias("total"),
+        )
+        .where(
+            (F.col("cum") - F.col("c")) * COVERAGE_DEN
+            < F.col("total") * COVERAGE_NUM
+        )
+        .select("term", "c", "cum")
+    )
+
+
+@query(
+    "q_domain_temperature",
+    oracle="""
+    WITH per AS (
+        SELECT source, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_toks
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_toks) AS DOUBLE) AS n,
+               SUM(sqrt(CAST(n_toks AS DOUBLE))) AS z
+        FROM per
+    )
+    SELECT source, n_toks,
+           ROUND(sqrt(CAST(n_toks AS DOUBLE)) / z, 5) AS weight,
+           ROUND(sqrt(CAST(n_toks AS DOUBLE)) / z * n / n_toks, 4)
+               AS repeat_factor
+    FROM per, tot
+    """,
+)
+def q_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (tau=2): sampling weight per source
+    proportional to p^(1/tau) = sqrt(n_toks) — the standard fix for
+    head-domain domination when mixing web/books/code corpora, with
+    ``repeat_factor`` = weight * N / n_toks, the expected epochs over each
+    domain under the reweighted sampler. tau=2 is deliberate: sqrt is
+    exactly rounded under IEEE-754, so both engines compute identical
+    per-domain values and only the (tiny, |domains|-sized) normalizer sum
+    is float-order-sensitive — hidden well below the 5-decimal rounding.
+    One aggregate over the corpus + a broadcast 1-row normalizer."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(_ntok()).cast("bigint").alias("n_toks")
+    )
+    tot = per.agg(
+        F.sum("n_toks").cast("double").alias("n"),
+        F.sum(F.sqrt(F.col("n_toks").cast("double"))).alias("z"),
+    )
+    s = F.sqrt(F.col("n_toks").cast("double"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_toks",
+        F.round(s / F.col("z"), 5).alias("weight"),
+        F.round(s / F.col("z") * F.col("n") / F.col("n_toks"), 4).alias(
+            "repeat_factor"
+        ),
+    )

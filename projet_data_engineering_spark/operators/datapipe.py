@@ -983,6 +983,138 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CONT_TAU_NUM, CONT_TAU_DEN = 9, 10
+
+
+def containment_join(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    tau_num: int = CONT_TAU_NUM,
+    tau_den: int = CONT_TAU_DEN,
+) -> DataFrame:
+    """Exact-threshold CONTAINMENT self-join: every ordered pair (i, j)
+    with |S_i ∩ S_j| / |S_i| >= tau over n-gram shingle sets — doc i is a
+    near-SUBSET of doc j. This is the asymmetric dup the Jaccard family
+    structurally misses: a quote, excerpt, or page-plus-boilerplate has
+    high containment but LOW Jaccard when sizes differ (|A∩B|/|A∪B| is
+    dragged down by the big side), and MinHash-LSH bands on Jaccard, so
+    size-mismatched inclusion pairs never become candidates there.
+
+    Pruning is lossless and all-integer (tau kept rational, like
+    ``ngram_jaccard_join``): only the CONTAINED side gets a prefix — a
+    qualifying pair must share a shingle within i's first
+    |S_i| - ceil(tau*|S_i|) + 1 rarest-first shingles — probed against the
+    FULL shingle index of the other side (containment admits no prefix on
+    the containing side: j may be arbitrarily large), plus the length
+    filter |S_j| >= ceil(tau*|S_i|). Candidates are verified exactly.
+    Rarest-first ordering keeps probe buckets small: hot boilerplate
+    shingles never appear in a prefix.
+
+    At 100 TB: two keyed shuffles for shingle stats + one keyed
+    prefix-vs-index join + one keyed verify join — no all-pairs stage.
+    The oracle is the unpruned all-pairs ground truth, so every gate run
+    is an empirical losslessness proof for the prefix+length pruning."""
+    p, q = tau_num, tau_den
+    grams = ", ' ', ".join(
+        ["t[i]"] + [f"t[i + {k}]" for k in range(1, ngram)]
+    )
+    d = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.lower(text_col), " ").alias("t"),
+        )
+        .where(F.size("t") >= ngram)
+    )
+    sh = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {ngram}),"
+                    f" i -> concat({grams}))"
+                )
+            ).alias("term"),
+        )
+        .distinct()
+        .persist()
+    )
+
+    gf = sh.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "term")
+    ranked = (
+        sh.join(gf, "term")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.expr(f"n - ({p} * n + {q - 1}) div {q} + 1")
+    ).select("doc_id", "term", "n")
+
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    full = sh.join(sz, "doc_id").select(
+        F.col("doc_id").alias("j"), "term", F.col("n").alias("nb")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(full.alias("b"), "term")
+        .where(F.col("a.doc_id") != F.col("b.j"))
+        # length: the containing side must hold at least ceil(tau*|A|)
+        .where(F.expr(f"b.nb >= ({p} * a.n + {q - 1}) div {q}"))
+        .select(F.col("a.doc_id").alias("i"), F.col("b.j").alias("j"))
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("i"), "term")
+    sb = sh.select(F.col("doc_id").alias("j"), "term")
+    inter = (
+        cand.join(sa, "i").join(sb, ["j", "term"]).groupBy("i", "j").agg(
+            F.count("*").alias("c")
+        )
+    )
+    return (
+        inter.join(
+            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")), "i"
+        )
+        .where(F.col("c") * q >= F.col("na") * p)
+        .select("i", "j", F.round(F.col("c") / F.col("na"), 6).alias("containment"))
+    )
+
+
+@query(
+    "q_containment_pairs",
+    oracle="""
+    WITH sd AS (
+        SELECT DISTINCT d.doc_id,
+               d.t[i] || ' ' || d.t[i + 1] || ' ' || d.t[i + 2] AS term
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS t
+              FROM documents) d,
+             UNNEST(range(1, len(d.t) - 1)) AS r(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sd GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sd a JOIN sd b ON a.term = b.term AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i, j, ROUND(c / (sa.n * 1.0), 6) AS containment
+    FROM inter
+    JOIN sz sa ON sa.doc_id = inter.i
+    WHERE c * 10 >= sa.n * 9
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``containment_join`` over the documents table: trigram shingles,
+    tau = 9/10 — every doc that is a >=90% shingle-subset of another,
+    directed. The DuckDB oracle is the UNPRUNED all-pairs ground truth, so
+    every gate run empirically proves the prefix+length pruning lossless
+    on this corpus."""
+    return containment_join(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", 3
+    )
+
+
 PACK_BUDGET = 2048   # context-window token budget
 PACK_SHARD = 2000    # docs per packing shard (bounds window-partition size)
 

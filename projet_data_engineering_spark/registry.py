@@ -244,6 +244,7 @@ def _load_all() -> None:
         graph,
         datapipe,
         ml,
+        corpusmix,
     )
 
     _LOADED = True

@@ -827,3 +827,125 @@ def test_boilerplate_flags_within_source_templates(spark):
     assert all(s == "a" for s, _ in boiler)  # src-b copy is NOT boilerplate
     assert ("a", tmpl) in boiler
     assert ta.q_boilerplate is not None  # registered
+
+
+# ---------------------------------------------------------------------------
+# containment_join (r7)
+# ---------------------------------------------------------------------------
+
+
+def _exact_trigram_containment_pairs(docs, tau=0.9):
+    """Brute-force directed ground truth: (i, j) with |Si ∩ Sj|/|Si| >= tau."""
+    sets = {}
+    for i, text in docs:
+        toks = text.lower().split(" ")
+        sh = {
+            " ".join(toks[k : k + 3]) for k in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+        if sh:
+            sets[i] = sh
+    out = {}
+    for i in sets:
+        for j in sets:
+            if i == j:
+                continue
+            c = len(sets[i] & sets[j])
+            if c >= tau * len(sets[i]):
+                out[(i, j)] = c / len(sets[i])
+    return out
+
+
+def test_containment_pairs_lossless_vs_bruteforce(spark):
+    from projet_data_engineering_spark.io import load_table
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    expected = _exact_trigram_containment_pairs(docs)
+    got = {
+        (r["i"], r["j"]): r["containment"]
+        for r in Q["q_containment_pairs"](spark, SF_DIR).collect()
+    }
+    # prefix/length pruning must lose NO directed pair vs brute force
+    assert set(got) == set(expected)
+    for pair, cont in expected.items():
+        assert got[pair] == pytest.approx(cont, abs=1e-6)
+
+
+def test_containment_finds_inclusion_pairs_jaccard_structurally_misses(spark):
+    """The motivating case: a short quote fully contained in a long doc has
+    containment 1.0 but Jaccard far below any dedup threshold — the
+    Jaccard family (and MinHash-LSH banding on it) cannot surface it."""
+    from projet_data_engineering_spark.operators.datapipe import (
+        containment_join,
+        ngram_jaccard_join,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{k}" for k in range(80))
+    df = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}")], ["doc_id", "text"]
+    )
+    cont = {
+        (r["i"], r["j"]): r["containment"]
+        for r in containment_join(df, "doc_id", "text", 3, 9, 10).collect()
+    }
+    assert cont[(1, 2)] == pytest.approx(1.0)
+    assert (2, 1) not in cont  # directed: the big doc is NOT inside the quote
+    jac = {
+        (r["i"], r["j"])
+        for r in ngram_jaccard_join(df, "doc_id", "text", 3, 4, 5).collect()
+    }
+    assert jac == set()  # jaccard ≈ 7/89 — invisible to the symmetric family
+
+
+def test_containment_join_property(spark):
+    """Randomized losslessness on dense tiny-vocab corpora (adversarial for
+    prefix pruning): containment_join(bigrams, tau=1/2) must return EXACTLY
+    the brute-force directed pair set with exact values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from projet_data_engineering_spark.operators.datapipe import (
+        containment_join,
+    )
+
+    vocab = ["a", "b", "c", "d"]
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(vocab), min_size=2, max_size=8),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def check(docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = {
+            (r["i"], r["j"]): r["containment"]
+            for r in containment_join(
+                df, "doc_id", "text", ngram=2, tau_num=1, tau_den=2
+            ).collect()
+        }
+        sets = {}
+        for i, toks in enumerate(docs):
+            sh = {f"{toks[k]} {toks[k+1]}" for k in range(len(toks) - 1)}
+            if sh:
+                sets[i] = sh
+        expected = {}
+        for i in sets:
+            for j in sets:
+                if i != j:
+                    c = len(sets[i] & sets[j])
+                    if 2 * c >= len(sets[i]):
+                        expected[(i, j)] = c / len(sets[i])
+        assert set(got) == set(expected)
+        for pair, v in expected.items():
+            assert got[pair] == pytest.approx(v, abs=1e-6)
+
+    check()

@@ -426,6 +426,15 @@ def test_ngram_jaccard_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_containment_join_no_cartesian(spark):
+    """Containment candidate generation probes the contained side's prefix
+    against the full shingle index — still a keyed join on term; an
+    all-pairs node anywhere means the prefix filter regressed."""
+    plan = formatted_plan(Q["q_containment_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_no_query_plans_cartesian_or_rowwise_python(spark):
     """Repo-wide lint (tools/plan_audit.py twin): no registered query may
     plan a partitioned CartesianProduct or a row-at-a-time Python UDF
