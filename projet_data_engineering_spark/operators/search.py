@@ -213,12 +213,17 @@ def bm25_scores_fuzzy(
     scores.
 
     All fuzzy variants of a query term count as THAT term: tf sums variant
-    occurrences, df counts docs containing any variant. The expansion is a
-    broadcast theta-join of the (tiny) query-term table against the exploded
-    token stream, pre-filtered by the length band |len(tok) - len(term)| <=
-    fuzz (an edit of distance d changes length by at most d) so the
-    levenshtein only runs on candidate tokens. No UDFs — ``levenshtein`` is
-    a JVM builtin."""
+    occurrences, df counts docs containing any variant. The expansion runs
+    on the DISTINCT VOCABULARY, not the token stream: the corpus dictionary
+    (|V| terms — map-side-combined distinct, orders of magnitude smaller
+    than token instances on a natural-language corpus) theta-joins the
+    (tiny, broadcast) query-term table with a length-band prefilter
+    |len(tok) - len(term)| <= fuzz (an edit of distance d changes length
+    by at most d) before JVM ``levenshtein``; the resulting term->qterm
+    map (a handful of rows) then broadcast-HASH-joins back onto the
+    exploded stream. Levenshtein therefore runs |V|x|q| times instead of
+    |instances|x|q| — the per-instance work in the corpus scan is one hash
+    probe. No UDFs anywhere."""
     spark = docs.sparkSession
     toks = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
@@ -230,13 +235,19 @@ def bm25_scores_fuzzy(
         [(t.lower(), auto_fuzziness(t)) for t in query_terms], ["qterm", "fuzz"]
     )
     exploded = toks.select(id_col, "dl", F.explode("tokens").alias("term"))
-    matched = exploded.join(
-        F.broadcast(qt),
-        (
-            F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz")
+    vmatch = (
+        exploded.select("term")
+        .distinct()
+        .join(
+            F.broadcast(qt),
+            (
+                F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz")
+            )
+            & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("fuzz")),
         )
-        & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("fuzz")),
+        .select("term", "qterm")
     )
+    matched = exploded.join(F.broadcast(vmatch), "term")
     tf = matched.groupBy(id_col, "dl", "qterm").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("qterm").agg(F.countDistinct(id_col).alias("df"))
 

@@ -158,6 +158,9 @@ _R6_GREEN = {
 _R7_CHANGED = {
     "q_dedup_apply", "q_curate", "q_dedup_incremental_served",
     "q_stream_dedup_ingest",
+    # late-r7: fuzzy expansion moved from per-token-instance levenshtein to
+    # a distinct-vocabulary match broadcast back onto the stream
+    "q_bm25_fuzzy",
 }
 
 _TIERS = (

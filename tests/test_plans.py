@@ -252,13 +252,16 @@ def test_bm25_multifield_broadcasts_stats(spark):
 
 
 def test_bm25_fuzzy_expansion_is_broadcast_not_shuffle(spark):
-    # the query-term theta-join must broadcast the 3-row term table; the
-    # corpus-side explode stays in its scan stage. Of the 5 shuffles only
-    # the tf groupBy carries matched-token volume — df/stats/final-score
-    # aggregates move |terms| or |matched docs| rows.
+    # since r7 the levenshtein expansion runs on the DISTINCT vocabulary
+    # (map-side-combined distinct — the only added shuffle carries |V|
+    # terms, not token instances) and the resulting term->qterm map
+    # broadcast-hash-joins back onto the exploded stream: per-instance
+    # work is one hash probe, never an edit distance. Of the 7 shuffles
+    # only the tf groupBy carries matched-token volume — vocab/df/stats/
+    # final-score aggregates move |V|, |terms| or |matched docs| rows.
     df = Q["q_bm25_fuzzy"](spark, SF_DIR)
     assert uses_broadcast_join(df)
-    assert shuffle_count(df) <= 5
+    assert shuffle_count(df) <= 7
 
 
 # --- round 2: curation + multimodal plumbing -------------------------------
