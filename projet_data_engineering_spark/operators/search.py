@@ -627,33 +627,58 @@ def build_search_index(
     """T7 — write the full BM25 serving layout to ``path``: the ES
     re-index analogue (reference ``scraper/main.py:271-277``) made concrete.
 
-    Two artifacts:
+    Three artifacts:
 
-    - ``{path}/postings`` — (term, doc_id, dl, tf), PARTITIONED by
+    - ``{path}/postings`` — (term, doc_id, dl, tf, _pk), PARTITIONED by
       ``term_bucket = crc32(term) % n_buckets`` so a query's scan prunes to
       its terms' buckets (same discipline as the ANN bucket layout in
       ``similarity.py``). Doc length is denormalized into the posting row —
       exactly how Lucene stores norms in the index — so serving needs no
-      join back to a doc table.
+      join back to a doc table. ``_pk`` is the ``term|doc`` merge key the
+      streaming refresher (``run_stream_index_refresh``) upserts on, so an
+      index bootstrapped from this batch build streams on top seamlessly
+      (same lesson as the dedup bands' ``_pk``, ADVICE r6).
+    - ``{path}/vocab`` — the term DICTIONARY (term, _pk, partitioned by
+      term_bucket): |V| rows, the Lucene-terms-file analogue. Exact serving
+      never reads it; FUZZY serving (``bm25_serve_fuzzy``) levenshtein-
+      matches query terms against it instead of scanning any postings, then
+      prunes the postings scan to the matched variants' buckets.
     - ``{path}/stats`` — the 1-row corpus stats (n_docs, avg_dl) BM25 needs,
       plus the layout manifest (``n_buckets``): serving derives its bucket
       pruning from the stored value, so a build/serve bucket-count mismatch
       (which would silently prune away valid postings) cannot happen.
+      Written LAST — stats is the first thing every serve path reads, so
+      its presence is the build's commit marker: a crash between artifact
+      writes can never be observed as a half-built but servable index.
 
-    One tokenize pass feeds both (the postings groupBy and the stats
-    aggregate); at 100 TB this build is the once-per-reindex cost that every
-    subsequent query amortizes."""
+    At 100 TB this build is the once-per-reindex cost that every subsequent
+    query amortizes (vocab derives from the just-written postings via a
+    column-pruned read-back — no extra corpus pass)."""
     toks = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
     ).withColumn("dl", F.size("tokens"))
+    spark = docs.sparkSession
     postings = (
         toks.select(id_col, "dl", F.explode("tokens").alias("term"))
         .groupBy("term", id_col, "dl")
         .agg(F.count("*").alias("tf"))
         .withColumn("term_bucket", F.crc32(F.col("term")) % n_buckets)
+        .withColumn(
+            "_pk",
+            F.concat_ws("|", F.col("term"), F.col(id_col).cast("string")),
+        )
     )
     postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
         f"{path}/postings"
+    )
+    (
+        spark.read.parquet(f"{path}/postings")
+        .select("term", "term_bucket")
+        .distinct()
+        .withColumn("_pk", F.col("term"))
+        .write.partitionBy("term_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/vocab")
     )
     toks.agg(
         F.count("*").alias("n_docs"),
@@ -727,6 +752,86 @@ def bm25_serve(
     )
 
 
+def bm25_serve_fuzzy(
+    spark: SparkSession,
+    index_path: str,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """T1+T2 over T7 — AUTO-fuzziness BM25 FROM the materialized index:
+    the typo-tolerant query path that never touches the document corpus.
+
+    Lucene's shape exactly: expand the query against the term DICTIONARY
+    (the ``{index}/vocab`` artifact — |V| rows, not the postings), then
+    read postings only for the matched variants. The levenshtein
+    theta-join runs vocab x |query terms| with the length-band prefilter;
+    the resulting term->qterm map is a broadcast, and the postings scan is
+    pruned to the matched variants' buckets via a literal IN-list
+    PartitionFilter (bucket ids collected driver-side — bounded by
+    ``n_buckets``, never corpus-sized). All fuzzy variants of a query term
+    score as THAT term (tf sums variants, df counts docs with any
+    variant), identical semantics to the scan-path
+    ``bm25_scores_fuzzy`` — asserted hash-identical by
+    ``q_bm25_fuzzy_served``'s shared oracle.
+
+    Vocab freshness contract: ``build_search_index`` writes stats (the
+    serve entry point) last, and ``run_stream_index_refresh`` merges vocab
+    BEFORE postings, so at every observable point vocab ⊇ postings terms —
+    a fuzzy query can never miss a served posting; vocab terms whose
+    postings haven't landed yet simply match nothing."""
+    stats = spark.read.parquet(f"{index_path}/stats")
+    n_buckets = int(stats.select("n_buckets").first()[0])
+    qt = []
+    for t in (t.lower() for t in query_terms):
+        if t not in {q for q, _ in qt}:
+            qt.append((t, auto_fuzziness(t)))
+    qterms = spark.createDataFrame(qt, ["qterm", "fuzz"])
+    vmatch = (
+        spark.read.parquet(f"{index_path}/vocab")
+        .select("term", "term_bucket")
+        .join(
+            F.broadcast(qterms),
+            (
+                F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz")
+            )
+            & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("fuzz")),
+        )
+        .select("term", "qterm", "term_bucket")
+    )
+    # literal bucket list -> PartitionFilter on the postings scan; bounded
+    # by n_buckets regardless of how many variants matched
+    buckets = sorted(
+        int(r["term_bucket"])
+        for r in vmatch.select("term_bucket").distinct().collect()
+    )
+    hits = (
+        spark.read.parquet(f"{index_path}/postings")
+        .filter(F.col("term_bucket").isin(buckets))
+        .join(F.broadcast(vmatch.select("term", "qterm")), "term")
+    )
+    tf = hits.groupBy(id_col, "dl", "qterm").agg(F.sum("tf").alias("tf"))
+    dfc = tf.groupBy("qterm").agg(F.countDistinct(id_col).alias("df"))
+    stats = stats.drop("n_buckets")
+    return (
+        tf.join(F.broadcast(dfc), "qterm")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("term_score"), 4).alias("score"))
+    )
+
+
 @query(
     "q_bm25_served",
     oracle="""
@@ -778,5 +883,60 @@ def q_bm25_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         # plan must not depend on the tempdir once this function exits.
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+@query(
+    "q_bm25_fuzzy_served",
+    oracle="""
+    WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS dl,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tokens
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dl),
+    q(qterm, fuzz) AS (
+        SELECT * FROM (VALUES ('strem', 1), ('join', 1), ('vectr', 1))
+    ),
+    m AS (
+        SELECT d.doc_id, d.dl, q.qterm, COUNT(*) AS tf
+        FROM dl d, UNNEST(d.tokens) AS u(term), q
+        WHERE abs(len(u.term) - len(q.qterm)) <= q.fuzz
+          AND levenshtein(u.term, q.qterm) <= q.fuzz
+        GROUP BY d.doc_id, d.dl, q.qterm
+    ),
+    dfc AS (SELECT qterm, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY qterm)
+    SELECT m.doc_id,
+           ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                     * (m.tf * 2.2)
+                     / (m.tf + 1.2 * (1 - 0.75 + 0.75 * m.dl / s.avg_dl))),
+                 4) AS score
+    FROM m JOIN dfc f ON m.qterm = f.qterm CROSS JOIN stats s
+    GROUP BY m.doc_id
+    """,
+)
+def q_bm25_fuzzy_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 over T7 end-to-end — build the three-artifact index, then
+    serve the SAME typo'd query ``q_bm25_fuzzy`` scores by scanning
+    ('strem join vectr'), this time expanded against the stored term
+    dictionary and scored from partition-pruned postings. The oracle is
+    q_bm25_fuzzy's oracle verbatim: the hash check proves the dictionary-
+    expansion serving path reproduces the corpus-scan fuzzy scores
+    exactly. Timed cost is build+serve (the honest once-per-reindex
+    number); serve-only pruning is plan-asserted in ``test_search.py``."""
+    import shutil
+    import tempfile
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    path = tempfile.mkdtemp(prefix="bm25_fuzzy_index_")
+    try:
+        build_search_index(d, "doc_id", "text", path)
+        served = bm25_serve_fuzzy(spark, path, ["strem", "join", "vectr"])
+        rows = served.collect()
+        return spark.createDataFrame(rows, schema=served.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)

@@ -478,6 +478,10 @@ def run_stream_index_refresh(
 
     1. tokenizes ONLY the batch (corpus never rescanned) into posting rows
        ``(term, doc_id, dl, tf, term_bucket)``;
+    1b. MERGEs the batch's distinct terms into ``{index_path}/vocab``
+       (keyed on the term, BEFORE the postings merge — so the stored
+       dictionary is a superset of stored postings' terms at every crash
+       point, the invariant ``bm25_serve_fuzzy`` relies on);
     2. MERGEs them into ``{index_path}/postings`` keyed on the (term, doc)
        posting key through the partition-pruned path — a batch touching k
        term buckets rewrites k bucket directories, the rest of the index is
@@ -512,6 +516,7 @@ def run_stream_index_refresh(
     from projet_data_engineering_spark.operators.search import tokenize
 
     postings_path = f"{index_path}/postings"
+    vocab_path = f"{index_path}/vocab"
     docstats_path = f"{index_path}/docstats"
     stats_path = f"{index_path}/stats"
 
@@ -534,6 +539,24 @@ def run_stream_index_refresh(
                 F.concat_ws("|", F.col("term"), F.col(id_col).cast("string")),
             )
         )
+        # Vocab BEFORE postings: at every crash point the stored dictionary
+        # is a superset of the stored postings' terms, so bm25_serve_fuzzy
+        # can never miss a served posting (a dictionary term whose postings
+        # haven't landed yet matches nothing — harmless). Keyed on the term
+        # itself, so replay is idempotent like every other merge here.
+        vocab = (
+            postings.select("term", "term_bucket")
+            .distinct()
+            .withColumn("_pk", F.col("term"))
+        )
+        if path_exists(spark, vocab_path):
+            merge_upsert_partitioned(
+                spark, vocab_path, vocab, "_pk", "term_bucket"
+            )
+        else:
+            vocab.write.partitionBy("term_bucket").mode("overwrite").parquet(
+                vocab_path
+            )
         if path_exists(spark, postings_path):
             merge_upsert_partitioned(
                 spark, postings_path, postings, "_pk", "term_bucket"

@@ -130,3 +130,68 @@ def test_bm25_served_matches_scan_path_and_prunes(spark, tmp_path):
     assert len(on_disk) > 2
     # serve-only plan touches no document column — the corpus is not in it
     assert "text#" not in plan
+
+
+def test_bm25_fuzzy_served_matches_scan_path_and_prunes(spark, tmp_path):
+    """The dictionary-expansion fuzzy serving path (bm25_serve_fuzzy) must
+    reproduce bm25_scores_fuzzy's scores exactly, expand typo'd terms via
+    the vocab artifact only, and prune the postings scan to the matched
+    variants' buckets."""
+    from projet_data_engineering_spark.operators.search import (
+        bm25_scores_fuzzy,
+        bm25_serve_fuzzy,
+        build_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                [
+                    "spark joins streams with spark sql",
+                    "vanilla cake recipe",
+                    "stream processing with spark",
+                    "join orders to lineitem",
+                    "fruit salad no sugar",
+                    "spark spark spark",
+                ]
+            )
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, "doc_id", "text", idx, n_buckets=16)
+
+    terms = ["strem", "joins"]  # both typo'd/inflected; AUTO fuzziness 1
+    served = bm25_serve_fuzzy(spark, idx, terms)
+    scan = bm25_scores_fuzzy(docs, "doc_id", "text", terms)
+    got = {r["doc_id"]: r["score"] for r in served.collect()}
+    want = {r["doc_id"]: r["score"] for r in scan.collect()}
+    assert got == want and got  # same docs, identical 4dp scores
+
+    # the postings scan carries a term_bucket PartitionFilter...
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "term_bucket" in plan.split("PartitionFilters", 1)[1][:400], plan
+    # ...and the corpus text column appears nowhere in the serve plan
+    assert "text#" not in plan
+
+    # vocab artifact exists, is term-unique, and covers every posting term
+    vocab = {r["term"] for r in spark.read.parquet(f"{idx}/vocab").collect()}
+    posting_terms = {
+        r["term"] for r in spark.read.parquet(f"{idx}/postings").collect()
+    }
+    assert posting_terms <= vocab
+
+
+def test_bm25_fuzzy_served_no_match_is_empty(spark, tmp_path):
+    from projet_data_engineering_spark.operators.search import (
+        bm25_serve_fuzzy,
+        build_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="delta")]
+    )
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, "doc_id", "text", idx, n_buckets=8)
+    assert bm25_serve_fuzzy(spark, idx, ["zzzzzzzzzz"]).count() == 0

