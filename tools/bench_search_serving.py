@@ -13,6 +13,11 @@ deserves its own number. This bench, at a real scale factor:
 4. asserts the two paths return identical (doc, score) top-50 sets before
    trusting either timing.
 
+Since late r7 the same protocol also covers the FUZZY path: typo'd queries
+answered by ``bm25_serve_fuzzy`` (dictionary expansion over the vocab
+artifact + pruned postings) vs the ``bm25_scores_fuzzy`` corpus scan —
+parity-asserted, then timed.
+
 Usage: python tools/bench_search_serving.py [sf_dir] [reps] [out_json]
 """
 
@@ -34,6 +39,11 @@ QUERIES = [
     ["spark", "join", "stream"],
     ["vector"],
     ["join", "vector", "table", "query"],
+]
+
+FUZZY_QUERIES = [
+    ["strem", "join", "vectr"],
+    ["sprak"],
 ]
 
 
@@ -100,10 +110,67 @@ def main() -> int:
                     ),
                 }
             )
+        from projet_data_engineering_spark.operators.search import (
+            bm25_scores_fuzzy,
+            bm25_serve_fuzzy,
+        )
+
+        def serve_fz(terms):
+            return (
+                bm25_serve_fuzzy(spark, path, terms)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(50)
+                .collect()
+            )
+
+        def scan_fz(terms):
+            return (
+                bm25_scores_fuzzy(d, "doc_id", "text", terms)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(50)
+                .collect()
+            )
+
+        for terms in FUZZY_QUERIES:
+            a = {(r["doc_id"], r["score"]) for r in serve_fz(terms)}
+            b = {(r["doc_id"], r["score"]) for r in scan_fz(terms)}
+            assert a == b, (terms, a ^ b)
+
+        fuzzy_rows = []
+        for terms in FUZZY_QUERIES:
+            ts_serve = []
+            for _ in range(reps):
+                t0 = time.time()
+                serve_fz(terms)
+                ts_serve.append(time.time() - t0)
+            ts_scan = []
+            for _ in range(reps):
+                t0 = time.time()
+                scan_fz(terms)
+                ts_scan.append(time.time() - t0)
+            fuzzy_rows.append(
+                {
+                    "terms": " ".join(terms),
+                    "serve_median_s": round(statistics.median(ts_serve), 3),
+                    "serve_min_s": round(min(ts_serve), 3),
+                    "scan_median_s": round(statistics.median(ts_scan), 3),
+                    "scan_min_s": round(min(ts_scan), 3),
+                    "speedup_median": round(
+                        statistics.median(ts_scan) / statistics.median(ts_serve), 2
+                    ),
+                }
+            )
+
         print(f"sf_dir={sf_dir} n_docs={n_docs} build_index={t_build:.2f}s")
         for r in rows:
             print(
                 f"  q='{r['terms']}': serve {r['serve_median_s']}s "
+                f"(min {r['serve_min_s']}) vs scan {r['scan_median_s']}s "
+                f"(min {r['scan_min_s']}) -> {r['speedup_median']}x"
+            )
+        for r in fuzzy_rows:
+            print(
+                f"  fuzzy q='{r['terms']}': serve {r['serve_median_s']}s "
                 f"(min {r['serve_min_s']}) vs scan {r['scan_median_s']}s "
                 f"(min {r['scan_min_s']}) -> {r['speedup_median']}x"
             )
@@ -116,6 +183,7 @@ def main() -> int:
                         "build_s": round(t_build, 2),
                         "reps": reps,
                         "queries": rows,
+                        "fuzzy_queries": fuzzy_rows,
                     },
                     f,
                     indent=1,
