@@ -949,3 +949,87 @@ def test_containment_join_property(spark):
             assert got[pair] == pytest.approx(v, abs=1e-6)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# constraint_audit (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_constraint_audit_every_check_fires_on_dirty_rows(spark):
+    """A zero-violation report is only trustworthy if every rule can FIRE:
+    one dirty row per rule, and the audit must count each exactly once."""
+    import datetime
+
+    from projet_data_engineering_spark.operators.datapipe import (
+        constraint_audit,
+    )
+
+    d = datetime.date(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.0, d, "1-URGENT"),      # clean
+            (2, 10, "O", 100.0, None, "2-HIGH"),     # null date
+            (3, 10, "O", -5.0, d, "3-MEDIUM"),       # non-positive price
+            (4, 10, "O", 100.0, d, "9-BOGUS"),       # domain violation
+            (4, 10, "O", 100.0, d, "5-LOW"),         # duplicate key
+            (5, 99, "O", 100.0, d, "5-LOW"),         # FK orphan (no cust 99)
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    )
+    lineitem = spark.createDataFrame(
+        [
+            (1, 1, 5.0, 0.05),    # clean
+            (1, 2, 500.0, 0.05),  # quantity out of range
+            (1, 3, 5.0, 1.5),     # discount out of range
+            (1, 3, 5.0, 0.05),    # duplicate (orderkey, linenumber)
+            (77, 1, 5.0, 0.05),   # FK orphan (no order 77)
+        ],
+        "l_orderkey long, l_linenumber long, l_quantity double, "
+        "l_discount double",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+
+    got = {
+        r["check_name"]: (r["violations"], r["passed"])
+        for r in constraint_audit(orders, lineitem, customer).collect()
+    }
+    assert got == {
+        "orders.o_orderdate_not_null": (1, False),
+        "orders.o_totalprice_positive": (1, False),
+        "orders.o_orderkey_unique": (1, False),
+        "orders.o_orderpriority_in_domain": (1, False),
+        "orders.o_custkey_fk_customer": (1, False),
+        "lineitem.l_quantity_in_(0,100]": (1, False),
+        "lineitem.l_discount_in_[0,1]": (1, False),
+        "lineitem.(l_orderkey,l_linenumber)_unique": (1, False),
+        "lineitem.l_orderkey_fk_orders": (1, False),
+    }
+
+
+def test_constraint_audit_on_generated_data(spark):
+    """On the driver's synthetic tables the audit passes 8 of 9 checks and
+    CATCHES a real generator property: (l_orderkey, l_linenumber) is not
+    unique in the synthetic lineitem (the generator samples line numbers
+    independently, unlike real TPC-H) — exactly the kind of silent
+    assumption break the audit exists to surface before a pipeline
+    joins/aggregates on that key."""
+    from projet_data_engineering_spark.io import load_table
+    from projet_data_engineering_spark.operators.datapipe import (
+        constraint_audit,
+    )
+
+    out = {
+        r["check_name"]: r
+        for r in constraint_audit(
+            load_table(spark, SF_DIR, "orders"),
+            load_table(spark, SF_DIR, "lineitem"),
+            load_table(spark, SF_DIR, "customer"),
+        ).collect()
+    }
+    assert len(out) == 9
+    assert all(r["rows_checked"] > 0 for r in out.values())
+    dup = out.pop("lineitem.(l_orderkey,l_linenumber)_unique")
+    assert not dup["passed"] and dup["violations"] > 0
+    assert all(r["passed"] and r["violations"] == 0 for r in out.values())
