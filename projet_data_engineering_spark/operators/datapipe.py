@@ -1452,3 +1452,83 @@ def q_temporal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         F.countDistinct(facts["custkey"]).alias("n_customers"),
     )
+
+
+CHUNK_W, CHUNK_S = 64, 48  # window 64 tokens, stride 48 (25% overlap)
+
+
+def chunk_windows(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = CHUNK_W,
+    stride: int = CHUNK_S,
+) -> DataFrame:
+    """Stride-overlapped context-window chunking: split each document's
+    token stream into windows of ``window`` tokens starting every
+    ``stride`` tokens — the doc-preparation step for embedding models /
+    RAG indexing / long-context eval, and the overlapped complement of
+    ``pack_sequences`` (which concatenates docs; this splits them).
+
+    Window starts are 1, 1+S, 1+2S, … while the previous window's end is
+    still inside the doc (``start <= n - W + S``), so every token lands in
+    at least one chunk, consecutive chunks overlap by ``W - S`` tokens,
+    and only the final chunk may be short. Docs shorter than one window
+    yield exactly one chunk.
+
+    Pure per-document map work: the start offsets are generated in-plan
+    (``sequence`` + ``posexplode``), the chunk is an array ``slice`` — no
+    shuffle, no window function, no UDF, so throughput is scan-bound at
+    any corpus size and the operator composes with chunk-level dedup or
+    embedding stages without a repartition."""
+    t = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.lit(1), F.size("t") - F.lit(window - stride)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("t"), F.col("start"), window)
+    return (
+        docs.select(F.col(id_col), t.alias("t"))
+        .select(
+            id_col, F.posexplode(starts).alias("chunk_idx", "start"), "t"
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.col("start").alias("start_token"),
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "q_chunk_windows",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    s AS (
+        SELECT doc_id, t,
+               UNNEST(generate_series(
+                   1, greatest(1, len(t) - {CHUNK_W - CHUNK_S}), {CHUNK_S}
+               )) AS start
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {CHUNK_S} AS INT) AS chunk_idx,
+           CAST(start AS INT) AS start_token,
+           CAST(len(t[start : start + {CHUNK_W - 1}]) AS INT) AS n_tokens,
+           md5(array_to_string(t[start : start + {CHUNK_W - 1}], ' '))
+               AS chunk_md5
+    FROM s
+    """,
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``chunk_windows`` over ``documents`` (W=64, S=48): every doc split
+    into overlapped context windows, identified by (doc_id, chunk_idx)
+    with the chunk content pinned by md5 — both engines must produce the
+    identical chunking down to every token boundary. Boundary/coverage
+    properties (every token covered, overlap exactly W−S, short docs one
+    chunk) are pytest-proven on hand-built docs."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return chunk_windows(d)

@@ -468,6 +468,111 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination_fuzzy_oracle() -> str:
+    from projet_data_engineering_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    cross_pairs AS (
+        SELECT CASE WHEN doc1 % 13 = 0 THEN doc2 ELSE doc1 END AS train_id,
+               CASE WHEN doc1 % 13 = 0 THEN doc1 ELSE doc2 END AS eval_id
+        FROM pairs
+        WHERE (doc1 % 13 = 0) <> (doc2 % 13 = 0)
+    ),
+    ws AS (
+        SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS ws
+        FROM documents
+    ),
+    scored AS (
+        SELECT p.train_id, p.eval_id,
+               ROUND(len(list_intersect(a.ws, b.ws))
+                     / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+                     4) AS jaccard
+        FROM cross_pairs p
+        JOIN ws a ON a.doc_id = p.train_id
+        JOIN ws b ON b.doc_id = p.eval_id
+    )
+    SELECT train_id AS doc_id, COUNT(*) AS n_eval_matches,
+           MAX(jaccard) AS max_jaccard
+    FROM scored WHERE jaccard >= 0.2
+    GROUP BY train_id
+    """
+
+
+def fuzzy_contamination(
+    docs: DataFrame, is_eval: Column, min_jaccard: float = 0.2
+) -> DataFrame:
+    """NEAR-duplicate benchmark contamination: training docs that are
+    MinHash-LSH near-dups of an eval-set doc, exact-Jaccard-verified —
+    the fuzzy tier above ``q_contamination``'s exact 5-gram probe.
+    Exact n-gram overlap misses lightly edited eval leakage (reworded
+    stems, shuffled answer options, whitespace/punctuation churn);
+    signature-level matching is how production decontamination passes
+    (GPT-3 appendix C / PaLM / Llama style) actually run.
+
+    Shape: ONE signature pass over the full corpus (the same
+    ``minhash_signatures`` the dedup family uses), bands split into the
+    eval cohort vs the rest, then a bands⋈bands equi-join probes the
+    training stream against the eval side — cross-cohort only, never the
+    O(corpus²) self-join. Candidates are verified by exact word-set
+    Jaccard (two keyed joins sized by |candidates|) and aggregated to the
+    per-training-doc decontamination verdict: how many eval docs it
+    collides with and the worst overlap.
+
+    At 100 TB: the eval side of the join is a real benchmark suite —
+    bounded — so AQE broadcasts its bands (no hint needed; a
+    corpus-proportional eval selector should — and does — fall back to a
+    shuffled join). The corpus side is one narrow map pass; nothing else
+    shuffles except |candidate|-sized verification joins."""
+    from projet_data_engineering_spark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+    )
+
+    bands = lsh_bands(
+        minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    ).persist()
+    ev_b = bands.filter(is_eval).withColumnRenamed("doc_id", "eval_id")
+    tr_b = bands.filter(~is_eval).withColumnRenamed("doc_id", "train_id")
+    cand = (
+        tr_b.join(ev_b, ["band_idx", "band_val"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    ws = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("ws")
+    )
+    a = ws.select(F.col("doc_id").alias("train_id"), F.col("ws").alias("wsa"))
+    b = ws.select(F.col("doc_id").alias("eval_id"), F.col("ws").alias("wsb"))
+    inter = F.size(F.array_intersect("wsa", "wsb"))
+    union = F.size("wsa") + F.size("wsb") - inter
+    return (
+        cand.join(a, "train_id")
+        .join(b, "eval_id")
+        .select("train_id", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .groupBy("train_id")
+        .agg(
+            F.count("*").alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .select(
+            F.col("train_id").alias("doc_id"), "n_eval_matches", "max_jaccard"
+        )
+    )
+
+
+@query("q_contamination_fuzzy", oracle=_contamination_fuzzy_oracle())
+def q_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fuzzy_contamination`` over ``documents`` with the ``doc_id % 13``
+    cohort as the stand-in eval set — flags each training doc colliding
+    with an eval doc at word-set Jaccard ≥ 0.2, with the match count and
+    worst overlap as evidence. Known-contamination-planted corpus pytest
+    in ``test_textanalysis.py``."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    return fuzzy_contamination(d, F.col("doc_id") % 13 == 0)
+
+
 @query(
     "q_pii_redact",
     oracle="""

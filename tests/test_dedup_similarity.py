@@ -462,3 +462,45 @@ def test_ann_served_matches_inplan_ivf_and_prunes(spark, tmp_path):
     on_disk = {d.rsplit("=", 1)[1] for d in lists_on_disk}
     assert probed < on_disk, (probed, on_disk)
     assert len(probed) <= 6, probed
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_contamination (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_contamination_planted(spark):
+    """Planted leakage: a train doc that is a near-copy of an eval doc must
+    be flagged, an exact copy must score 1.0, and matches must be
+    CROSS-COHORT only — train/train and eval/eval near-dup pairs never
+    appear in the report."""
+    from pyspark.sql import Row
+
+    from projet_data_engineering_spark.operators.textanalysis import (
+        fuzzy_contamination,
+    )
+
+    other = (
+        "entirely different prose treating broadcast joins adaptive "
+        "execution and columnar shuffle readers in production clusters"
+    )
+    rows = [
+        Row(doc_id=13, text=BASE),                              # eval
+        Row(doc_id=26, text=BASE.replace("lazy", "sleepy")),    # eval near-dup
+        Row(doc_id=1, text=BASE.replace("warm", "cold")),       # train near-copy
+        Row(doc_id=2, text=BASE),                               # train exact copy
+        Row(doc_id=3, text=other),                              # train, clean
+        Row(doc_id=4, text=other.replace("production", "staging")),  # train pair
+    ]
+    docs = spark.createDataFrame(rows)
+    got = {
+        r["doc_id"]: r
+        for r in fuzzy_contamination(
+            docs, F.col("doc_id") % 13 == 0
+        ).collect()
+    }
+    assert set(got) == {1, 2}          # 3/4 collide only with each other
+    assert got[2]["max_jaccard"] == 1.0
+    assert 0.2 <= got[1]["max_jaccard"] < 1.0
+    # both eval docs collide with train doc 2 (exact + near) -> count >= 2
+    assert got[2]["n_eval_matches"] == 2

@@ -1033,3 +1033,63 @@ def test_constraint_audit_on_generated_data(spark):
     dup = out.pop("lineitem.(l_orderkey,l_linenumber)_unique")
     assert not dup["passed"] and dup["violations"] > 0
     assert all(r["passed"] and r["violations"] == 0 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# chunk_windows (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_windows_boundaries_and_coverage(spark):
+    """Hand-built docs around the W/S boundaries: exact-W doc -> one chunk;
+    W+1 -> two chunks with the tail chunk short; every token covered;
+    consecutive chunks overlap exactly W-S tokens; short doc -> one chunk."""
+    import hashlib
+
+    from projet_data_engineering_spark.operators.datapipe import (
+        chunk_windows,
+    )
+
+    W, S = 10, 7
+
+    def doc(n):
+        return " ".join(f"w{i}" for i in range(1, n + 1))
+
+    docs = spark.createDataFrame(
+        [(1, doc(10)), (2, doc(11)), (3, doc(3)), (4, doc(24)), (5, doc(17))],
+        "doc_id long, text string",
+    )
+    rows = chunk_windows(docs, window=W, stride=S).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+
+    def md5(tokens):
+        return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+    # exact-W doc: one chunk, full width
+    assert [(r["start_token"], r["n_tokens"]) for r in by_doc[1]] == [(1, 10)]
+    assert by_doc[1][0]["chunk_md5"] == md5([f"w{i}" for i in range(1, 11)])
+    # W+1: second chunk starts at S+1, holds the remaining 4 tokens
+    assert [(r["start_token"], r["n_tokens"]) for r in by_doc[2]] == [
+        (1, 10), (8, 4)
+    ]
+    # shorter than W: single short chunk
+    assert [(r["start_token"], r["n_tokens"]) for r in by_doc[3]] == [(1, 3)]
+    # n=24: starts 1,8,15 (22 > 24-10+7=21 stops); last chunk 15..24
+    assert [(r["start_token"], r["n_tokens"]) for r in by_doc[4]] == [
+        (1, 10), (8, 10), (15, 10)
+    ]
+    # coverage + overlap on every doc
+    lengths = {1: 10, 2: 11, 3: 3, 4: 24, 5: 17}
+    for did, chunks in by_doc.items():
+        covered = set()
+        for r in chunks:
+            covered |= set(
+                range(r["start_token"], r["start_token"] + r["n_tokens"])
+            )
+        assert covered == set(range(1, lengths[did] + 1)), did
+        for a, b in zip(chunks, chunks[1:]):
+            assert b["start_token"] - a["start_token"] == S
