@@ -1532,3 +1532,157 @@ def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk) are pytest-proven on hand-built docs."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     return chunk_windows(d)
+
+
+PSI_BINS = 10
+PSI_THRESHOLD = 0.2
+
+
+def psi_drift(
+    events: DataFrame,
+    split_date: str = "2024-01-16",
+    bins: int = PSI_BINS,
+    threshold: float = PSI_THRESHOLD,
+) -> DataFrame:
+    """Population-Stability-Index drift audit between two snapshots of an
+    event stream: per event type, how far the ``value`` distribution in the
+    CURRENT window (on/after ``split_date``) has moved from the BASELINE
+    window before it. The drift gate that pairs with ``constraint_audit``:
+    constraints catch broken rows, PSI catches a feed whose rows are all
+    individually valid but collectively shifted (sensor recalibrated,
+    upstream price rule changed, bot cohort arrived).
+
+    PSI = Σ_bins (p_b − q_b)·ln(p_b/q_b) over a FIXED equi-width 10-bin
+    grid spanning the global [min, max] (data-independent binning keeps
+    the two snapshots comparable and the oracle exact); counts are
+    Laplace-smoothed (+0.5/bin) so empty bins stay finite deterministically
+    — no epsilon heuristics. Conventional reading: <0.1 stable, >0.2
+    drifted (the ``drifted`` flag compares the ROUNDED psi so both engines
+    agree at the boundary).
+
+    Shape: one scan bins every event (the global min/max folds in as a
+    broadcast 1-row aggregate), one map-side-combining count per
+    (type, bin, side), then |types|×|bins| rows of window algebra — the
+    corpus never shuffles twice, the report is |types| rows. Degenerate
+    all-equal ``value`` feeds (vmax = vmin) are the caller's guard."""
+    e = events.select(
+        "event_type",
+        "value",
+        (F.to_date("ts") < F.lit(split_date)).alias("is_base"),
+    )
+    rng = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    binned = e.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "is_base",
+        F.least(
+            F.lit(bins - 1),
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                / (F.col("vmax") - F.col("vmin"))
+                * bins
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("c_base"),
+        F.sum(F.when(~F.col("is_base"), 1).otherwise(0)).alias("c_curr"),
+    )
+    grid = (
+        counts.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+        )
+    )
+    full = grid.join(counts, ["event_type", "bin"], "left").fillna(
+        0, ["c_base", "c_curr"]
+    )
+    tot = full.groupBy("event_type").agg(
+        F.sum("c_base").alias("tot_base"), F.sum("c_curr").alias("tot_curr")
+    )
+    j = full.join(tot, "event_type")
+    smooth = F.lit(bins * 0.5)
+    p = (F.col("c_base") + F.lit(0.5)) / (F.col("tot_base") + smooth)
+    q = (F.col("c_curr") + F.lit(0.5)) / (F.col("tot_curr") + smooth)
+    psi = F.round(F.sum((p - q) * F.log(p / q)), 5)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.max("tot_base").cast("bigint").alias("n_base"),
+            F.max("tot_curr").cast("bigint").alias("n_curr"),
+            psi.alias("psi"),
+        )
+        .select(
+            "event_type",
+            "n_base",
+            "n_curr",
+            "psi",
+            (F.col("psi") > F.lit(threshold)).alias("drifted"),
+        )
+    )
+
+
+@query(
+    "q_drift_psi",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, value,
+               CAST(ts AS DATE) < DATE '2024-01-16' AS is_base
+        FROM events
+    ),
+    rng AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e),
+    binned AS (
+        SELECT event_type, is_base,
+               CAST(LEAST({PSI_BINS - 1},
+                          FLOOR((value - vmin) / (vmax - vmin) * {PSI_BINS}))
+                    AS INT) AS bin
+        FROM e, rng
+    ),
+    counts AS (
+        SELECT event_type, bin,
+               SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS c_base,
+               SUM(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS c_curr
+        FROM binned GROUP BY event_type, bin
+    ),
+    grid AS (
+        SELECT t.event_type, b.bin
+        FROM (SELECT DISTINCT event_type FROM counts) t,
+             (SELECT UNNEST(generate_series(0, {PSI_BINS - 1})) AS bin) b
+    ),
+    full_g AS (
+        SELECT g.event_type, g.bin,
+               COALESCE(c.c_base, 0) AS c_base,
+               COALESCE(c.c_curr, 0) AS c_curr
+        FROM grid g
+        LEFT JOIN counts c ON g.event_type = c.event_type AND g.bin = c.bin
+    ),
+    tot AS (
+        SELECT event_type, SUM(c_base) AS tot_base, SUM(c_curr) AS tot_curr
+        FROM full_g GROUP BY event_type
+    ),
+    rep AS (
+        SELECT f.event_type,
+               CAST(MAX(tot_base) AS BIGINT) AS n_base,
+               CAST(MAX(tot_curr) AS BIGINT) AS n_curr,
+               ROUND(SUM(((c_base + 0.5) / (tot_base + {PSI_BINS * 0.5})
+                          - (c_curr + 0.5) / (tot_curr + {PSI_BINS * 0.5}))
+                         * LN(((c_base + 0.5) / (tot_base + {PSI_BINS * 0.5}))
+                              / ((c_curr + 0.5) / (tot_curr + {PSI_BINS * 0.5})))),
+                     5) AS psi
+        FROM full_g f JOIN tot USING (event_type)
+        GROUP BY f.event_type
+    )
+    SELECT event_type, n_base, n_curr, psi, psi > {PSI_THRESHOLD} AS drifted
+    FROM rep
+    """,
+)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``psi_drift`` over ``events`` split at 2024-01-16: per event type,
+    the PSI between the first-half and second-half ``value`` distributions
+    plus the conventional >0.2 drift flag. The synthetic feed is stationary
+    (psi ≈ 0, no flags) — the flag's ability to FIRE on a genuinely
+    shifted distribution is pytest-proven on a planted mean-shift."""
+    return psi_drift(load_table(spark, sf_dir, "events"))

@@ -195,3 +195,188 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF index (``q_ann_ivf``). See :func:`kmeans_stats` for the scale and
     determinism design."""
     return kmeans_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed logistic regression (r7): the trained-quality-classifier tier
+# ---------------------------------------------------------------------------
+
+LR_RATE = 4.0
+LR_ITERS = 6
+LR_FEATURES = ("bias", "tokens_per_100", "stop_ratio", "avg_token_len_per_10")
+_LR_STOPWORDS = ("the", "a", "of", "and", "is")
+
+
+def _doc_features(docs: DataFrame) -> DataFrame:
+    """(x1, x2, x3, y) per document: scaled token count, English stopword
+    ratio, scaled average token length, and the heuristic quality label
+    (``q_text_quality``'s formula thresholded at 0.5). Distilling heuristic
+    labels into a model is the real bootstrap loop (fastText-style quality
+    classifiers train exactly this way); here it also makes the label a
+    deterministic function both engines agree on."""
+    toks = F.split(F.lower("text"), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_LR_STOPWORDS)))
+    stop_ratio = n_stop / n_tokens
+    quality = F.least(n_tokens / F.lit(50.0), F.lit(1.0)) * (
+        0.5 + F.least(stop_ratio, F.lit(0.5))
+    )
+    return docs.select(
+        (n_tokens / F.lit(100.0)).alias("x1"),
+        stop_ratio.alias("x2"),
+        (F.col("n_chars") / n_tokens / F.lit(10.0)).alias("x3"),
+        F.when(quality >= 0.5, 1.0).otherwise(0.0).alias("y"),
+    )
+
+
+def logreg_weights(
+    docs: DataFrame, lr: float = LR_RATE, iters: int = LR_ITERS
+) -> DataFrame:
+    """Full-batch gradient-descent logistic regression over the corpus —
+    one aggregate per iteration, unrolled into a single plan.
+
+    Each round joins the broadcast 1-row weight frame onto the feature
+    scan and computes w ← round(w − lr·mean((σ(w·x) − y)·x), 6): the
+    gradient is a map-side-combining AVG (the corpus never shuffles), and
+    the 6dp rounding on BOTH engines stops float-summation drift from
+    compounding across iterations — the same determinism contract as
+    ``kmeans_centroids``. At 100 TB each iteration is one scan; the model
+    state is 4 doubles."""
+    feats = _doc_features(docs)
+    w = feats.sparkSession.createDataFrame(
+        [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
+    )
+    for _ in range(iters):
+        j = feats.crossJoin(F.broadcast(w))
+        z = (
+            F.col("w0")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        w = j.agg(
+            F.round(F.min("w0") - F.lit(lr) * F.avg(err), 6).alias("w0"),
+            F.round(
+                F.min("w1") - F.lit(lr) * F.avg(err * F.col("x1")), 6
+            ).alias("w1"),
+            F.round(
+                F.min("w2") - F.lit(lr) * F.avg(err * F.col("x2")), 6
+            ).alias("w2"),
+            F.round(
+                F.min("w3") - F.lit(lr) * F.avg(err * F.col("x3")), 6
+            ).alias("w3"),
+        )
+    return w
+
+
+def _logreg_ctes(lr: float = LR_RATE, iters: int = LR_ITERS) -> tuple[list[str], str]:
+    """DuckDB transcription of :func:`logreg_weights`, unrolled per
+    iteration; returns (cte_list, final_weight_cte). Shared by q_logreg
+    and q_logreg_confusion so both oracles train the SAME model."""
+    stop_list = ", ".join(f"'{s}'" for s in _LR_STOPWORDS)
+    ctes = [
+        f"""lrfeats AS (
+            SELECT len(t) / 100.0 AS x1,
+                   len(list_filter(t, s -> s IN ({stop_list})))
+                       / CAST(len(t) AS DOUBLE) AS x2,
+                   n_chars / CAST(len(t) AS DOUBLE) / 10.0 AS x3,
+                   CASE WHEN LEAST(len(t) / 50.0, 1.0)
+                             * (0.5 + LEAST(
+                                 len(list_filter(t, s -> s IN ({stop_list})))
+                                     / CAST(len(t) AS DOUBLE), 0.5)) >= 0.5
+                        THEN 1.0 ELSE 0.0 END AS y
+            FROM (SELECT str_split(lower(text), ' ') AS t, n_chars
+                  FROM documents)
+        )""",
+        "lrw0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)",
+    ]
+    for t in range(iters):
+        z = "(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+        err = f"(1.0 / (1.0 + EXP(-{z})) - y)"
+        ctes.append(
+            f"""lrw{t + 1} AS (
+            SELECT ROUND(MIN(w.w0) - {lr} * AVG({err}), 6) AS w0,
+                   ROUND(MIN(w.w1) - {lr} * AVG({err} * x1), 6) AS w1,
+                   ROUND(MIN(w.w2) - {lr} * AVG({err} * x2), 6) AS w2,
+                   ROUND(MIN(w.w3) - {lr} * AVG({err} * x3), 6) AS w3
+            FROM lrfeats CROSS JOIN lrw{t} w
+        )"""
+        )
+    return ctes, f"lrw{iters}"
+
+
+def _logreg_oracle() -> str:
+    ctes, final = _logreg_ctes()
+    names = ", ".join(f"'{n}'" for n in LR_FEATURES)
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT f.feature, CASE f.feature
+               WHEN '{LR_FEATURES[0]}' THEN w.w0
+               WHEN '{LR_FEATURES[1]}' THEN w.w1
+               WHEN '{LR_FEATURES[2]}' THEN w.w2
+               ELSE w.w3 END AS weight
+    FROM {final} w CROSS JOIN (SELECT UNNEST([{names}]) AS feature) f
+    """
+
+
+@query("q_logreg", oracle=_logreg_oracle())
+def q_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the 4-weight logistic quality classifier over ``documents``
+    (6 full-batch GD rounds, lr=4) and emit (feature, weight) — the model
+    artifact the scoring tier (``q_logreg_confusion``) broadcasts.
+    Numpy-reference parity in ``test_ml.py``."""
+    w = logreg_weights(load_table(spark, sf_dir, "documents"))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("feature"), F.col(f"w{i}").alias("weight")
+            )
+            for i, name in enumerate(LR_FEATURES)
+        ]
+    )
+    return w.select(F.explode(pairs).alias("r")).select("r.*")
+
+
+def _logreg_confusion_oracle() -> str:
+    ctes, final = _logreg_ctes()
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(y AS BIGINT) AS label,
+           CASE WHEN w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3 >= 0.0
+                THEN 1 ELSE 0 END AS predicted,
+           COUNT(*) AS n
+    FROM lrfeats CROSS JOIN {final} w
+    GROUP BY 1, 2
+    """
+
+
+@query("q_logreg_confusion", oracle=_logreg_confusion_oracle())
+def q_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score the corpus with the trained classifier and report the
+    confusion matrix (label × predicted counts). The decision rule is
+    ``z >= 0`` — algebraically σ(z) ≥ 0.5 but exact in floating point, so
+    both engines agree at the boundary. Scoring is map-only: the 4-double
+    model broadcasts, the corpus never shuffles (the report aggregate is
+    4 rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = _doc_features(d)
+    w = logreg_weights(d)
+    z = (
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+    return (
+        feats.crossJoin(F.broadcast(w))
+        .select(
+            F.col("y").cast("bigint").alias("label"),
+            F.when(z >= 0.0, 1).otherwise(0).alias("predicted"),
+        )
+        .groupBy("label", "predicted")
+        .agg(F.count("*").alias("n"))
+    )

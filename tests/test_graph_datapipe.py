@@ -1093,3 +1093,57 @@ def test_chunk_windows_boundaries_and_coverage(spark):
         assert covered == set(range(1, lengths[did] + 1)), did
         for a, b in zip(chunks, chunks[1:]):
             assert b["start_token"] - a["start_token"] == S
+
+
+# ---------------------------------------------------------------------------
+# psi_drift (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_drift_fires_on_planted_shift(spark):
+    """A planted mean-shift must raise the drifted flag; a stationary type
+    in the same feed must not — and the PSI value must equal a pure-python
+    recomputation of the same smoothed formula exactly (5 dp)."""
+    import datetime
+    import math
+
+    from projet_data_engineering_spark.operators.datapipe import psi_drift
+
+    base_day = datetime.datetime(2024, 1, 10)
+    curr_day = datetime.datetime(2024, 1, 20)
+    rows = []
+    # 'stable': identical uniform spread on both sides
+    for i in range(200):
+        rows.append((base_day, "stable", float(i % 100)))
+        rows.append((curr_day, "stable", float(i % 100)))
+    # 'shifted': low values before, high values after
+    for i in range(200):
+        rows.append((base_day, "shifted", float(i % 30)))
+        rows.append((curr_day, "shifted", 70.0 + float(i % 30)))
+    events = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    got = {r["event_type"]: r for r in psi_drift(events).collect()}
+
+    assert not got["stable"]["drifted"]
+    assert got["stable"]["psi"] < 0.01
+    assert got["shifted"]["drifted"] and got["shifted"]["psi"] > 0.2
+    assert got["shifted"]["n_base"] == got["shifted"]["n_curr"] == 200
+
+    # exact recomputation: global range is [0, 100) -> width-10 bins
+    vmin, vmax = 0.0, 99.0
+    for etype, series in (
+        ("shifted", ([float(i % 30) for i in range(200)],
+                     [70.0 + float(i % 30) for i in range(200)])),
+    ):
+        cb, cc = [0] * 10, [0] * 10
+        for v in series[0]:
+            cb[min(9, int((v - vmin) / (vmax - vmin) * 10))] += 1
+        for v in series[1]:
+            cc[min(9, int((v - vmin) / (vmax - vmin) * 10))] += 1
+        psi = sum(
+            ((b + 0.5) / (200 + 5.0) - (c + 0.5) / (200 + 5.0))
+            * math.log(((b + 0.5) / (200 + 5.0)) / ((c + 0.5) / (200 + 5.0)))
+            for b, c in zip(cb, cc)
+        )
+        assert got[etype]["psi"] == round(psi, 5)

@@ -87,3 +87,58 @@ def test_doc_logprob_folds_total_as_broadcast(spark):
     plan = formatted_plan(Q["q_doc_logprob"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N aggregate
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# logistic regression (r7)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_logreg(feats, lr, iters):
+    """Pure-numpy replica of logreg_weights' contract: full-batch GD with
+    per-iteration 6dp rounding."""
+    X = np.array([[1.0, x1, x2, x3] for x1, x2, x3, _ in feats])
+    y = np.array([row[3] for row in feats])
+    w = np.zeros(4)
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        grad = ((p - y)[:, None] * X).mean(axis=0)
+        w = np.round(w - lr * grad, 6)
+    return w
+
+
+def test_logreg_matches_numpy_reference(spark):
+    from projet_data_engineering_spark.operators.ml import (
+        LR_FEATURES,
+        LR_ITERS,
+        LR_RATE,
+        _doc_features,
+        logreg_weights,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = [
+        (r["x1"], r["x2"], r["x3"], r["y"])
+        for r in _doc_features(docs).collect()
+    ]
+    want = _numpy_logreg(feats, LR_RATE, LR_ITERS)
+    got = logreg_weights(docs).collect()[0]
+    for i in range(4):
+        assert got[f"w{i}"] == pytest.approx(want[i], abs=2e-6), LR_FEATURES[i]
+
+
+def test_logreg_learns_a_nontrivial_boundary(spark):
+    """The trained model must beat always-predict-majority on its own
+    training labels and use BOTH classes in its predictions (guards
+    against the degenerate all-one-class model a too-small step yields)."""
+    rows = Q["q_logreg_confusion"](spark, SF_DIR).collect()
+    n = {(r["label"], r["predicted"]): r["n"] for r in rows}
+    total = sum(n.values())
+    correct = n.get((0, 0), 0) + n.get((1, 1), 0)
+    majority = max(
+        sum(v for (lab, _), v in n.items() if lab == 1),
+        sum(v for (lab, _), v in n.items() if lab == 0),
+    )
+    assert {p for (_, p) in n} == {0, 1}
+    assert correct > majority
+    assert correct / total > 0.6
