@@ -250,3 +250,98 @@ def q_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_factor"
         ),
     )
+
+
+def domain_resample(
+    docs: DataFrame, id_col: str = "doc_id", domain_col: str = "source"
+) -> DataFrame:
+    """APPLY the tau=2 temperature mixture (:func:`q_domain_temperature`
+    computes the weights; this materializes the resampled corpus): each
+    document is emitted ``floor(rf)`` times plus one more with probability
+    ``frac(rf)``, where rf is its domain's repeat factor — head domains
+    subsample (rf<1 → keep-with-probability-rf), tail domains repeat.
+    Stochastic rounding keeps each domain's EXPECTED token share exactly at
+    the temperature target without a global counter.
+
+    Deterministic end-to-end: the Bernoulli draw is the doc's md5 first-8-
+    hex-digits over 2³² (the ``q_train_test_split`` trick — exact dyadic
+    double, engine-portable), rf carries ``q_domain_temperature``'s 4dp
+    rounding, so membership and copy counts are reproducible across runs
+    AND engines — a re-run of the corpus build emits the identical mixture.
+
+    Scale shape: the weights table is |domains| rows (broadcast by
+    definition — a domain dictionary, not a drop list), the draw and the
+    copy explode are map-only, nothing shuffles the corpus. Output grows
+    by at most ceil(max rf) ×."""
+    per = docs.groupBy(domain_col).agg(
+        F.sum(_ntok()).cast("bigint").alias("n_toks")
+    )
+    tot = per.agg(
+        F.sum("n_toks").cast("double").alias("n"),
+        F.sum(F.sqrt(F.col("n_toks").cast("double"))).alias("z"),
+    )
+    s = F.sqrt(F.col("n_toks").cast("double"))
+    rf_tbl = per.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.round(s / F.col("z") * F.col("n") / F.col("n_toks"), 4).alias("rf"),
+    )
+    draw = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    rf = F.col("rf")
+    n_copies = (
+        F.floor(rf) + F.when(draw < rf - F.floor(rf), 1).otherwise(0)
+    ).cast("int")
+    return (
+        docs.join(F.broadcast(rf_tbl), domain_col)
+        .select(id_col, domain_col, n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            id_col,
+            domain_col,
+            F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias(
+                "copy_idx"
+            ),
+        )
+    )
+
+
+@query(
+    "q_domain_resample",
+    oracle="""
+    WITH per AS (
+        SELECT source, CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS n_toks
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_toks) AS DOUBLE) AS n,
+               SUM(sqrt(CAST(n_toks AS DOUBLE))) AS z
+        FROM per
+    ),
+    rft AS (
+        SELECT source,
+               ROUND(sqrt(CAST(n_toks AS DOUBLE)) / z * n / n_toks, 4) AS rf
+        FROM per, tot
+    ),
+    cop AS (
+        SELECT d.doc_id, d.source,
+               CAST(FLOOR(rf) + CASE WHEN
+                        CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                             AS BIGINT) / 4294967296.0
+                        < rf - FLOOR(rf)
+                    THEN 1 ELSE 0 END AS INT) AS n_copies
+        FROM documents d JOIN rft USING (source)
+    )
+    SELECT doc_id, source, UNNEST(generate_series(1, n_copies)) AS copy_idx
+    FROM cop WHERE n_copies > 0
+    """,
+)
+def q_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-scaled domain mixture over ``documents``
+    as (doc_id, source, copy_idx) — the apply tier above
+    ``q_domain_temperature``'s weights. See :func:`domain_resample` for the
+    deterministic stochastic-rounding contract and the scale shape."""
+    return domain_resample(load_table(spark, sf_dir, "documents"))

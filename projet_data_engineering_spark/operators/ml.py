@@ -380,3 +380,220 @@ def q_logreg_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+def _logreg_auc_oracle() -> str:
+    ctes, final = _logreg_ctes()
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    scored AS (
+        SELECT ROUND(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3, 6) AS z, y
+        FROM lrfeats CROSS JOIN {final} w
+    ),
+    g AS (SELECT z, COUNT(*) AS cnt, SUM(y) AS pos FROM scored GROUP BY z),
+    r AS (
+        SELECT pos, cnt,
+               SUM(cnt) OVER (ORDER BY z ROWS UNBOUNDED PRECEDING) AS cum
+        FROM g
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+           ROUND((SUM(pos * (cum - cnt + (cnt + 1) / 2.0))
+                  - SUM(pos) * (SUM(pos) + 1) / 2.0)
+                 / (SUM(pos) * SUM(cnt - pos)), 6) AS auc
+    FROM r
+    """
+
+
+@query("q_logreg_auc", oracle=_logreg_auc_oracle())
+def q_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-adjusted ROC-AUC of the trained quality classifier on its
+    own training corpus — the threshold-free evaluation tier above the
+    confusion matrix (which fixes the cut at z=0). Mann–Whitney form:
+    AUC = (Σ_pos avgrank − P(P+1)/2) / (P·N) with AVERAGE ranks for tied
+    scores, computed from the per-score group sizes — the exact formula,
+    not a trapezoid approximation.
+
+    Scale shape: scoring is map-only (4-double model broadcasts); scores
+    round to 6dp and groupBy(z) collapses the corpus to the score
+    DICTIONARY with map-side combine; the single global running-sum window
+    runs over that aggregate-bounded dictionary (plan-lint clean), never
+    the corpus. The 6dp rounding also pins the tie structure so both
+    engines rank the identical multiset."""
+    d = load_table(spark, sf_dir, "documents")
+    feats = _doc_features(d)
+    w = logreg_weights(d)
+    z = F.round(
+        F.col("w0")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3"),
+        6,
+    )
+    g = (
+        feats.crossJoin(F.broadcast(w))
+        .select(z.alias("z"), "y")
+        .groupBy("z")
+        .agg(F.count("*").alias("cnt"), F.sum("y").alias("pos"))
+    )
+    win = Window.orderBy("z").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.select("pos", "cnt", F.sum("cnt").over(win).alias("cum"))
+    p_tot = F.sum("pos")
+    n_tot = F.sum(F.col("cnt") - F.col("pos"))
+    rank_sum = F.sum(
+        F.col("pos") * (F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0)
+    )
+    return r.agg(
+        p_tot.cast("bigint").alias("n_pos"),
+        n_tot.cast("bigint").alias("n_neg"),
+        F.round(
+            (rank_sum - p_tot * (p_tot + 1) / 2.0) / (p_tot * n_tot), 6
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA via power iteration (r7): the embedding-analysis tier
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 3
+
+
+def pca_power(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFrame:
+    """Top principal component of the embedding corpus by POWER ITERATION —
+    the matrix-free distributed PCA shape: the d×d covariance is never
+    materialized; each round computes C·v = mean_rows((x−μ)·((x−μ)·v)) as
+    ONE corpus scan (a map-side-combining aggregate of d doubles), so the
+    corpus never shuffles and the model state is 2·d doubles (μ, v).
+
+    Determinism contract (the kmeans/logreg one): μ and every C·v round to
+    6dp, v renormalizes from the ROUNDED image (sqrt/÷ are IEEE-exact on
+    identical inputs) and rounds again, the start vector is the constant
+    1/8 = 2⁻³ (exactly representable) — so the DuckDB transcription walks
+    the identical float path. Three unrolled rounds; numpy parity and the
+    convergence property live in ``test_ml.py``.
+
+    Returns ``dim`` rows (dim_idx, mean, loading, eigenvalue): the center,
+    the unit top direction, and its Rayleigh-quotient eigenvalue estimate
+    ‖C·v‖ from the final round."""
+    e = emb.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    mu_row = e.agg(
+        *[
+            F.round(F.avg(F.element_at("x", i + 1)), 6).alias(f"m{i}")
+            for i in range(dim)
+        ]
+    )
+    mu = mu_row.select(
+        F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mu")
+    )
+    state = mu.select(
+        "mu", F.array(*[F.lit(0.125)] * dim).alias("v")
+    )
+    for _ in range(iters):
+        centered_dot = F.aggregate(
+            F.zip_with(
+                F.zip_with("x", "mu", lambda a, b: a - b),
+                "v",
+                lambda c, vv: c * vv,
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        scored = e.crossJoin(F.broadcast(state)).select(
+            "x", "mu", centered_dot.alias("s")
+        )
+        u_row = scored.agg(
+            *[
+                F.round(
+                    F.avg(
+                        F.col("s")
+                        * (
+                            F.element_at("x", i + 1)
+                            - F.element_at("mu", i + 1)
+                        )
+                    ),
+                    6,
+                ).alias(f"u{i}")
+                for i in range(dim)
+            ]
+        )
+        norm = F.sqrt(
+            sum(F.col(f"u{i}") * F.col(f"u{i}") for i in range(dim))
+        )
+        newv = u_row.select(
+            F.array(
+                *[F.round(F.col(f"u{i}") / norm, 6) for i in range(dim)]
+            ).alias("v"),
+            F.round(norm, 6).alias("eig"),
+        )
+        state = mu.crossJoin(newv)
+    return state.select(
+        F.posexplode("mu").alias("pos0", "mean"),
+        F.col("v"),
+        F.col("eig").alias("eigenvalue"),
+    ).select(
+        (F.col("pos0") + 1).alias("dim_idx"),
+        "mean",
+        F.element_at("v", F.col("pos0") + 1).alias("loading"),
+        "eigenvalue",
+    )
+
+
+def _pca_oracle(iters: int = PCA_ITERS, dim: int = DIM) -> str:
+    grid = f"(SELECT UNNEST(generate_series(1, {dim})) AS i) g"
+    v0 = ", ".join(["0.125"] * dim)
+    ctes = [
+        "pemb AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        f"""pmu AS (
+            SELECT list(m ORDER BY i) AS mu FROM (
+                SELECT g.i, ROUND(AVG(x[g.i]), 6) AS m
+                FROM pemb CROSS JOIN {grid} GROUP BY g.i
+            )
+        )""",
+        f"pv0 AS (SELECT [{v0}] AS v)",
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""ps{t} AS (
+            SELECT x, list_sum(list_transform(generate_series(1, {dim}),
+                       i -> (x[i] - pmu.mu[i]) * v.v[i])) AS s
+            FROM pemb, pmu, pv{t} v
+        )"""
+        )
+        ctes.append(
+            f"""pu{t} AS (
+            SELECT list(u ORDER BY i) AS u FROM (
+                SELECT g.i, ROUND(AVG(s * (x[g.i] - pmu.mu[g.i])), 6) AS u
+                FROM ps{t}, pmu CROSS JOIN {grid} GROUP BY g.i
+            )
+        )""" 
+        )
+        ctes.append(
+            f"""pv{t + 1} AS (
+            SELECT list_transform(u, e ->
+                       ROUND(e / sqrt(list_sum(list_transform(u, q -> q * q))), 6)
+                   ) AS v,
+                   ROUND(sqrt(list_sum(list_transform(u, q -> q * q))), 6) AS eig
+            FROM pu{t}
+        )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT g.i AS dim_idx, pmu.mu[g.i] AS mean, v.v[g.i] AS loading,
+           v.eig AS eigenvalue
+    FROM pmu, pv{iters} v CROSS JOIN {grid}
+    """
+
+
+@query("q_pca_power", oracle=_pca_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component (+ mean vector and eigenvalue estimate) of
+    the 64-dim embedding corpus, 3 unrolled power-iteration rounds — the
+    embedding-space diagnostic tier (dominant-direction drift, whitening
+    input, anisotropy checks). See :func:`pca_power` for the matrix-free
+    scan shape and the cross-engine determinism contract."""
+    return pca_power(load_table(spark, sf_dir, "embeddings"))

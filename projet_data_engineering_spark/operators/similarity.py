@@ -17,7 +17,7 @@ rounded to 4 dp on both engines so fold-order ulps can't flip the hash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from projet_data_engineering_spark.io import load_table
@@ -847,3 +847,146 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return recall_of(ann_lsh, "lsh").unionByName(recall_of(ann_ivf, "ivf"))
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (r7): reciprocal-rank fusion of the lexical and vector legs
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+HYBRID_TOPK = 20
+
+
+def rrf_fuse(
+    lex: DataFrame,
+    vec: DataFrame,
+    lex_id: str = "doc_id",
+    vec_id: str = "vec_id",
+    k: int = RRF_K,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists:
+    rrf(d) = Σ_legs 1/(k + rank_leg(d)), absent legs contribute 0 — the
+    standard score-free hybrid combiner (ranks compose across
+    incommensurable scoring scales where raw-score mixing can't). Inputs
+    are (id, rank) frames; output adds ``rrf`` and keeps each leg's rank
+    (0 = not retrieved by that leg).
+
+    Scale shape: both legs arrive already top-k-bounded (each leg's own
+    TakeOrderedAndProject did the corpus-sized work), so the fusion join
+    touches ≤ 2k rows — driver-trivial at any corpus size. The division is
+    exact IEEE on identical int ranks, so fused scores are engine-portable
+    at 6dp."""
+    fused = lex.join(vec, lex[lex_id] == vec[vec_id], "full_outer")
+    contrib_lex = F.when(
+        F.col("lex_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(k) + F.col("lex_rank")),
+    ).otherwise(0.0)
+    contrib_vec = F.when(
+        F.col("vec_rank").isNotNull(),
+        F.lit(1.0) / (F.lit(k) + F.col("vec_rank")),
+    ).otherwise(0.0)
+    return fused.select(
+        F.coalesce(lex[lex_id], vec[vec_id]).alias("doc_id"),
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("bm25_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("int").alias("ann_rank"),
+        F.round(contrib_lex + contrib_vec, 6).alias("rrf"),
+    )
+
+
+@query(
+    "q_hybrid_search",
+    oracle=f"""
+    WITH dl AS (
+        SELECT doc_id,
+               len(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '')) AS dl,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tokens
+        FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM dl),
+    tf AS (
+        SELECT d.doc_id, d.dl, u.term, COUNT(*) AS tf
+        FROM dl d, UNNEST(d.tokens) AS u(term)
+        WHERE u.term IN ('spark', 'join', 'stream')
+        GROUP BY d.doc_id, d.dl, u.term
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    bmtop AS (
+        SELECT t.doc_id,
+               ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * (t.tf * 2.2)
+                         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avg_dl))),
+                     4) AS score
+        FROM tf t JOIN dfc f ON t.term = f.term CROSS JOIN stats s
+        GROUP BY t.doc_id
+        ORDER BY score DESC, t.doc_id ASC
+        LIMIT {HYBRID_TOPK}
+    ),
+    bm AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+        FROM bmtop
+    ),
+    q AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+        WHERE vec_id = 0
+    ),
+    anntop AS (
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            q.qv), 4) AS score
+        FROM embeddings e, q
+        WHERE e.vec_id <> 0
+        ORDER BY score DESC, e.vec_id ASC
+        LIMIT {HYBRID_TOPK}
+    ),
+    ann AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS vec_rank
+        FROM anntop
+    )
+    SELECT COALESCE(bm.doc_id, ann.vec_id) AS doc_id,
+           CAST(COALESCE(lex_rank, 0) AS INT) AS bm25_rank,
+           CAST(COALESCE(vec_rank, 0) AS INT) AS ann_rank,
+           ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + lex_rank), 0.0)
+                 + COALESCE(CAST(1.0 AS DOUBLE) / ({RRF_K} + vec_rank), 0.0),
+                 6) AS rrf
+    FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.vec_id
+    """,
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-serving shape: the BM25 lexical leg
+    ('spark join stream', top-20) and the vector leg (cosine neighbors of
+    doc 0's embedding, top-20, doc_id↔vec_id aligned by construction)
+    fused by reciprocal-rank fusion (k=60). Each leg runs its own corpus
+    pass with its own TakeOrderedAndProject; fusion joins two ≤20-row
+    frames. Ranks inherit each leg's 4dp-score + id tie-break, so they are
+    engine-stable and the fused scores hash-compare exactly."""
+    from projet_data_engineering_spark.operators.search import search_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    bm_top = search_topk(d, "doc_id", "text", "spark join stream", k=HYBRID_TOPK)
+    wb = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    bm = bm_top.select("doc_id", F.row_number().over(wb).alias("lex_rank"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    ann_top = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", as_double(F.col("embedding")).alias("ev"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("ev"), F.col("qv")), 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(HYBRID_TOPK)
+    )
+    wa = Window.orderBy(F.desc("score"), F.asc("vec_id"))
+    ann = ann_top.select(
+        "vec_id", F.row_number().over(wa).alias("vec_rank")
+    )
+    return rrf_fuse(bm, ann)

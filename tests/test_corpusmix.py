@@ -139,3 +139,70 @@ def test_domain_temperature_upweights_tail_domains(spark):
     tail = out[out["n_toks"] < mean_toks * 0.5]
     if len(tail):
         assert (tail["repeat_factor"] > 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# domain_resample (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_resample_tracks_expected_mixture(spark):
+    """Per domain: every copy count is floor(rf) or ceil(rf), the realized
+    doc count sits within a binomial-plausible band of n_docs·rf, and the
+    output is exactly reproducible run-to-run (deterministic Bernoulli)."""
+    import collections
+
+    from tests.conftest import SF_DIR
+
+    from projet_data_engineering_spark.operators.corpusmix import (
+        q_domain_resample,
+        q_domain_temperature,
+    )
+
+    rf = {
+        r["source"]: r["repeat_factor"]
+        for r in q_domain_temperature(spark, SF_DIR).collect()
+    }
+    rows = q_domain_resample(spark, SF_DIR).collect()
+    rows2 = q_domain_resample(spark, SF_DIR).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+    per_doc = collections.Counter((r["doc_id"], r["source"]) for r in rows)
+    n_in = collections.Counter()
+    n_out = collections.Counter()
+    for (doc, src), c in per_doc.items():
+        import math
+
+        lo, hi = math.floor(rf[src]), math.ceil(rf[src])
+        assert lo <= c <= max(hi, 1), (doc, src, c, rf[src])
+        n_in[src] += 1
+        n_out[src] += c
+    # copy_idx is a contiguous 1..c run per doc
+    idx = collections.defaultdict(set)
+    for r in rows:
+        idx[r["doc_id"]].add(r["copy_idx"])
+    for doc, s in idx.items():
+        assert s == set(range(1, len(s) + 1)), doc
+    # realized count near expectation: ±4·sqrt(n) (≈4σ of the binomial)
+    for src, n in n_in.items():
+        import math
+
+        expect = n * rf[src]
+        assert abs(n_out[src] - expect) <= 4 * math.sqrt(n) + 1, (
+            src, n_out[src], expect,
+        )
+
+
+def test_domain_resample_is_map_only(spark):
+    from tests.conftest import SF_DIR
+
+    from projet_data_engineering_spark.operators.corpusmix import (
+        q_domain_resample,
+    )
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(q_domain_resample(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the |domains| weight table broadcasts; the corpus side never exchanges
+    # except for the weight aggregate itself
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

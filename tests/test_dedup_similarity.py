@@ -504,3 +504,63 @@ def test_fuzzy_contamination_planted(spark):
     assert 0.2 <= got[1]["max_jaccard"] < 1.0
     # both eval docs collide with train doc 2 (exact + near) -> count >= 2
     assert got[2]["n_eval_matches"] == 2
+
+
+# ---------------------------------------------------------------------------
+# rrf_fuse / q_hybrid_search (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_hand_example(spark):
+    """Fusion math on a hand-built pair of legs: overlap doc sums both
+    contributions, single-leg docs carry rank 0 on the missing side, and
+    the overlap doc outranks a better single-leg rank (the RRF point)."""
+    from projet_data_engineering_spark.operators.similarity import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, lex_rank int"
+    )
+    vec = spark.createDataFrame(
+        [(20, 1), (40, 2)], "vec_id long, vec_rank int"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse(lex, vec).collect()}
+
+    assert set(got) == {10, 20, 30, 40}
+    assert got[20]["bm25_rank"] == 2 and got[20]["ann_rank"] == 1
+    assert got[20]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    assert got[10]["ann_rank"] == 0 and got[10]["rrf"] == round(1 / 61, 6)
+    assert got[40]["bm25_rank"] == 0 and got[40]["rrf"] == round(1 / 62, 6)
+    # both-legs beats any single leg's best here
+    assert got[20]["rrf"] > max(got[10]["rrf"], got[30]["rrf"], got[40]["rrf"])
+
+
+def test_hybrid_search_legs_agree_with_their_sources(spark):
+    """The fused frame's per-leg ranks must reproduce q_bm25_topk's and
+    q_embed_knn's own orderings (truncated to the hybrid k)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    from projet_data_engineering_spark.operators.similarity import (
+        HYBRID_TOPK,
+    )
+
+    Q = entrymod.queries()
+    fused = Q["q_hybrid_search"](spark, SF_DIR).collect()
+    bm = [
+        r["doc_id"]
+        for r in Q["q_bm25_topk"](spark, SF_DIR).collect()[:HYBRID_TOPK]
+    ]
+    ann = [
+        r["vec_id"]
+        for r in Q["q_embed_knn"](spark, SF_DIR).collect()[:HYBRID_TOPK]
+    ]
+    got_bm = {r["doc_id"]: r["bm25_rank"] for r in fused if r["bm25_rank"] > 0}
+    got_ann = {r["doc_id"]: r["ann_rank"] for r in fused if r["ann_rank"] > 0}
+    assert got_bm == {d: i + 1 for i, d in enumerate(bm)}
+    assert got_ann == {d: i + 1 for i, d in enumerate(ann)}
+    # every fused score is the sum of its legs' reciprocal contributions
+    for r in fused:
+        want = (1.0 / (60 + r["bm25_rank"]) if r["bm25_rank"] else 0.0) + (
+            1.0 / (60 + r["ann_rank"]) if r["ann_rank"] else 0.0
+        )
+        assert r["rrf"] == round(want, 6)

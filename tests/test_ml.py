@@ -142,3 +142,94 @@ def test_logreg_learns_a_nontrivial_boundary(spark):
     assert {p for (_, p) in n} == {0, 1}
     assert correct > majority
     assert correct / total > 0.6
+
+
+# ---------------------------------------------------------------------------
+# AUC + PCA (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_logreg_auc_matches_brute_force_pair_count(spark):
+    """The rank-statistic AUC must equal the O(P·N) pair-counting
+    definition (ties worth 1/2) computed in pure python on the same
+    6dp-rounded scores."""
+    from projet_data_engineering_spark.operators.ml import (
+        _doc_features,
+        logreg_weights,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    w = logreg_weights(docs).collect()[0]
+    scored = [
+        (
+            round(
+                w["w0"] + w["w1"] * r["x1"] + w["w2"] * r["x2"] + w["w3"] * r["x3"],
+                6,
+            ),
+            r["y"],
+        )
+        for r in _doc_features(docs).collect()
+    ]
+    pos = [z for z, y in scored if y == 1.0]
+    neg = [z for z, y in scored if y == 0.0]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    want = wins / (len(pos) * len(neg))
+
+    got = Q["q_logreg_auc"](spark, SF_DIR).collect()[0]
+    assert got["n_pos"] == len(pos) and got["n_neg"] == len(neg)
+    assert got["auc"] == pytest.approx(want, abs=2e-6)
+    # trained model must actually rank: better than coin-flip
+    assert got["auc"] > 0.7
+
+
+def _numpy_pca_power(X, iters):
+    """Pure-numpy replica of pca_power's exact contract: 6dp-rounded mean,
+    6dp-rounded covariance image each round, renormalize from the rounded
+    image and round again."""
+    mu = np.round(X.mean(axis=0), 6)
+    v = np.full(X.shape[1], 0.125)
+    eig = 0.0
+    for _ in range(iters):
+        c = X - mu
+        u = np.round((c * (c @ v)[:, None]).mean(axis=0), 6)
+        norm = np.sqrt((u * u).sum())
+        v = np.round(u / norm, 6)
+        eig = round(float(norm), 6)
+    return mu, v, eig
+
+
+def test_pca_power_matches_numpy_reference(spark):
+    from projet_data_engineering_spark.operators.ml import PCA_ITERS
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb])
+    mu, v, eig = _numpy_pca_power(X, PCA_ITERS)
+
+    rows = sorted(Q["q_pca_power"](spark, SF_DIR).collect(), key=lambda r: r["dim_idx"])
+    assert len(rows) == X.shape[1]
+    for i, r in enumerate(rows):
+        assert r["mean"] == pytest.approx(mu[i], abs=2e-6), i
+        assert r["loading"] == pytest.approx(v[i], abs=2e-6), i
+        assert r["eigenvalue"] == pytest.approx(eig, abs=2e-6)
+
+
+def test_pca_power_finds_the_dominant_direction(spark):
+    """On the real corpus: the loading is unit-norm, the eigenvalue is
+    positive and bounded by total variance, and the Rayleigh quotient of
+    the returned direction beats every single coordinate axis — i.e. 3
+    rounds already found a better-than-axis-aligned direction."""
+
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb])
+    rows = sorted(Q["q_pca_power"](spark, SF_DIR).collect(), key=lambda r: r["dim_idx"])
+    v = np.array([r["loading"] for r in rows])
+    eig = rows[0]["eigenvalue"]
+
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-4)
+    c = X - X.mean(axis=0)
+    total_var = (c * c).sum(axis=1).mean()
+    assert 0.0 < eig <= total_var + 1e-9
+    axis_best = (c * c).mean(axis=0).max()
+    rayleigh = ((c @ v) ** 2).mean()
+    assert rayleigh > axis_best
