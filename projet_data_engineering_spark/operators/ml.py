@@ -460,23 +460,33 @@ def q_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 3
 
 
-def pca_power(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFrame:
-    """Top principal component of the embedding corpus by POWER ITERATION —
-    the matrix-free distributed PCA shape: the d×d covariance is never
-    materialized; each round computes C·v = mean_rows((x−μ)·((x−μ)·v)) as
-    ONE corpus scan (a map-side-combining aggregate of d doubles), so the
-    corpus never shuffles and the model state is 2·d doubles (μ, v).
+def _centered_dot() -> F.Column:
+    """(x − μ)·v as a strict left-to-right fold over columns ``x``/``mu``/
+    ``v`` (the engine-stable order the DuckDB twin replays)."""
+    return F.aggregate(
+        F.zip_with(
+            F.zip_with("x", "mu", lambda a, b: a - b),
+            "v",
+            lambda c, vv: c * vv,
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def pca_state(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFrame:
+    """Train the top-principal-component model by POWER ITERATION and return
+    the 1-row state frame (mu, v, eig) — the matrix-free distributed PCA
+    shape: the d×d covariance is never materialized; each round computes
+    C·v = mean_rows((x−μ)·((x−μ)·v)) as ONE corpus scan (a map-side-
+    combining aggregate of d doubles), so the corpus never shuffles and the
+    model state is 2·d doubles.
 
     Determinism contract (the kmeans/logreg one): μ and every C·v round to
     6dp, v renormalizes from the ROUNDED image (sqrt/÷ are IEEE-exact on
     identical inputs) and rounds again, the start vector is the constant
-    1/8 = 2⁻³ (exactly representable) — so the DuckDB transcription walks
-    the identical float path. Three unrolled rounds; numpy parity and the
-    convergence property live in ``test_ml.py``.
-
-    Returns ``dim`` rows (dim_idx, mean, loading, eigenvalue): the center,
-    the unit top direction, and its Rayleigh-quotient eigenvalue estimate
-    ‖C·v‖ from the final round."""
+    1/8 = 2⁻³ (exactly representable) — so the DuckDB transcription
+    (:func:`_pca_ctes`) walks the identical float path."""
     e = emb.select(
         F.transform("embedding", lambda x: x.cast("double")).alias("x")
     )
@@ -490,20 +500,13 @@ def pca_power(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFra
         F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mu")
     )
     state = mu.select(
-        "mu", F.array(*[F.lit(0.125)] * dim).alias("v")
+        "mu",
+        F.array(*[F.lit(0.125)] * dim).alias("v"),
+        F.lit(0.0).alias("eig"),
     )
     for _ in range(iters):
-        centered_dot = F.aggregate(
-            F.zip_with(
-                F.zip_with("x", "mu", lambda a, b: a - b),
-                "v",
-                lambda c, vv: c * vv,
-            ),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
         scored = e.crossJoin(F.broadcast(state)).select(
-            "x", "mu", centered_dot.alias("s")
+            "x", "mu", _centered_dot().alias("s")
         )
         u_row = scored.agg(
             *[
@@ -530,23 +533,40 @@ def pca_power(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFra
             F.round(norm, 6).alias("eig"),
         )
         state = mu.crossJoin(newv)
-    return state.select(
-        F.posexplode("mu").alias("pos0", "mean"),
-        F.col("v"),
-        F.col("eig").alias("eigenvalue"),
-    ).select(
-        (F.col("pos0") + 1).alias("dim_idx"),
-        "mean",
-        F.element_at("v", F.col("pos0") + 1).alias("loading"),
-        "eigenvalue",
+    return state
+
+
+def pca_power(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFrame:
+    """Explode the trained PCA state (:func:`pca_state`) into ``dim`` rows
+    (dim_idx, mean, loading, eigenvalue): the center, the unit top
+    direction, and its Rayleigh-quotient eigenvalue estimate ‖C·v‖ from
+    the final round. Numpy parity and the beats-every-axis convergence
+    property live in ``test_ml.py``."""
+    return (
+        pca_state(emb, iters, dim)
+        .select(
+            F.posexplode("mu").alias("pos0", "mean"),
+            F.col("v"),
+            F.col("eig").alias("eigenvalue"),
+        )
+        .select(
+            (F.col("pos0") + 1).alias("dim_idx"),
+            "mean",
+            F.element_at("v", F.col("pos0") + 1).alias("loading"),
+            "eigenvalue",
+        )
     )
 
 
-def _pca_oracle(iters: int = PCA_ITERS, dim: int = DIM) -> str:
+def _pca_ctes(iters: int = PCA_ITERS, dim: int = DIM) -> tuple[list[str], str]:
+    """DuckDB transcription of :func:`pca_state`, unrolled per iteration;
+    returns (cte_list, final_v_cte). The final CTE has columns (v, eig);
+    ``pemb`` carries (label, x) so consumers can project per label. Shared
+    by q_pca_power and q_pca_project so both oracles train the SAME model."""
     grid = f"(SELECT UNNEST(generate_series(1, {dim})) AS i) g"
     v0 = ", ".join(["0.125"] * dim)
     ctes = [
-        "pemb AS (SELECT CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
+        "pemb AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings)",
         f"""pmu AS (
             SELECT list(m ORDER BY i) AS mu FROM (
                 SELECT g.i, ROUND(AVG(x[g.i]), 6) AS m
@@ -569,7 +589,7 @@ def _pca_oracle(iters: int = PCA_ITERS, dim: int = DIM) -> str:
                 SELECT g.i, ROUND(AVG(s * (x[g.i] - pmu.mu[g.i])), 6) AS u
                 FROM ps{t}, pmu CROSS JOIN {grid} GROUP BY g.i
             )
-        )""" 
+        )"""
         )
         ctes.append(
             f"""pv{t + 1} AS (
@@ -580,12 +600,18 @@ def _pca_oracle(iters: int = PCA_ITERS, dim: int = DIM) -> str:
             FROM pu{t}
         )"""
         )
+    return ctes, f"pv{iters}"
+
+
+def _pca_oracle(iters: int = PCA_ITERS, dim: int = DIM) -> str:
+    ctes, final = _pca_ctes(iters, dim)
+    grid = f"(SELECT UNNEST(generate_series(1, {dim})) AS i) g"
     joined = ",\n    ".join(ctes)
     return f"""
     WITH {joined}
     SELECT g.i AS dim_idx, pmu.mu[g.i] AS mean, v.v[g.i] AS loading,
            v.eig AS eigenvalue
-    FROM pmu, pv{iters} v CROSS JOIN {grid}
+    FROM pmu, {final} v CROSS JOIN {grid}
     """
 
 
@@ -594,6 +620,55 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component (+ mean vector and eigenvalue estimate) of
     the 64-dim embedding corpus, 3 unrolled power-iteration rounds — the
     embedding-space diagnostic tier (dominant-direction drift, whitening
-    input, anisotropy checks). See :func:`pca_power` for the matrix-free
+    input, anisotropy checks). See :func:`pca_state` for the matrix-free
     scan shape and the cross-engine determinism contract."""
     return pca_power(load_table(spark, sf_dir, "embeddings"))
+
+
+def _pca_project_oracle(iters: int = PCA_ITERS, dim: int = DIM) -> str:
+    ctes, final = _pca_ctes(iters, dim)
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined},
+    proj AS (
+        SELECT label,
+               ROUND(list_sum(list_transform(generate_series(1, {dim}),
+                         i -> (x[i] - pmu.mu[i]) * v.v[i])), 6) AS p
+        FROM pemb, pmu, {final} v
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(p), 5) AS mean_proj,
+           ROUND(STDDEV_SAMP(p), 5) AS std_proj
+    FROM proj
+    GROUP BY label
+    """
+
+
+@query("q_pca_project", oracle=_pca_project_oracle())
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA APPLY tier (every model in this module ships one: kmeans→IVF
+    assignment, logreg→confusion/AUC, here pca→projection): project every
+    embedding onto the trained (μ, v) top component and report per-LABEL
+    projection statistics (n, mean, std) — the one-number-per-class view of
+    how much the dominant embedding direction separates the labels, and the
+    drift probe a serving store re-runs per snapshot.
+
+    Scale shape: (μ, v) is a broadcast 2·d-double state; the projection is
+    map-only; the report is |labels| rows from one map-side-combining
+    aggregate. Projections round to 6dp (pinning every row's value across
+    engines) BEFORE the 5dp-rounded moments, so mean and stddev survive the
+    cross-engine summation-order difference."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("x"),
+    )
+    state = pca_state(emb)
+    proj = e.crossJoin(F.broadcast(state)).select(
+        "label", F.round(_centered_dot(), 6).alias("p")
+    )
+    return proj.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("p"), 5).alias("mean_proj"),
+        F.round(F.stddev_samp("p"), 5).alias("std_proj"),
+    )

@@ -233,3 +233,27 @@ def test_pca_power_finds_the_dominant_direction(spark):
     axis_best = (c * c).mean(axis=0).max()
     rayleigh = ((c @ v) ** 2).mean()
     assert rayleigh > axis_best
+
+
+def test_pca_project_matches_numpy_reference(spark):
+    """Per-label projection stats must equal a numpy replay of the exact
+    contract (6dp-rounded projections, then sample-std), and the label
+    counts must partition the corpus."""
+    from projet_data_engineering_spark.operators.ml import PCA_ITERS
+
+    emb = load_table(spark, SF_DIR, "embeddings").collect()
+    X = np.array([[float(x) for x in r["embedding"]] for r in emb])
+    labels = np.array([r["label"] for r in emb])
+    mu, v, _ = _numpy_pca_power(X, PCA_ITERS)
+    p = np.round((X - mu) @ v, 6)
+
+    rows = {r["label"]: r for r in Q["q_pca_project"](spark, SF_DIR).collect()}
+    assert sum(r["n"] for r in rows.values()) == len(emb)
+    for lab in np.unique(labels):
+        sel = p[labels == lab]
+        r = rows[int(lab)]
+        assert r["n"] == len(sel)
+        assert r["mean_proj"] == pytest.approx(round(float(sel.mean()), 5), abs=2e-5)
+        assert r["std_proj"] == pytest.approx(
+            round(float(sel.std(ddof=1)), 5), abs=2e-5
+        )
