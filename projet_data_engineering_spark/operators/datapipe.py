@@ -1686,3 +1686,92 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (psi ≈ 0, no flags) — the flag's ability to FIRE on a genuinely
     shifted distribution is pytest-proven on a planted mean-shift."""
     return psi_drift(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall contract (r7): the dedup family's accuracy number
+# ---------------------------------------------------------------------------
+
+
+def _dedup_recall_oracle() -> str:
+    from projet_data_engineering_spark.operators.dedup import _minhash_oracle
+
+    return f"""
+    WITH lsh AS ({_minhash_oracle()}),
+    sd AS (
+        SELECT DISTINCT d.doc_id,
+               d.t[i] || ' ' || d.t[i + 1] || ' ' || d.t[i + 2] AS term
+        FROM (SELECT doc_id, str_split(lower(text), ' ') AS t
+              FROM documents) d,
+             UNNEST(range(1, len(d.t) - 1)) AS r(i)
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sd GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+        FROM sd a JOIN sd b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT i, j FROM inter
+        JOIN sz sa ON sa.doc_id = inter.i
+        JOIN sz sb ON sb.doc_id = inter.j
+        WHERE c * {JAC_TAU_DEN} >= (sa.n + sb.n - c) * {JAC_TAU_NUM}
+    )
+    SELECT n_true, n_found, n_candidates,
+           CASE WHEN n_true > 0
+                THEN ROUND(n_found / (n_true * 1.0), 4) END AS recall
+    FROM (
+        SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+               (SELECT COUNT(*) FROM truth t
+                JOIN lsh p ON t.i = p.doc1 AND t.j = p.doc2) AS n_found,
+               (SELECT COUNT(*) FROM lsh) AS n_candidates
+    )
+    """
+
+
+@query("q_dedup_recall", oracle=_dedup_recall_oracle())
+def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH accuracy contract (the dedup twin of
+    ``q_ann_recall``): recall of the banded candidate generator against the
+    EXACT trigram-Jaccard ≥ 4/5 ground truth — both sides computed in the
+    same shingle space the signatures hash, so the number is the one the
+    banding theory predicts (8 hashes × 4 bands of 2: P[collide | jac=0.8]
+    = 1−(1−0.8²)⁴ ≈ 0.983). Reports (n_true, n_found, n_candidates,
+    recall); n_candidates also exposes the false-positive load the verify
+    stage pays.
+
+    Scale shape: ground truth comes from :func:`ngram_jaccard_join` —
+    PPJoin prefix/length/positional pruning, provably lossless, never
+    all-pairs — so the contract itself runs at corpus scale (the DuckDB
+    oracle uses the unpruned all-pairs form, doubling as the pruning's
+    losslessness proof); the LSH side is the banded bucket join. The
+    membership probe is a ≤|truth|-row hash join."""
+    from projet_data_engineering_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    truth = ngram_jaccard_join(d, "doc_id", "text", 3).select(
+        F.col("i").alias("doc1"), F.col("j").alias("doc2")
+    )
+    lsh = minhash_candidate_pairs(d, "doc_id", "text")
+    probed = truth.join(
+        lsh.withColumn("f", F.lit(1)), ["doc1", "doc2"], "left"
+    ).agg(
+        F.count("*").alias("n_true"),
+        # count of non-null flags, not sum: stays 0 (never NULL) when the
+        # truth set is empty — sf1.0's synthetic corpus genuinely has zero
+        # trigram-Jaccard>=0.8 pairs, and the degenerate case must agree
+        # across engines
+        F.count("f").alias("n_found"),
+    )
+    cand = lsh.agg(F.count("*").alias("n_candidates"))
+    # recall undefined on an empty truth set: NULL, guarded on BOTH engines
+    # (an unguarded 0/0 would THROW under ANSI mode here)
+    recall = F.when(
+        F.col("n_true") > 0,
+        F.round(F.col("n_found") / (F.col("n_true") * F.lit(1.0)), 4),
+    )
+    return probed.crossJoin(cand).select(
+        "n_true", "n_found", "n_candidates", recall.alias("recall")
+    )

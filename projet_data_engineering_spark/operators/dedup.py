@@ -993,3 +993,114 @@ def q_dedup_incremental_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Canonical selection (r7): keep the BEST cluster member, not the min-id one
+# ---------------------------------------------------------------------------
+
+
+def _dedup_canonical_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    undirected AS (
+        SELECT doc1 AS a, doc2 AS b FROM pairs
+        UNION ALL
+        SELECT doc2 AS a, doc1 AS b FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM undirected
+        UNION
+        SELECT r.a, u.b FROM reach r JOIN undirected u ON r.b = u.a
+    ),
+    clusters AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS root FROM reach GROUP BY a
+    ),
+    lab AS (
+        SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS root,
+               ROUND(LEAST(len(str_split(lower(d.text), ' ')) / 50.0, 1.0)
+                     * (0.5 + LEAST(
+                         len(list_filter(str_split(lower(d.text), ' '),
+                                         x -> x IN ('the','a','of','and','is')))
+                         / len(str_split(lower(d.text), ' ')), 0.5)),
+                     4) AS quality
+        FROM documents d LEFT JOIN clusters c ON d.doc_id = c.node
+    )
+    SELECT root AS cluster_root, keeper, keeper_quality, n_members
+    FROM (
+        SELECT root,
+               FIRST(doc_id ORDER BY quality DESC, doc_id ASC) AS keeper,
+               FIRST(quality ORDER BY quality DESC, doc_id ASC)
+                   AS keeper_quality,
+               COUNT(*) AS n_members
+        FROM lab GROUP BY root
+    ) WHERE n_members > 1
+    """
+
+
+def canonical_keepers(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Quality-aware canonical selection per near-dup cluster: MinHash
+    candidates → connected components → keep the HIGHEST-QUALITY member of
+    each multi-doc cluster (ties → min id), returning (cluster_root,
+    keeper, keeper_quality, n_members). ``q_dedup_apply``'s min-id keeper
+    is the textbook shape; production curation keeps the best copy — a
+    near-dup cluster typically mixes a clean original with truncated or
+    boilerplate-wrapped variants, and WHICH copy survives changes the
+    training corpus (the keeper here differs from min-id whenever a
+    higher-id member scores better; pytest plants exactly that case).
+
+    Scale shape: quality is map-only column algebra (the ``q_text_quality``
+    formula, 4dp-rounded so the argmax is engine-portable); the per-cluster
+    argmax is ONE groupBy aggregate — max(struct(quality, −id)) with
+    map-side combine, no window over the corpus and no second shuffle for
+    the sizes (same aggregate). Cluster labels come from the O(log n)-round
+    large-star/small-star fixpoint, the billion-node path."""
+    d = docs
+    labels = connected_components_lss(
+        minhash_candidate_pairs(d, id_col, text_col)
+    )
+    toks = F.split(F.lower(text_col), " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(
+        F.filter(toks, lambda t: t.isin("the", "a", "of", "and", "is"))
+    )
+    quality = F.round(
+        F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        * (0.5 + F.least(n_stop / n_tokens, F.lit(0.5))),
+        4,
+    )
+    lab = (
+        d.select(F.col(id_col), quality.alias("quality"))
+        .join(labels, F.col(id_col) == F.col("node"), "left")
+        .select(
+            id_col,
+            F.coalesce("root", F.col(id_col)).alias("root"),
+            "quality",
+        )
+    )
+    agg = lab.groupBy("root").agg(
+        F.count("*").alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("quality").alias("q"), (-F.col(id_col)).alias("negid")
+            )
+        ).alias("b"),
+    )
+    return agg.filter(F.col("n_members") > 1).select(
+        F.col("root").alias("cluster_root"),
+        (-F.col("b.negid")).alias("keeper"),
+        F.col("b.q").alias("keeper_quality"),
+        "n_members",
+    )
+
+
+@query("q_dedup_canonical", oracle=_dedup_canonical_oracle())
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`canonical_keepers` over the documents corpus — the
+    keep-the-best-copy dedup tier. See the helper for semantics and the
+    one-aggregate scale shape."""
+    return canonical_keepers(
+        spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    )

@@ -230,6 +230,7 @@ def _load_all() -> None:
     from projet_data_engineering_spark.streaming import (  # noqa: F401
         ann_refresh,
         dedup_ingest,
+        drift,
         windows,
     )
     from projet_data_engineering_spark.operators import (  # noqa: F401

@@ -564,3 +564,69 @@ def test_hybrid_search_legs_agree_with_their_sources(spark):
             1.0 / (60 + r["ann_rank"]) if r["ann_rank"] else 0.0
         )
         assert r["rrf"] == round(want, 6)
+
+
+# ---------------------------------------------------------------------------
+# canonical_keepers / q_dedup_canonical (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_keeper_prefers_quality_over_min_id(spark):
+    """Planted cluster where the HIGHEST-id member is the clean long
+    original and the lower ids are truncated variants: the keeper must be
+    the high-quality doc — exactly where keep-best differs from the
+    min-id rule — with the cluster still rooted at the min id."""
+    long_body = (BASE + " ") * 4  # ~100 tokens -> length factor saturates
+    rows = [
+        # cluster: 1 & 2 truncated copies, 3 the full original (same prose,
+        # so MinHash links them; lengths differ, so quality differs)
+        (1, long_body[: len(long_body) // 2]),
+        (2, long_body[: len(long_body) // 2] + " extra tail words here"),
+        (3, long_body),
+        # a singleton far away in shingle space
+        (9, "completely different text about databases and indexes " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    from projet_data_engineering_spark.operators.dedup import (
+        canonical_keepers,
+    )
+
+    out = canonical_keepers(docs).collect()
+    assert len(out) == 1  # one multi-doc cluster; the singleton is dropped
+    c = out[0]
+    assert c["cluster_root"] == 1  # component label stays min-id
+    assert c["n_members"] == 3
+    assert c["keeper"] == 3  # but the KEEPER is the best-quality member
+    assert c["keeper_quality"] > 0.75  # length factor saturated for the keeper
+
+
+def test_canonical_keeper_tie_breaks_on_min_id(spark):
+    """Identical copies (identical quality) must keep the smallest id —
+    the deterministic tie contract."""
+    body = (BASE + " ") * 4
+    docs = spark.createDataFrame(
+        [(5, body), (7, body), (11, body)], "doc_id long, text string"
+    )
+    from projet_data_engineering_spark.operators.dedup import (
+        canonical_keepers,
+    )
+
+    out = canonical_keepers(docs).collect()
+    assert len(out) == 1
+    assert out[0]["keeper"] == 5 and out[0]["n_members"] == 3
+
+
+def test_dedup_recall_contract_holds_on_corpus(spark):
+    """On the synthetic corpus the banded LSH must find at least the
+    banding-theory floor of the exact trigram-Jaccard >= 0.8 pairs
+    (P[collide | jac=0.8] ~ 0.983 with 4 bands of 2), and the candidate
+    count must dominate the found count (candidates superset truth hits)."""
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_DIR
+
+    r = entrymod.queries()["q_dedup_recall"](spark, SF_DIR).collect()[0]
+    assert r["n_true"] > 0
+    assert r["n_found"] <= r["n_true"]
+    assert r["n_candidates"] >= r["n_found"]
+    assert r["recall"] >= 0.95

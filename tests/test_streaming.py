@@ -560,3 +560,69 @@ def test_stream_index_refresh_bootstraps_from_batch_build(spark, tmp_path):
     # vocab covers the union's terms
     vocab = {r["term"] for r in spark.read.parquet(f"{idx}/vocab").collect()}
     assert {t for t, _, _, _ in want} <= vocab
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_drift_monitor_fires_on_shifted_batch_and_clamps(spark, tmp_path):
+    """A batch drawn from a shifted distribution must flag against the
+    frozen baseline; a same-distribution batch must not; and values OUTSIDE
+    the baseline range must clamp into the edge bins (not error, not fall
+    off the grid) — the exact case the batch audit's global-range grid
+    never exercises. PSI values equal a pure-python recomputation."""
+    import datetime
+    import math
+
+    from projet_data_engineering_spark.streaming.drift import (
+        build_drift_baseline,
+        drift_monitor_batch,
+    )
+
+    day = datetime.datetime(2024, 1, 10)
+    base_rows = [(day, "m", float(v % 100)) for v in range(400)]
+    base = spark.createDataFrame(
+        base_rows, "ts timestamp, event_type string, value double"
+    )
+    bpath, rpath = str(tmp_path / "base"), str(tmp_path / "rep")
+    build_drift_baseline(base, bpath)
+
+    # batch 0: same uniform spread -> stable. batch 1: mass pushed above
+    # vmax (120..150, all clamp into bin 9) -> must drift.
+    stable = spark.createDataFrame(
+        [(day, "m", float(v % 100)) for v in range(200)],
+        "ts timestamp, event_type string, value double",
+    )
+    shifted = spark.createDataFrame(
+        [(day, "m", 120.0 + float(v % 30)) for v in range(200)],
+        "ts timestamp, event_type string, value double",
+    )
+    drift_monitor_batch(stable, bpath, rpath, 0)
+    drift_monitor_batch(shifted, bpath, rpath, 1)
+
+    got = {
+        r["batch_id"]: r for r in spark.read.parquet(rpath).collect()
+    }
+    assert not got[0]["drifted"] and got[0]["psi"] < 0.01
+    assert got[1]["drifted"] and got[1]["psi"] > 1.0
+    assert got[0]["n_batch"] == got[1]["n_batch"] == 200
+
+    # exact recomputation of the shifted batch: baseline uniform over
+    # bins 0..9 (40 each), batch all clamped into bin 9
+    cb = [40] * 10
+    cc = [0] * 9 + [200]
+    psi = sum(
+        ((b + 0.5) / 405.0 - (c + 0.5) / 205.0)
+        * math.log(((b + 0.5) / 405.0) / ((c + 0.5) / 205.0))
+        for b, c in zip(cb, cc)
+    )
+    assert got[1]["psi"] == round(psi, 5)
+
+    # replay of batch 1 leaves the report unchanged (slice replace)
+    drift_monitor_batch(shifted, bpath, rpath, 1)
+    again = {r["batch_id"]: r for r in spark.read.parquet(rpath).collect()}
+    assert {k: tuple(v) for k, v in again.items()} == {
+        k: tuple(v) for k, v in got.items()
+    }

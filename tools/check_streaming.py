@@ -278,6 +278,58 @@ def main() -> int:
         run(f"{work}/chk_ann2")  # full redelivery: keyed merges must not dup
         assert served(idx) == want
 
+    def check_drift():
+        """Streaming PSI monitor: per-batch report equals a direct
+        drift_monitor_batch recomputation, and a full redelivery leaves the
+        report identical (delete-then-insert replace is idempotent)."""
+        from projet_data_engineering_spark.streaming.drift import (
+            build_drift_baseline,
+            drift_monitor_batch,
+            run_stream_drift,
+        )
+
+        e = load_table(spark, SF_DIR, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        split = F.to_date("ts") < F.lit("2024-01-16")
+        base_path = f"{work}/drift_base"
+        build_drift_baseline(e.filter(split), base_path)
+        cur = e.filter(~split)
+        for k in range(3):
+            cur.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(
+                f"{work}/driftsrc/b{k}"
+            )
+            time.sleep(0.05)
+
+        def run(chk, rep):
+            stream = (
+                spark.readStream.schema(cur.schema)
+                .option("maxFilesPerTrigger", 1)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(f"{work}/driftsrc/*")
+            )
+            run_stream_drift(stream, base_path, rep, chk)
+
+        rep = f"{work}/drift_rep"
+        run(f"{work}/chk_drift1", rep)
+
+        def report(path):
+            return {
+                (r["batch_id"], r["event_type"]): (r["n_batch"], r["psi"], r["drifted"])
+                for r in spark.read.parquet(path).collect()
+            }
+
+        got = report(rep)
+        # direct per-batch recomputation through the same batch body
+        rep2 = f"{work}/drift_rep2"
+        for k in range(3):
+            drift_monitor_batch(
+                cur.filter(F.col("event_id") % 3 == k), base_path, rep2, k
+            )
+        assert got == report(rep2) and len(got) > 0, (len(got),)
+        run(f"{work}/chk_drift2", rep)  # full redelivery
+        assert report(rep) == got
+
     gate("windowed_stream", check_windowed)
     gate("dedup_stream", check_dedup)
     gate("stream_stream_join", check_join)
@@ -286,9 +338,10 @@ def main() -> int:
     gate("run_stream_index_refresh_serves_and_replays", check_index_refresh)
     gate("run_stream_dedup_ingest_matches_batch_twin", check_dedup_ingest)
     gate("run_stream_ann_refresh_matches_scratch_build", check_ann_refresh)
+    gate("run_stream_drift_matches_batch_and_replays", check_drift)
 
     shutil.rmtree(work, ignore_errors=True)
-    print(f"\n{8 - failures} ok, {failures} FAILED")
+    print(f"\n{9 - failures} ok, {failures} FAILED")
     return 1 if failures else 0
 
 
