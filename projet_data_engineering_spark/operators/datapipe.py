@@ -1006,7 +1006,8 @@ def constraint_audit(
     At 100 TB: per-table checks are map-side conditional sums (one scan,
     no shuffle beyond the 1-row aggregate); uniqueness rides the same
     aggregate via count - countDistinct; FK orphan counts are left-anti
-    joins that AQE broadcasts when the dimension fits. The report is
+    joins PINNED to sort-merge — both parents here are fact-proportional,
+    so a broadcast (even a planner-estimated one) is a 100 TB OOM. The report is
     |checks| rows — driver-safe by construction."""
 
     def report(agg_df, specs):
@@ -1052,9 +1053,18 @@ def constraint_audit(
             - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
         ).alias("dup_key"),
     )
+    # Both FK parents here (customer, orders) are FACT-PROPORTIONAL — they
+    # grow with the corpus, unlike region/nation-style dims — so the anti-
+    # join must never broadcast them: Spark's size estimate of the pruned
+    # single-key column can slip under autoBroadcastJoinThreshold and plan
+    # a driver-built broadcast of millions of keys (observed at sf10:
+    # "Not enough memory to build and broadcast" under memory pressure —
+    # the drop-list lesson again, this time via the planner's estimate
+    # instead of an explicit hint). Pin sort-merge on the parent side;
+    # small-dim FKs can leave the choice to AQE.
     fk_orders = (
         orders.join(
-            customer,
+            customer.hint("merge"),
             orders["o_custkey"] == customer["c_custkey"],
             "left_anti",
         )
@@ -1063,7 +1073,9 @@ def constraint_audit(
     )
     fk_lineitem = (
         lineitem.join(
-            orders, lineitem["l_orderkey"] == orders["o_orderkey"], "left_anti"
+            orders.hint("merge"),
+            lineitem["l_orderkey"] == orders["o_orderkey"],
+            "left_anti",
         )
         .agg(F.count("*").alias("v"))
         .crossJoin(F.broadcast(lineitem.agg(F.count("*").alias("n"))))

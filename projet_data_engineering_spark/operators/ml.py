@@ -241,8 +241,14 @@ def logreg_weights(
     the 6dp rounding on BOTH engines stops float-summation drift from
     compounding across iterations — the same determinism contract as
     ``kmeans_centroids``. At 100 TB each iteration is one scan; the model
-    state is 4 doubles."""
-    feats = _doc_features(docs)
+    state is 4 doubles.
+
+    The featurized frame persists once: without it every round re-runs the
+    tokenize/stopword featurization of the raw text (6× the heaviest map
+    work — see evidence/bench_newops_r07.json), with it each round scans 4
+    cached doubles per doc. At 100 TB the same move is a checkpoint of the
+    feature table before the GD loop."""
+    feats = _doc_features(docs).persist()
     w = feats.sparkSession.createDataFrame(
         [(0.0, 0.0, 0.0, 0.0)], "w0 double, w1 double, w2 double, w3 double"
     )
