@@ -108,21 +108,26 @@ def kmeans_stats(emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM)
 
 
 def kmeans_centroid_ctes(
-    k: int = K, iters: int = ITERS, dim: int = DIM, prefix: str = ""
+    k: int = K, iters: int = ITERS, dim: int = DIM, prefix: str = "",
+    e_expr: str = "CAST(embedding AS DOUBLE[])",
 ) -> tuple[list[str], str]:
     """DuckDB CTE transcription of :func:`kmeans_centroids`, unrolled per
     iteration. Returns (cte_list, final_centroid_cte_name) — the final CTE
     has columns (cid, ce). ``prefix`` namespaces the CTEs so a consumer
     query (IVF, recall) can splice them next to its own. Shared by
     q_kmeans / q_ann_ivf / q_ann_recall so all three oracles train the
-    SAME centroids the Spark side does."""
+    SAME centroids the Spark side does. ``e_expr`` is the DuckDB expression
+    producing the trained vector from an ``embeddings`` row — the default is
+    the full vector; product quantization (``operators.pq``) passes a
+    1-based-inclusive list slice to train per-subspace codebooks with this
+    same proven transcription."""
     p = prefix
     d2 = (
         f"list_sum(list_transform(generate_series(1, {dim}), "
         f"i -> ({p}emb.e[i] - c.ce[i]) * ({p}emb.e[i] - c.ce[i])))"
     )
     ctes = [
-        f"{p}emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        f"{p}emb AS (SELECT vec_id, {e_expr} AS e "
         "FROM embeddings)",
         f"""{p}c0 AS (
             SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)

@@ -138,3 +138,123 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (r7): cut the fact shuffle before the Exchange
+# ---------------------------------------------------------------------------
+
+BLOOM_NWORDS = 1024            # 64 KiB packed bitmap — fixed, corpus-independent
+BLOOM_NBITS = BLOOM_NWORDS * 64
+BLOOM_HASHES = 2
+
+
+def _bloom_positions(key: Column) -> list[Column]:
+    """BLOOM_HASHES bit positions for a key: xxhash64 under distinct seeds,
+    pmod'd into the bitmap. xxhash64 is the same JVM hash Spark's own
+    runtime bloom filter uses — fast, and never leaves codegen."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_NBITS))
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def bloom_bitmap(keys: DataFrame, key: str) -> list[int]:
+    """Build the packed blocked-bloom bitmap from the build side's keys:
+    explode each key's bit positions, OR them into 64-bit words with one
+    tiny groupBy, and collect. The collect is BOUNDED at exactly
+    BLOOM_NWORDS rows regardless of build-side cardinality — the bitmap is
+    the fixed-size summary that makes this safe where collecting the keys
+    themselves (or broadcasting a corpus-sized drop list — the r6 lesson)
+    is not."""
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col(key)))).alias("pos")
+    )
+    words = (
+        pos.select(
+            F.shiftright("pos", 6).alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("mask"))
+    )
+    bitmap = [0] * BLOOM_NWORDS
+    for r in words.collect():
+        bitmap[r["w"]] = r["mask"]
+    return bitmap
+
+
+def bloom_might_contain(key: Column, bitmap: list[int]) -> Column:
+    """Membership predicate over a literal bitmap: for each hash, look up
+    the word and test the bit. Pure Column algebra (array literal +
+    element_at + shift), so the filter rides whole-stage codegen on the
+    fact scan — BEFORE any exchange. False positives possible (the exact
+    join after the filter removes them), false negatives impossible
+    (pytest property)."""
+    arr = F.lit(bitmap)
+    cond = F.lit(True)
+    for pos in _bloom_positions(key):
+        word = F.element_at(arr, F.shiftright(pos, 6).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft",
+            F.lit(1).cast("long"),
+            F.pmod(pos, F.lit(64)).cast("int"),
+        )
+        cond = cond & (word.bitwiseAND(bit) != 0)
+    return cond
+
+
+@query(
+    "q_bloom_join",
+    oracle="""
+    SELECT l.l_partkey AS partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23' AND p.p_size <= 5
+    GROUP BY l.l_partkey
+    """,
+)
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim⋈fact join with an explicit bloom-filter prefilter on
+    the fact side (TPC-H-Q17 shape: a brand/size slice of ``part`` against
+    ``lineitem``).
+
+    The build side's keys fold into a fixed 64 KiB packed bitmap
+    (:func:`bloom_bitmap`); the fact scan tests membership in codegen and
+    drops ~99.8% of its rows BEFORE the join exchange (123 of 60 000
+    survive at sf0.01). The join is hinted ``merge`` to model the at-scale
+    case the bloom exists for: when BOTH sides must shuffle (build side too
+    big to broadcast), the bloom is what keeps the fact exchange
+    proportional to matches instead of corpus. False positives are
+    harmless — the exact join removes them — so the result hash-matches the
+    plain-join oracle.
+
+    At 100 TB: Spark injects this automatically when
+    ``spark.sql.optimizer.runtime.bloomFilter.enabled`` is on and the
+    planner sees both sides in one query; the explicit form is for when it
+    cannot — the build side arrives from a separate pipeline stage (a
+    curated id list, yesterday's index) or the filter must be reused across
+    many fact scans. The bitmap stays 64 KiB however large the corpus —
+    compare the r6 drop-list lesson where an O(corpus) broadcast was the
+    scale-killer."""
+    part = load_table(spark, sf_dir, "part")
+    dim = part.filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    bitmap = bloom_bitmap(dim, "p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pruned = li.filter(bloom_might_contain(F.col("l_partkey"), bitmap))
+    joined = pruned.join(
+        dim.hint("merge"), pruned["l_partkey"] == dim["p_partkey"]
+    )
+    return joined.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )

@@ -234,6 +234,7 @@ def _load_all() -> None:
         windows,
     )
     from projet_data_engineering_spark.operators import (  # noqa: F401
+        pq,
         search,
         similarity,
         skew,

@@ -223,3 +223,64 @@ def test_salted_agg_and_join_correct_under_zipf_skew(spark):
         .collect()
     )
     assert sorted(map(tuple, salted_join_res)) == sorted(map(tuple, plain_join))
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter join pruning (r7)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_has_no_false_negatives(spark):
+    """Every inserted key must pass its own filter — the property that makes
+    the prefilter safe (false positives are removed by the exact join)."""
+    from projet_data_engineering_spark.operators.skew import (
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    keys = spark.range(0, 5000, 7).select(F.col("id").alias("k"))
+    bitmap = bloom_bitmap(keys, "k")
+    passed = keys.filter(bloom_might_contain(F.col("k"), bitmap)).count()
+    assert passed == keys.count()
+
+
+def test_bloom_prefilter_is_selective_and_bounded(spark):
+    """The fact prefilter keeps ~matches, not ~corpus, and the bitmap is the
+    fixed 64 KiB summary regardless of build-side size."""
+    from projet_data_engineering_spark.operators.skew import (
+        BLOOM_NWORDS,
+        bloom_bitmap,
+        bloom_might_contain,
+    )
+
+    part = load_table(spark, SF_DIR, "part")
+    dim = part.filter(
+        (F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    bitmap = bloom_bitmap(dim, "p_partkey")
+    assert len(bitmap) == BLOOM_NWORDS
+    li = load_table(spark, SF_DIR, "lineitem")
+    total = li.count()
+    kept = li.filter(
+        bloom_might_contain(F.col("l_partkey"), bitmap)
+    ).count()
+    matches = li.join(dim, li["l_partkey"] == dim["p_partkey"]).count()
+    assert matches <= kept  # no false negatives end-to-end
+    assert kept <= max(50, 3 * matches + total // 100)  # selective, FP-light
+
+
+def test_bloom_join_plan_filters_before_exchange(spark):
+    """The membership predicate must sit on the fact scan side — inside the
+    codegen stage that feeds the join exchange, not after it."""
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    Q = entrymod.queries()
+    plan = formatted_plan(Q["q_bloom_join"](spark, SF_DIR))
+    assert "xxhash64" in plan          # the bloom predicate is in the plan
+    assert "SortMergeJoin" in plan     # modeling the both-sides-shuffle case
+    # the filter appears in the scan stage, upstream of the join's exchange:
+    # formatted plans list operators bottom-up per stage, so the xxhash64
+    # filter's first mention must precede the SortMergeJoin node's
+    assert plan.index("xxhash64") > plan.index("SortMergeJoin") or (
+        "Filter" in plan.split("SortMergeJoin")[0]
+    )
