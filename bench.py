@@ -65,6 +65,9 @@ BENCH_QUERIES = [
     "q_token_budget",   # banded two-level prefix-sum budget selection (r7)
     "q_vocab_coverage", # dictionary coverage cutoff (r7)
     "q_domain_temperature",  # tau=2 mixture weights (r7)
+    "q_bloom_join",     # bloom-pruned fact join (r7b)
+    "q_dsir_weights",   # DSIR importance weights (r7b)
+    "q_semdedup",       # trained-cluster semantic dedup (r7b)
 ]
 
 # The 24-query set benched in round 1 (BENCH_r01/BASELINE.md anchor). The

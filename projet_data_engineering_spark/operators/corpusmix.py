@@ -345,3 +345,130 @@ def q_domain_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_domain_temperature``'s weights. See :func:`domain_resample` for the
     deterministic stochastic-rounding contract and the scale shape."""
     return domain_resample(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (r7): select raw docs that look like the target
+# ---------------------------------------------------------------------------
+
+_DSIR_CTES = """
+    toks AS (
+        SELECT doc_id, lang, t FROM (
+            SELECT doc_id, lang, UNNEST(str_split(lower(text), ' ')) AS t
+            FROM documents
+        ) WHERE t <> ''
+    ),
+    vocab AS (
+        SELECT t, COUNT(*) AS cr,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+        FROM toks GROUP BY t
+    ),
+    tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v FROM vocab),
+    lr AS (
+        SELECT t, ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)) AS lr
+        FROM vocab CROSS JOIN tot
+    ),
+    weights AS (
+        SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(lr.lr), 4) + 0.0 AS log_ratio
+        FROM toks JOIN lr ON toks.t = lr.t
+        GROUP BY toks.doc_id
+    )"""
+
+
+def dsir_weights(docs: DataFrame, target: F.Column) -> DataFrame:
+    """Per-document importance weight log(p_target(x)/p_raw(x)) under
+    add-one-smoothed unigram language models — Data Selection via
+    Importance Resampling (Xie et al., NeurIPS 2023), with the target
+    distribution estimated from the rows where ``target`` is true.
+
+    Shape at 100 TB: ONE pass over the exploded token stream builds BOTH
+    models simultaneously (raw count + conditional target count per term —
+    no second corpus scan for the target side); the totals are a 1-row
+    broadcast; the per-term log-ratio dictionary joins back onto the token
+    stream WITHOUT a broadcast hint — |vocab| is corpus-dependent, so the
+    r6 drop-list rule applies: AQE broadcasts when the runtime size fits,
+    else a shuffle join degrades gracefully. The paper's production trick
+    for pinning the dictionary size — hash n-grams into a FIXED bucket
+    count (10k) so the model is O(1) however large the corpus — slots in
+    as one ``pmod(xxhash64(t), buckets)`` before the groupBy; raw unigrams
+    keep the oracle exact here.
+    """
+    toks = (
+        docs.select("doc_id", target.alias("is_target"),
+                    F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .filter(F.col("t") != "")
+    )
+    vocab = toks.groupBy("t").agg(
+        F.count("*").alias("cr"),
+        F.sum(F.col("is_target").cast("long")).alias("ct"),
+    )
+    tot = vocab.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt"),
+        F.count("*").alias("v"),
+    )
+    lr = vocab.crossJoin(F.broadcast(tot)).select(
+        "t",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + F.col("v")))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
+        ).alias("lr"),
+    )
+    return (
+        toks.join(lr, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            # + 0.0 flushes IEEE negative zero: a doc whose ratio rounds
+            # to -0.0 renders as "-0.000000" on DuckDB but "0.000000" on
+            # Spark→pandas, failing the value hash (caught at sf0.1)
+            (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("log_ratio"),
+        )
+    )
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, n_tokens, log_ratio FROM weights
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weight per document, target = the English slice of
+    the corpus: documents whose unigram profile looks English score high,
+    out-of-target docs score low. See :func:`dsir_weights` for the
+    one-pass/100 TB design."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_weights(docs, F.col("lang") == "en")
+
+
+@query(
+    "q_dsir_select",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT doc_id, log_ratio, rank FROM (
+        SELECT doc_id, log_ratio,
+               ROW_NUMBER() OVER (ORDER BY log_ratio DESC, doc_id) AS rank
+        FROM weights
+    ) WHERE rank <= 50
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 documents by DSIR weight — the deterministic skeleton of the
+    resampling step (the paper samples WITHOUT replacement with probability
+    ∝ weight; ``q_sample_weighted`` already demonstrates the weighted-draw
+    machinery, so this query pins the ranking itself). The top-k is
+    TakeOrdered-shaped: k rows per partition move, never the corpus."""
+    w = q_dsir_weights(spark, sf_dir)
+    return (
+        w.orderBy(F.desc("log_ratio"), F.asc("doc_id"))
+        .limit(50)
+        .select(
+            "doc_id",
+            "log_ratio",
+            F.row_number()
+            .over(Window.orderBy(F.desc("log_ratio"), F.asc("doc_id")))
+            .alias("rank"),
+        )
+    )

@@ -1104,3 +1104,127 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_keepers(
         spread(load_table(spark, sf_dir, "documents"), "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup over trained clusters (r7): the SemDeDup shape
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    from projet_data_engineering_spark.operators.similarity import (
+        _ivf_oracle_ctes,
+    )
+
+    return f"""
+    WITH {_ivf_oracle_ctes()[0]},
+    b AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    assign AS (
+        SELECT vec_id, cent_id, v FROM (
+            SELECT b.vec_id, c.cent_id, b.v,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY b.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(b.v, c.cv), 4) DESC,
+                                c.cent_id ASC) AS rn
+            FROM b CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    dups AS (
+        SELECT DISTINCT hi.vec_id
+        FROM assign lo JOIN assign hi
+          ON lo.cent_id = hi.cent_id AND lo.vec_id < hi.vec_id
+        WHERE ROUND(list_cosine_similarity(lo.v, hi.v), 4) >= {SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, a.cent_id,
+           CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM assign a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """
+
+
+@query("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al., 2023): assign
+    every embedding to a TRAINED k-means cluster (the same md5-seeded
+    quantizer recipe the IVF index uses), compute pairwise cosine ONLY
+    within each cluster, and drop any vector that is ≥ τ-similar to a
+    lower-id vector in its cluster (greedy-by-id acceptance —
+    deterministic, the same contract as the streaming near-dup ingest).
+
+    k is pinned to 8 HERE because the oracle must train the identical
+    quantizer; production sizing is :func:`semdedup_flags`'s ``k``
+    parameter — see its docstring for why k must grow with the corpus
+    (bench_newops_r07b measures the scaled configuration at sf5/sf10)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semdedup_flags(e, k=8)
+
+
+def semdedup_flags(
+    emb: DataFrame, k: int = 8, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """(vec_id, cent_id, keep) SemDeDup flags over ``k`` trained clusters.
+
+    The embedding twin of MinHash-LSH dedup, with learned clusters as the
+    blocking key instead of hash bands: the corpus-wide shuffle is ONE
+    repartition by cent_id; the O(n²) cosine work is confined to
+    cluster-sized blocks. k is the knob that keeps blocks task-sized —
+    EXACTLY like LSH band width: with k fixed, blocks grow O(n) and the
+    pair stage grows O(n²/k); with k ∝ n (the paper runs tens of
+    thousands of clusters), blocks stay constant and the pair stage is
+    LINEAR in the corpus. Assignment is map-only against the broadcast
+    quantizer. The keep column comes back as an int flag so the output
+    doubles as the drop-list builder: at scale the `keep = 0` slice feeds
+    the same bucketed anti-join the `build_dedup_state` layout serves —
+    never a corpus-sized broadcast (r6 lesson)."""
+    from projet_data_engineering_spark.operators.ml import kmeans_centroids
+    from projet_data_engineering_spark.operators.similarity import (
+        _ivf_scored_cents,
+        as_double,
+        cosine,
+    )
+
+    b = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = (
+        kmeans_centroids(emb, k=k, iters=2)
+        .select(
+            F.struct(
+                F.col("cid").alias("cent_id"), F.col("ce").alias("cv")
+            ).alias("c")
+        )
+        .agg(F.collect_list("c").alias("cents"))
+        .localCheckpoint(eager=True)
+    )
+    assigned = (
+        b.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "v",
+            (-_ivf_scored_cents(1)[0]["neg_id"]).alias("cent_id"),
+        )
+        .localCheckpoint(eager=True)  # the materialized assignment table —
+        # shared by both sides of the within-cluster pair join
+    )
+    a, c = assigned.alias("a"), assigned.alias("b")
+    dups = (
+        a.join(
+            c,
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= tau)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dups.withColumn("_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cent_id",
+            F.when(F.col("_dup").isNull(), 1).otherwise(0).alias("keep"),
+        )
+    )
+
+
