@@ -1787,3 +1787,59 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probed.crossJoin(cand).select(
         "n_true", "n_found", "n_candidates", recall.alias("recall")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (r7b): the privacy gate next to the constraint audit
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+KANON_BAND = 2000.0
+
+
+@query(
+    "q_k_anonymity",
+    oracle=f"""
+    SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+           CAST(FLOOR(c_acctbal / {KANON_BAND}) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CASE WHEN COUNT(*) >= {KANON_K} THEN 1 ELSE 0 END AS anon_ok
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / {KANON_BAND}) AS BIGINT)
+    """,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney, 2002) over the customer table's
+    quasi-identifiers — nation, market segment, and a coarsened account
+    balance band: every equivalence class smaller than k={KANON_K} is a
+    re-identification risk the pipeline must generalize or suppress
+    before the table ships as training data. Pairs with ``q_pii_redact``
+    (which removes DIRECT identifiers — this audit is about indirect
+    ones) and ``q_constraint_audit`` (same one-aggregate report shape).
+
+    ONE groupBy over the quasi-identifier tuple; the report is
+    |equivalence classes| rows. At 100 TB the QI tuple is the shuffle key
+    and the class count is map-side combined — the audit costs what any
+    distinct-count on those columns costs. The banding constant doubles
+    as the generalization knob: widen it until every class clears k."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / KANON_BAND)
+            .cast("bigint")
+            .alias("bal_band"),
+        )
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "nationkey",
+            "segment",
+            "bal_band",
+            "group_size",
+            F.when(F.col("group_size") >= KANON_K, 1).otherwise(0).alias(
+                "anon_ok"
+            ),
+        )
+    )

@@ -350,3 +350,95 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").alias("degree")).agg(
         F.count("*").alias("n_parts")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (r7b): community detection over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al., 2007) with a
+    deterministic contract: every node starts labeled with its own id;
+    each round it adopts the most frequent label among its NEIGHBORS,
+    ties toward the smallest label — no randomized visit order, so the
+    result is reproducible and oracle-transcribable round by round.
+
+    Scale shape per round: one message shuffle (edges joined to the
+    current label frame on dst) + one (node, label) count + one argmax
+    aggregate — max(struct(cnt, −label)) so the tie-break rides the same
+    aggregate, never a window over the corpus. Labels are a node-sized
+    frame; with deeper runs add periodic localCheckpoint exactly like the
+    connected-components loop (at 3 rounds the lineage stays shallow).
+    LPA is the cheap community pass next to :func:`connected components`:
+    components find reachability islands, LPA splits dense regions
+    within them."""
+    sym = edges.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(
+        edges.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        msgs = sym.join(
+            labels, sym["dst"] == labels["node"]
+        ).select(F.col("src").alias("n"), "label")
+        counts = msgs.groupBy("n", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("n")
+            .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias("b"))
+            .select(F.col("n").alias("node"), (-F.col("b.nl")).alias("label"))
+        )
+    return labels
+
+
+@query(
+    "q_label_prop",
+    oracle=f"""
+    WITH e AS ({_TRI_EDGES_SQL}),
+    sym AS (SELECT p1 AS src, p2 AS dst FROM e
+            UNION ALL SELECT p2, p1 FROM e),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+    l1 AS (
+        SELECT node, label FROM (
+            SELECT s.src AS node, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY s.src
+                       ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM sym s JOIN l0 l ON s.dst = l.node
+            GROUP BY s.src, l.label
+        ) WHERE rn = 1
+    ),
+    l2 AS (
+        SELECT node, label FROM (
+            SELECT s.src AS node, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY s.src
+                       ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM sym s JOIN l1 l ON s.dst = l.node
+            GROUP BY s.src, l.label
+        ) WHERE rn = 1
+    ),
+    l3 AS (
+        SELECT node, label FROM (
+            SELECT s.src AS node, l.label,
+                   ROW_NUMBER() OVER (PARTITION BY s.src
+                       ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+            FROM sym s JOIN l2 l ON s.dst = l.node
+            GROUP BY s.src, l.label
+        ) WHERE rn = 1
+    )
+    SELECT node, label AS community FROM l3
+    """,
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round deterministic label propagation over the part co-purchase
+    graph (same edge derivation + density gate as ``q_triangle_count``,
+    so the oracle sees the identical graph). Returns every node's
+    community label; the oracle unrolls the three rounds as CTEs — a
+    wrong tie-break or a missed reverse edge fails the hash."""
+    return label_propagation(
+        _copurchase_edges(spark, sf_dir), LPA_ROUNDS
+    ).select("node", F.col("label").alias("community"))

@@ -19,9 +19,13 @@ rerank@50 up to 1.0 (see ``q_ann_pq_rerank``).
 Asymmetric distance computation (ADC): a query computes its M·K-entry
 distance table against the codebooks ONCE (a per-query constant — M·K
 doubles), then every corpus vector's approximate distance is M table
-lookups on its codes. On Spark that is: codes table ``crossJoin`` the
-1-row broadcast query artifact → map-only lookup + add per row → the only
-shuffle is the final per-query top-k. The corpus never moves.
+lookups on its codes. On Spark both the model and the per-query tables
+are bounded, so they live DRIVER-SIDE and enter the plan as LITERAL
+expressions (the MLlib centroid pattern): the codes scan is pure map
+work and the only shuffle is the final per-query top-k. The corpus never
+moves — and nothing model-sized is copied per row (a broadcast-artifact
+variant of this module measured copy-bound: BroadcastNestedLoopJoin
+appends the build row to EVERY stream row).
 
 Determinism contract (same as the k-means family): codebooks round
 centroids to 6 dp per Lloyd's round; every subspace distance rounds to
@@ -66,147 +70,146 @@ def _sub(v: Column, m: int) -> Column:
     return F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
 
 
-def pq_codebooks(emb: DataFrame) -> DataFrame:
-    """Train the M independent subspace codebooks → (m, cid, ce).
+BooksLocal = dict[int, list[tuple[int, list[float]]]]
+
+
+def _train_books(emb: DataFrame) -> BooksLocal:
+    """Train the M subspace codebooks → {m: [(cid, centroid), ...]}.
 
     The math per subspace is :func:`ml.kmeans_centroids` exactly (seeds =
     bottom-K vectors by md5(vec_id) — identical seed ROWS across subspaces,
     different seed VALUES because the slice differs; raw-d2 argmin with
     lowest-cid ties; 6-dp-rounded means) — the oracle transcribes it with
-    the SAME shared CTE builder, sliced source expression. But the M runs
-    are fused into ONE loop over the long format (vec_id, m, ev): one
-    broadcast of all M·K candidate centroids per Lloyd's round, one
-    groupBy(m, cid) update — ~2 stages per round for all 16 subspaces
-    instead of ~3 stages × 16 trainings (stage overhead, not data volume,
-    dominated the naive version at small SF; at 100 TB the fused loop also
-    reads the corpus once per round instead of M times)."""
+    the SAME shared CTE builder, sliced source expression.
+
+    Execution shape is the MLlib-style centroid loop: the model lives on
+    the DRIVER (a bounded M·K·subdim doubles — 1 KiB here, never
+    corpus-proportional) and each Lloyd's round is ONE map-only assignment
+    pass with the centroids embedded as LITERAL expressions + one
+    groupBy(m, cid) update collected back. Two earlier shapes lost to
+    this on measurement: per-subspace DataFrame trainings were
+    stage-count-bound (~100 tiny jobs), and a 1-row broadcast codebook
+    artifact was copy-bound — BroadcastNestedLoopJoin appends the build
+    row to EVERY stream row, so a ~10 KiB nested-array model became
+    gigabytes of per-row copying at sf5+. Literals ride whole-stage
+    codegen with zero per-row payload."""
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    subparts = F.array(
-        *[
-            F.struct(F.lit(m).alias("m"), _sub(F.col("v"), m).alias("ev"))
+    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
+    seed_rows = e.orderBy(*seed_order).limit(PQ_K).collect()  # bounded: K rows
+    books: BooksLocal = {
+        m: [
+            (cid, [float(x) for x in row["v"][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]])
+            for cid, row in enumerate(seed_rows, start=1)
+        ]
+        for m in range(PQ_M)
+    }
+    for _ in range(PQ_ITERS):
+        # Raw-d2 argmin (NOT rounded — training matches kmeans_centroids;
+        # only the ENCODE argmin rounds), ties toward the lowest cid. The
+        # per-subspace argmins are computed as M NARROW columns (each a
+        # codegen-friendly unrolled-arithmetic expression) and the frame
+        # MATERIALIZED before the explode: fusing the 16 argmins into the
+        # explode projection blows past codegen's field limits and drops
+        # the whole stage to interpreted evaluation (measured 2× slower
+        # than paying the checkpoint).
+        wide = e.select(
+            "v",
+            *[
+                F.array_min(_cands(books, m, F.col("v"), rounded=False))[
+                    "cid"
+                ].alias(f"c{m}")
+                for m in range(PQ_M)
+            ],
+        ).localCheckpoint(eager=True)
+        parts = [
+            F.struct(
+                F.lit(m).alias("m"),
+                F.col(f"c{m}").alias("cid"),
+                *[
+                    F.element_at(F.col("v"), m * PQ_SUBDIM + i + 1).alias(
+                        f"x{i}"
+                    )
+                    for i in range(PQ_SUBDIM)
+                ],
+            )
             for m in range(PQ_M)
         ]
-    )
-    long = e.select("vec_id", F.explode(subparts).alias("p")).select(
-        "vec_id", "p.m", "p.ev"
-    )
-    seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
-    w = Window.orderBy(*seed_order)
-    seeds = (
-        e.orderBy(*seed_order)
-        .limit(PQ_K)
-        .select(F.row_number().over(w).alias("cid"), "v")
-    )
-    books = seeds.select(
-        "cid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"), _sub(F.col("v"), m).alias("ce")
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("p"),
-    ).select("p.m", "cid", "p.ce")
-    for _ in range(PQ_ITERS):
-        art = (
-            books.select(F.struct("m", "cid", "ce").alias("b"))
-            .agg(F.array_sort(F.collect_list("b")).alias("books"))
-            .localCheckpoint(eager=True)
-        )
-        # Raw-d2 argmin (NOT rounded — training matches kmeans_centroids;
-        # only the ENCODE argmin rounds), ties toward the lowest cid.
-        best = F.array_min(
-            F.transform(
-                F.filter(F.col("books"), lambda b: b["m"] == F.col("m")),
-                lambda b: F.struct(
-                    _dist2(F.col("ev"), b["ce"]).alias("d2"),
-                    b["cid"].alias("cid"),
-                ),
-            )
-        )
-        assigned = long.crossJoin(F.broadcast(art)).select(
-            "vec_id", "m", "ev", best["cid"].alias("cid")
-        )
-        means = assigned.groupBy("m", "cid").agg(
+        long = wide.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
+        means = long.groupBy("m", "cid").agg(
             *[
-                F.round(F.avg(F.element_at("ev", i + 1)), 6).alias(f"d{i}")
+                F.round(F.avg(f"x{i}"), 6).alias(f"d{i}")
                 for i in range(PQ_SUBDIM)
             ]
         )
-        books = means.select(
-            "m",
-            "cid",
-            F.array(*[F.col(f"d{i}") for i in range(PQ_SUBDIM)]).alias("ce"),
-        )
+        rows = means.collect()  # bounded: ≤ M·K rows
+        books = {m: [] for m in range(PQ_M)}
+        for r in rows:
+            books[r["m"]].append(
+                (r["cid"], [float(r[f"d{i}"]) for i in range(PQ_SUBDIM)])
+            )
+        for m in books:
+            books[m].sort()
     return books
 
 
-def _book_artifact(emb: DataFrame) -> DataFrame:
-    """1-row broadcastable codebook artifact with ONE COLUMN PER SUBSPACE
-    (``bk0``..``bk{M-1}``, each a cid-sorted array of struct(cid, ce)).
+def _d2_unrolled(vec: Column, off: int, ce: list[float]) -> Column:
+    """Squared L2 distance of vec[off+1 .. off+subdim] to a LITERAL
+    centroid, unrolled into plain column arithmetic — Spark does not
+    codegen higher-order-function lambdas (ArrayAggregate/ZipWith are
+    CodegenFallback, evaluated per element through interpreted closures),
+    and the fold-based variant of this module measured compute-bound on
+    exactly that. Plain GetArrayItem + multiply/add rides whole-stage
+    codegen. Left-to-right addition order matches the JVM fold and
+    DuckDB's list_sum, so the bits are identical."""
+    expr = None
+    for i, c in enumerate(ce):
+        t = F.element_at(vec, off + i + 1) - F.lit(c)
+        sq = t * t
+        expr = sq if expr is None else expr + sq
+    return expr
 
-    The per-m split happens HERE, on the single artifact row — a corpus row
-    then reads its subspace's K entries directly instead of filtering the
-    full M·K array M times (the flat-array version compiled a 16× larger
-    expression tree per row; the encode stage was codegen-bound, not
-    data-bound). Eagerly materialized for the same reason as
-    ``similarity._ivf_cent_artifact``: later broadcasts build from the
-    stored row instead of re-running training in a broadcast-build thread."""
-    flat = (
-        pq_codebooks(emb)
-        .select(F.struct("m", "cid", "ce").alias("b"))
-        .agg(F.array_sort(F.collect_list("b")).alias("books"))
-    )
 
-    def bk(m: int) -> Column:
-        # NB: the subspace index must be captured OUTSIDE the lambda — a
-        # two-parameter lambda (`lambda b, m=m`) is interpreted by Spark's
-        # higher-order `filter` as (element, array_index), silently binding
-        # m to the element position (caught by the oracle gate).
-        mm = F.lit(m)
-        return F.transform(
-            F.filter(F.col("books"), lambda b: b["m"] == mm),
-            lambda b: F.struct(b["cid"].alias("cid"), b["ce"].alias("ce")),
+def _cands(books: BooksLocal, m: int, vec: Column, rounded: bool) -> Column:
+    """Array of struct(d2, cid) for subspace ``m``'s literal candidates
+    against the row's FULL vector (indexed at the subspace offset)."""
+    entries = []
+    for cid, ce in books[m]:
+        d2 = _d2_unrolled(vec, m * PQ_SUBDIM, ce)
+        if rounded:
+            d2 = F.round(d2, 6)
+        entries.append(
+            F.struct(d2.alias("d2"), F.lit(cid).alias("cid"))
         )
-
-    return flat.select(
-        *[bk(m).alias(f"bk{m}") for m in range(PQ_M)]
-    ).localCheckpoint(eager=True)
+    return F.array(*entries)
 
 
-def _code(m: int) -> Column:
-    """Argmin struct (d2, cid) of subspace ``m`` against its broadcast
-    ``bk{m}`` codebook column, for a row's double vector ``v``. 6-dp
-    rounding before the argmin + lowest-cid tie-break = the cross-engine
-    contract."""
-    sub = _sub(F.col("v"), m)
-    cands = F.transform(
-        F.col(f"bk{m}"),
-        lambda b: F.struct(
-            F.round(_dist2(sub, b["ce"]), 6).alias("d2"),
-            b["cid"].alias("cid"),
-        ),
+def pq_codebooks(emb: DataFrame) -> DataFrame:
+    """The trained codebooks as a (m, cid, ce) DataFrame — the persistable
+    model artifact (and the shape the tests replay in numpy). Training
+    itself is :func:`_train_books`."""
+    books = _train_books(emb)
+    rows = [
+        (m, cid, ce) for m in range(PQ_M) for cid, ce in books[m]
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "m int, cid int, ce array<double>"
     )
-    return F.array_min(cands)
 
 
-def pq_encode(emb: DataFrame) -> DataFrame:
-    """(vec_id, v, c1..cM, recon_err): PQ codes per vector plus the exact
-    squared reconstruction error (= sum of the chosen per-subspace
-    distances — the quantity PQ training minimizes). Map-only over the
-    corpus: one crossJoin against the 1-row codebook artifact, zero
-    shuffles. At 100 TB the (vec_id, c1..cM) projection IS the stored
-    index — M bytes a row."""
+def pq_encode_with(emb: DataFrame, books: BooksLocal) -> DataFrame:
+    """(vec_id, v, c1..cM, recon_err) against an already-trained model —
+    pure map work, literal codebooks, ZERO joins/shuffles/broadcasts. At
+    100 TB the (vec_id, c1..cM) projection IS the stored index — M bytes a
+    row."""
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    enc = v.crossJoin(F.broadcast(_book_artifact(emb))).select(
-        "vec_id", "v", *[_code(m).alias(f"s{m}") for m in range(PQ_M)]
-    )
+    structs = [
+        F.array_min(_cands(books, m, F.col("v"), rounded=True)).alias(f"s{m}")
+        for m in range(PQ_M)
+    ]
+    enc = v.select("vec_id", "v", *structs)
     err = F.round(
         sum(F.col(f"s{m}")["d2"] for m in range(PQ_M)), 6
     ).alias("recon_err")
@@ -216,6 +219,14 @@ def pq_encode(emb: DataFrame) -> DataFrame:
         *[F.col(f"s{m}")["cid"].alias(f"c{m + 1}") for m in range(PQ_M)],
         err,
     )
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """Train + encode: the one-shot query shape (the driver gate invokes
+    each query standalone). Production splits these: train once on a
+    sample, persist the model, encode incrementally — ``pq_encode_with``
+    is that second half."""
+    return pq_encode_with(emb, _train_books(emb))
 
 
 def _books_ctes() -> str:
@@ -316,56 +327,59 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, vec_id, adist) for the full panel×corpus ADC scan —
-    shared by ``q_ann_pq`` (top-5) and ``q_ann_pq_rerank`` (shortlist)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    enc = pq_encode(e)
-    codes = enc.select(
-        "vec_id", *[f"c{m + 1}" for m in range(PQ_M)]
-    )
+    shared by ``q_ann_pq`` (top-5) and ``q_ann_pq_rerank`` (shortlist).
 
-    # Per-query distance tables as maps cid → d2 (no positional assumption:
-    # a codebook entry that lost all members during training simply has no
-    # map key, on both engines).
-    def dtab(m: int) -> Column:
-        sub = _sub(F.col("v"), m)
-        return F.map_from_entries(
-            F.transform(
-                F.col(f"bk{m}"),
-                lambda b: F.struct(
-                    b["cid"].alias("key"),
-                    F.round(_dist2(sub, b["ce"]), 6).alias("value"),
-                ),
-            )
-        )
+    The query panel is bounded (PQ_NQ rows), so each query's M·K distance
+    table is computed DRIVER-SIDE against the trained model and embedded
+    as literal cid→d2 maps: the corpus scan emits, per row, PQ_NQ
+    two-field structs whose adist is M constant-map lookups on the row's
+    codes — no join, no broadcast payload per row, one shuffle total (the
+    caller's top-k). Exactly the production ADC layout: the distance
+    table is a per-query constant, the codes table is the only scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    books = _train_books(e)
+    enc = pq_encode_with(e, books)
+    codes = enc.select("vec_id", *[f"c{m + 1}" for m in range(PQ_M)])
 
     v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    qart = (
-        v.filter(F.col("vec_id") < PQ_NQ)
-        .crossJoin(F.broadcast(_book_artifact(e)))
-        .select(
-            F.struct(
-                F.col("vec_id").alias("query_id"),
-                *[dtab(m).alias(f"dt{m}") for m in range(PQ_M)],
-            ).alias("q")
+    qrows = v.filter(F.col("vec_id") < PQ_NQ).collect()  # bounded panel
+
+    def dtab_lit(qv: list[float], m: int) -> Column:
+        sub = qv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+        keys, vals = [], []
+        for cid, ce in books[m]:
+            keys.append(cid)
+            # raw d2 summed left-to-right (same order as the JVM fold and
+            # DuckDB's list_sum); the 6-dp ROUND stays Spark-side on the
+            # literal so Catalyst constant-folds it with Spark's own
+            # HALF_UP — python's round() is banker's and can differ on
+            # exact half-boundaries
+            d2 = 0.0
+            for a, b in zip(sub, ce):
+                d2 += (a - b) * (a - b)
+            vals.append(F.round(F.lit(d2), 6))
+        return F.map_from_arrays(F.lit(keys), F.array(*vals))
+
+    per_query = []
+    for row in qrows:
+        qid, qv = row["vec_id"], [float(x) for x in row["v"]]
+        adist = F.round(
+            sum(
+                F.element_at(dtab_lit(qv, m), F.col(f"c{m + 1}"))
+                for m in range(PQ_M)
+            ),
+            6,
         )
-        .agg(F.collect_list("q").alias("qs"))
-        .localCheckpoint(eager=True)
-    )
-    adist = F.round(
-        sum(
-            F.element_at(F.col(f"q.dt{m}"), F.col(f"c{m + 1}"))
-            for m in range(PQ_M)
-        ),
-        6,
-    )
+        per_query.append(
+            F.struct(F.lit(qid).alias("query_id"), adist.alias("adist"))
+        )
     return (
-        codes.crossJoin(F.broadcast(qart))
-        .select("vec_id", *[f"c{m + 1}" for m in range(PQ_M)], F.explode("qs").alias("q"))
+        codes.select("vec_id", F.explode(F.array(*per_query)).alias("q"))
         .filter(F.col("vec_id") != F.col("q.query_id"))
         .select(
             F.col("q.query_id").alias("query_id"),
             "vec_id",
-            adist.alias("adist"),
+            F.col("q.adist").alias("adist"),
         )
     )
 
@@ -373,7 +387,7 @@ def adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_ann_pq", oracle=_PQ_ANN_ORACLE)
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC approximate top-5 for the 3-query panel, entirely from PQ codes:
-    each query folds its M·K distance table into a broadcast map artifact,
+    each query's M·K distance table is a literal constant map in the plan,
     and every corpus vector is scored by M map lookups on its codes — the
     compressed-domain scan that replaces full-precision cosine at 100 TB.
     Map-only until the final per-query top-k (the one shuffle)."""

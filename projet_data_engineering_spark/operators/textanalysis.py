@@ -1167,3 +1167,94 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_boiler_windows") * 2 < F.col("n_windows")).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (r7b): the named rule battery behind q_text_quality
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "is")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 20, 100_000
+GOPHER_WL_LO, GOPHER_WL_HI = 3.0, 10.0
+GOPHER_ALPHA_MIN = 0.8
+GOPHER_STOP_MIN = 2
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(str_split(lower(text), ' '), x -> x <> '') AS w
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               ROUND(list_sum(list_transform(w, x -> CAST(len(x) AS DOUBLE)))
+                     / len(w), 4) AS mean_word_len,
+               ROUND(CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+                          AS DOUBLE) / len(w), 4) AS alpha_ratio,
+               CAST(len(list_filter(w, x -> x IN ('the','a','of','and','is')))
+                    AS BIGINT) AS stop_hits
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_ratio, stop_hits,
+           CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                 AND n_words <= {GOPHER_MAX_WORDS}
+                 AND mean_word_len >= {GOPHER_WL_LO}
+                 AND mean_word_len <= {GOPHER_WL_HI}
+                 AND alpha_ratio >= {GOPHER_ALPHA_MIN}
+                 AND stop_hits >= {GOPHER_STOP_MIN}
+                THEN 1 ELSE 0 END AS pass_flag
+    FROM m
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-filter rule battery (Rae et al., 2021 §A1.1) per
+    document: word-count bounds, mean-word-length band, alphabetic-word
+    ratio, and minimum stop-word evidence — the named heuristic gate most
+    pretraining pipelines (Gopher, RefinedWeb, FineWeb) run before any
+    trained classifier (this repo's ``q_logreg`` tier).
+
+    Thresholds adapt to the synthetic corpus where Gopher's originals
+    would be vacuous (min words 20 instead of 50 — docs here run 10-99
+    words; the other bands are the paper's). The paper's remaining rules
+    (bullet/ellipsis line ratios, symbol-to-word) zero out on this
+    single-line ASCII corpus and are omitted rather than shipped untested.
+
+    Every metric is one pass of array lambdas over the tokenized text —
+    map-only, zero shuffles, no UDFs; the pass flag is computed from the
+    ROUNDED metrics on both engines so no float boundary can flip a
+    verdict. At 100 TB this is a free rider on whatever scan already
+    tokenizes the corpus (``q_curate`` composes the same shape)."""
+    toks = F.filter(
+        F.split(F.lower("text"), " "), lambda t: t != F.lit("")
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", toks.alias("w")
+    )
+    n = F.size("w")
+    sum_len = F.aggregate(
+        F.transform("w", lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    alpha = F.size(F.filter("w", lambda t: t.rlike("[a-z]")))
+    stop = F.size(F.filter("w", lambda t: t.isin(*GOPHER_STOPWORDS)))
+    m = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(sum_len / n, 4).alias("mean_word_len"),
+        F.round(alpha.cast("double") / n, 4).alias("alpha_ratio"),
+        stop.cast("bigint").alias("stop_hits"),
+    )
+    ok = (
+        (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS)
+        & (F.col("mean_word_len") >= GOPHER_WL_LO)
+        & (F.col("mean_word_len") <= GOPHER_WL_HI)
+        & (F.col("alpha_ratio") >= GOPHER_ALPHA_MIN)
+        & (F.col("stop_hits") >= GOPHER_STOP_MIN)
+    )
+    return m.withColumn("pass_flag", F.when(ok, 1).otherwise(0))

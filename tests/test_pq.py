@@ -135,12 +135,13 @@ def test_rerank_recall_at_least_matches_adc(spark):
     assert total >= 6  # ≥ 0.4 mean recall@5 on this corpus (measured 0.6–1.0)
 
 
-def test_encode_plan_is_broadcast_map_only(spark):
+def test_encode_plan_is_pure_map_work(spark):
+    """The model enters the plan as literals (MLlib centroid pattern), so
+    the encode plan is scan → project: no join of ANY kind, no exchange —
+    nothing model-sized is copied per corpus row."""
     from projet_data_engineering_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(Q["q_pq_encode"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook artifact
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
-    # no shuffle of the corpus: the only Exchange allowed is inside the
-    # (already-materialized) artifact lineage, which localCheckpoint cut
-    assert "Exchange hashpartitioning(vec_id" not in plan
+    assert "Exchange" not in plan
