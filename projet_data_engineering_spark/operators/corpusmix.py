@@ -368,11 +368,14 @@ _DSIR_CTES = """
         SELECT t, ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)) AS lr
         FROM vocab CROSS JOIN tot
     ),
+    doc_terms AS (
+        SELECT doc_id, t, COUNT(*) AS cnt FROM toks GROUP BY doc_id, t
+    ),
     weights AS (
-        SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               ROUND(SUM(lr.lr), 4) + 0.0 AS log_ratio
-        FROM toks JOIN lr ON toks.t = lr.t
-        GROUP BY toks.doc_id
+        SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+               ROUND(SUM(d.cnt * lr.lr), 4) + 0.0 AS log_ratio
+        FROM doc_terms d JOIN lr ON d.t = lr.t
+        GROUP BY d.doc_id
     )"""
 
 
@@ -414,15 +417,24 @@ def dsir_weights(docs: DataFrame, target: F.Column) -> DataFrame:
             - F.log((F.col("cr") + 1.0) / (F.col("nr") + F.col("v")))
         ).alias("lr"),
     )
+    # Pre-aggregate to (doc, term, cnt) BEFORE the dictionary join: the
+    # join input shrinks from token INSTANCES to per-doc DISTINCT terms
+    # (a Zipf corpus repeats its head constantly), and the per-doc sum
+    # runs over one term-row each — cnt*lr on both engines, fewer
+    # float-summation terms. This is also what kept the stage from going
+    # super-linear at sf10 (token-instance join measured 18x on 10x data).
+    doc_terms = toks.groupBy("doc_id", "t").agg(F.count("*").alias("cnt"))
     return (
-        toks.join(lr, "t")
+        doc_terms.join(lr, "t")
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_tokens"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
             # + 0.0 flushes IEEE negative zero: a doc whose ratio rounds
             # to -0.0 renders as "-0.000000" on DuckDB but "0.000000" on
-            # Spark→pandas, failing the value hash (caught at sf0.1)
-            (F.round(F.sum("lr"), 4) + F.lit(0.0)).alias("log_ratio"),
+            # Spark->pandas, failing the value hash (caught at sf0.1)
+            (F.round(F.sum(F.col("cnt") * F.col("lr")), 4) + F.lit(0.0)).alias(
+                "log_ratio"
+            ),
         )
     )
 

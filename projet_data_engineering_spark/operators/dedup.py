@@ -1163,7 +1163,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def semdedup_flags(
-    emb: DataFrame, k: int = 8, tau: float = SEMDEDUP_TAU
+    emb: DataFrame,
+    k: int = 8,
+    tau: float = SEMDEDUP_TAU,
+    arrow_pairs: bool = False,
 ) -> DataFrame:
     """(vec_id, cent_id, keep) SemDeDup flags over ``k`` trained clusters.
 
@@ -1174,39 +1177,90 @@ def semdedup_flags(
     EXACTLY like LSH band width: with k fixed, blocks grow O(n) and the
     pair stage grows O(n²/k); with k ∝ n (the paper runs tens of
     thousands of clusters), blocks stay constant and the pair stage is
-    LINEAR in the corpus. Assignment is map-only against the broadcast
-    quantizer. The keep column comes back as an int flag so the output
-    doubles as the drop-list builder: at scale the `keep = 0` slice feeds
-    the same bucketed anti-join the `build_dedup_state` layout serves —
-    never a corpus-sized broadcast (r6 lesson)."""
+    LINEAR in the corpus. Assignment is map-only against LITERAL centroids
+    (k is bounded by construction). The keep column comes back as an int
+    flag so the output doubles as the drop-list builder: at scale the
+    `keep = 0` slice feeds the same bucketed anti-join the
+    `build_dedup_state` layout serves — never a corpus-sized broadcast
+    (r6 lesson).
+
+    ``arrow_pairs`` picks the pair-stage engine. False (default, the
+    oracled path) runs the within-cluster pair JOIN in the JVM — exact
+    fold arithmetic, but a row-form pair join materializes O(block²) rows
+    each carrying two dim-sized arrays, which is COPY-bound long before it
+    is compute-bound (measured >10 min at sf5/k=40 vs ~BLAS-seconds of
+    actual math). True runs each cluster through ``applyInPandas`` with a
+    numpy matmul — the production tier for real block sizes; cosine
+    rounds to 4 dp before the τ compare, the same tolerance that already
+    reconciles the Arrow twin ``q_embed_knn_arrow`` with the JVM fold, and
+    pytest pins flag-for-flag parity between both engines on the
+    fixtures."""
+    import math
+
     from projet_data_engineering_spark.operators.ml import kmeans_centroids
     from projet_data_engineering_spark.operators.similarity import (
-        _ivf_scored_cents,
         as_double,
-        cosine,
+        cosine_unrolled,
+        dot_unrolled,
     )
 
     b = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    cents = (
-        kmeans_centroids(emb, k=k, iters=2)
-        .select(
-            F.struct(
-                F.col("cid").alias("cent_id"), F.col("ce").alias("cv")
-            ).alias("c")
-        )
-        .agg(F.collect_list("c").alias("cents"))
-        .localCheckpoint(eager=True)
+    # k is the scale knob, so the model stays bounded (k rows) however big
+    # the corpus: collect it and assign against LITERAL centroids — plain
+    # codegen arithmetic per (row, candidate), no HOF lambdas, no per-row
+    # artifact copying. Bit-identical to the broadcast-artifact argmax
+    # (same fold order, same 4-dp rounding, same lowest-cid tie-break);
+    # fold-based assignment measured ~86 s at sf5/k=40 vs seconds unrolled.
+    cent_rows = sorted(
+        (r["cid"], [float(x) for x in r["ce"]])
+        for r in kmeans_centroids(emb, k=k, iters=2).collect()
     )
+    vnorm = F.sqrt(dot_unrolled(F.col("v"), F.col("v")))
+
+    def _dot_lit(cv: list[float]) -> F.Column:
+        expr = None
+        for i, x in enumerate(cv, start=1):
+            t = F.element_at(F.col("v"), i) * F.lit(x)
+            expr = (F.lit(0.0) + t) if expr is None else expr + t
+        return expr
+
+    cands = []
+    for cid, cv in cent_rows:
+        s = 0.0
+        for x in cv:
+            s += x * x  # same left-to-right fold the JVM runs
+        cos = F.round(_dot_lit(cv) / (vnorm * F.lit(math.sqrt(s))), 4)
+        cands.append(F.struct((-cos).alias("neg_cos"), F.lit(cid).alias("cid")))
     assigned = (
-        b.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "v",
-            (-_ivf_scored_cents(1)[0]["neg_id"]).alias("cent_id"),
+        b.select(
+            "vec_id", "v", F.array_min(F.array(*cands))["cid"].alias("cent_id")
         )
         .localCheckpoint(eager=True)  # the materialized assignment table —
         # shared by both sides of the within-cluster pair join
     )
+    if arrow_pairs:
+        import numpy as np  # noqa: F401 (worker-side import below)
+
+        def flag_cluster(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+            C = np.round(Vn @ Vn.T, 4)
+            dropped = np.triu(C >= tau, 1).any(axis=0)
+            return pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cent_id": pdf["cent_id"],
+                    "keep": np.where(dropped, 0, 1).astype("int32"),
+                }
+            )
+
+        return assigned.groupBy("cent_id").applyInPandas(
+            flag_cluster, schema="vec_id bigint, cent_id int, keep int"
+        )
     a, c = assigned.alias("a"), assigned.alias("b")
     dups = (
         a.join(
@@ -1214,7 +1268,12 @@ def semdedup_flags(
             (F.col("a.cent_id") == F.col("b.cent_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(F.round(cosine(F.col("a.v"), F.col("b.v")), 4) >= tau)
+        # unrolled cosine: bit-identical to the HOF fold, but codegen-bound —
+        # the pair stage is O(sum of block²)·O(dim), and interpreted lambdas
+        # made it the scale bottleneck (174 s at sf5 fold-based)
+        .filter(
+            F.round(cosine_unrolled(F.col("a.v"), F.col("b.v")), 4) >= tau
+        )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
     )

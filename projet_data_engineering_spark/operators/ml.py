@@ -39,12 +39,27 @@ def _dist2(e, c):
     )
 
 
-def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+def _dist2_unrolled(e, c, dim: int):
+    """:func:`_dist2` with the fold unrolled for a statically-known dim —
+    bit-identical (same 0.0-seeded left-to-right addition over the same
+    squares) but whole-stage-codegen'd: Spark evaluates HOF lambdas through
+    interpreted closures, which made the (vector × centroid) assignment
+    rows the dominant cost the moment k grew past the IVF default (k=40
+    k-means training measured ~90 s at 100 k vectors fold-based)."""
+    expr = None
+    for i in range(1, dim + 1):
+        t = F.element_at(e, i) - F.element_at(c, i)
+        sq = t * t
+        expr = (F.lit(0.0) + sq) if expr is None else expr + sq
+    return expr
+
+
+def _assign(e: DataFrame, cents: DataFrame, dim: int = DIM) -> DataFrame:
     """Map-only assignment: crossJoin the broadcast k-row centroid table,
     keep the (d2, cid)-min row per vector. cid is unique per candidate so
     the struct-min is total-ordered — no nondeterministic ties."""
     joined = e.crossJoin(F.broadcast(cents)).withColumn(
-        "d2", _dist2(F.col("e"), F.col("ce"))
+        "d2", _dist2_unrolled(F.col("e"), F.col("ce"), dim)
     )
     best = joined.groupBy("vec_id").agg(
         F.min(F.struct("d2", "cid", "e")).alias("b")
@@ -72,7 +87,7 @@ def kmeans_centroids(
         F.row_number().over(w).alias("cid"), F.col("e").alias("ce")
     )
     for _ in range(iters):
-        assigned = _assign(e, cents)
+        assigned = _assign(e, cents, dim)
         means = assigned.groupBy("cid").agg(
             *[
                 F.round(F.avg(F.element_at("e", i + 1)), 6).alias(f"m{i}")
@@ -97,7 +112,7 @@ def kmeans_stats(emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM)
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
-    final = _assign(e, kmeans_centroids(emb, k, iters, dim))
+    final = _assign(e, kmeans_centroids(emb, k, iters, dim), dim)
     return (
         final.groupBy(F.col("cid").alias("centroid_id"))
         .agg(

@@ -990,3 +990,27 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.row_number().over(wa).alias("vec_rank")
     )
     return rrf_fuse(bm, ann)
+
+
+def dot_unrolled(a: Column, b: Column, dim: int = DIM) -> Column:
+    """:func:`dot` with the fold UNROLLED into plain column arithmetic for a
+    statically-known dimension. Bit-identical to the fold (same
+    left-to-right addition order over the same products — the fold's
+    initial 0.0 + a1·b1 chain is reproduced exactly), but rides whole-stage
+    codegen: Spark evaluates higher-order-function lambdas through
+    interpreted closures (CodegenFallback), which measured as the dominant
+    cost of every O(pairs)·O(dim) stage (SemDeDup's within-cluster pass ran
+    20× slower fold-based at sf5). Use this in pairwise hot paths; the fold
+    stays fine for per-row one-shot scores."""
+    expr = None
+    for i in range(1, dim + 1):
+        term = F.element_at(a, i) * F.element_at(b, i)
+        expr = (F.lit(0.0) + term) if expr is None else expr + term
+    return expr
+
+
+def cosine_unrolled(a: Column, b: Column, dim: int = DIM) -> Column:
+    """:func:`cosine` on the unrolled dot — bit-identical, codegen-bound."""
+    return dot_unrolled(a, b, dim) / (
+        F.sqrt(dot_unrolled(a, a, dim)) * F.sqrt(dot_unrolled(b, b, dim))
+    )

@@ -32,10 +32,24 @@ SFS = [("sf1.0", ".localdata/sf1.0"), ("sf5.0", ".localdata/sf5.0"),
        ("sf10.0", ".localdata/sf10.0")]
 
 
+def force(df):
+    """Force FULL evaluation: .count() lets Catalyst prune map-only output
+    columns and eliminate distinct-key left joins outright (q_pq_encode's
+    codes and q_semdedup's pair stage both vanished under count — the
+    first cut under-measured them)."""
+    import pyspark.sql.functions as F
+
+    return df.agg(
+        F.count("*").alias("n"),
+        # bit_xor, not sum: ANSI mode throws on long overflow
+        F.bit_xor(F.xxhash64(F.struct(*df.columns))).alias("h"),
+    ).collect()[0]["n"]
+
+
 def main() -> None:
     spark = get_spark("bench_newops_b")
     qs = entry.queries()
-    qs["q_pq_encode"](spark, ".localdata/sf1.0").count()  # codegen warm-up
+    force(qs["q_pq_encode"](spark, ".localdata/sf1.0"))  # codegen warm-up
     from projet_data_engineering_spark.io import load_table
     for _, path in SFS:
         for t in ("documents", "embeddings", "lineitem", "part"):
@@ -47,7 +61,7 @@ def main() -> None:
             best, n = None, 0
             for _ in range(2):
                 t0 = time.time()
-                n = qs[name](spark, path).count()
+                n = force(qs[name](spark, path))
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             out[name][sf] = {"sec": round(best, 2), "rows": n}
@@ -61,14 +75,18 @@ def main() -> None:
         best, n = None, 0
         for _ in range(2):
             t0 = time.time()
-            n = semdedup_flags(emb, k=k).count()
+            # the production tier: scaled k + Arrow/BLAS pair stage
+            # (flag-parity with the oracled JVM path pinned in pytest)
+            n = force(semdedup_flags(emb, k=k, arrow_pairs=True))
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         out["semdedup_scaled_k"][sf] = {"sec": round(best, 2), "rows": n, "k": k}
         print(f"semdedup_scaled_k @ {sf}: {round(best, 2)}s (k={k}, {n} rows)",
               flush=True)
     blob = json.dumps({"queries": out, "cpus": 32,
-                       "note": "min-of-2 timed runs, page cache pre-touched per SF"})
+                       "note": "min-of-2 FULLY-FORCED runs (count + full-row "
+                               "xxhash sum - no column pruning), page cache "
+                               "pre-touched per SF; semdedup = scaled-k Arrow tier"})
     print(blob)
     if len(sys.argv) > 1:
         with open(sys.argv[1], "w") as f:
