@@ -551,6 +551,51 @@ def q_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+PQ_SHARD_ROWS = 10_000  # id-range shard width of the stored codes table
+
+
+def _shard(vec_id: Column) -> Column:
+    """Id-RANGE shard of the codes table: contiguous appends (the common
+    corpus-growth case) land in one or two shard directories, so the
+    streaming refresher's keyed merge rewrites those instead of the table;
+    a re-embedded vector rewrites exactly its own shard."""
+    return F.floor(vec_id / PQ_SHARD_ROWS).cast("int")
+
+
+def _write_codebooks(spark: SparkSession, books: BooksLocal, path: str) -> None:
+    rows = [(m, cid, ce) for m in range(PQ_M) for cid, ce in books[m]]
+    spark.createDataFrame(
+        rows, "m int, cid int, ce array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+    spark.range(1).select(
+        F.lit(PQ_M).alias("m"),
+        F.lit(PQ_SUBDIM).alias("subdim"),
+        F.lit(PQ_K).alias("k"),
+        F.lit(PQ_ITERS).alias("iters"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def train_pq_quantizer(embeddings: DataFrame, path: str) -> None:
+    """Train and persist ONLY the codebooks + manifest, leaving the codes
+    table to be populated incrementally — the production PQ bootstrap
+    (train on a sample, FREEZE, let ingestion encode against the frozen
+    model), mirroring ``similarity.train_ann_quantizer``. An index
+    populated by streamed encodes converges to the scratch-built one
+    exactly (``streaming.pq_refresh``)."""
+    _write_codebooks(embeddings.sparkSession, _train_books(embeddings), path)
+
+
+def encoded_codes(emb: DataFrame, books: BooksLocal) -> DataFrame:
+    """(vec_id, c1..cM, shard) — the stored-codes projection of
+    :func:`pq_encode_with`, shared by the batch build and the streaming
+    refresher so both writers produce identical rows."""
+    return pq_encode_with(emb, books).select(
+        "vec_id",
+        *[f"c{m + 1}" for m in range(PQ_M)],
+        _shard(F.col("vec_id")).alias("shard"),
+    )
+
+
 def build_pq_index(embeddings: DataFrame, path: str) -> None:
     """Materialize the PQ serving layout — the compressed sibling of
     ``similarity.build_ann_index`` (serving family: BM25 postings, IVF
@@ -561,7 +606,8 @@ def build_pq_index(embeddings: DataFrame, path: str) -> None:
       (md5 seeds);
     - ``{path}/codes``: (vec_id, c1..cM) — the corpus at M small ints per
       vector (the ~16× compressed scan every ADC query reads INSTEAD of
-      the embedding table);
+      the embedding table), PARTITIONED by the id-range shard so the
+      streaming refresher's merge rewrites touched shards only;
     - ``{path}/stats``: layout manifest (m, subdim, k, iters) so serving
       derives parameters from the store, never a caller guess.
 
@@ -569,19 +615,10 @@ def build_pq_index(embeddings: DataFrame, path: str) -> None:
     queries then amortize it exactly like the other three families."""
     spark = embeddings.sparkSession
     books = _train_books(embeddings)
-    rows = [(m, cid, ce) for m in range(PQ_M) for cid, ce in books[m]]
-    spark.createDataFrame(
-        rows, "m int, cid int, ce array<double>"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
-    pq_encode_with(embeddings, books).select(
-        "vec_id", *[f"c{m + 1}" for m in range(PQ_M)]
-    ).write.mode("overwrite").parquet(f"{path}/codes")
-    spark.range(1).select(
-        F.lit(PQ_M).alias("m"),
-        F.lit(PQ_SUBDIM).alias("subdim"),
-        F.lit(PQ_K).alias("k"),
-        F.lit(PQ_ITERS).alias("iters"),
-    ).write.mode("overwrite").parquet(f"{path}/stats")
+    _write_codebooks(spark, books, path)
+    encoded_codes(embeddings, books).repartition("shard").write.partitionBy(
+        "shard"
+    ).mode("overwrite").parquet(f"{path}/codes")
 
 
 def load_pq_books(spark: SparkSession, path: str) -> BooksLocal:

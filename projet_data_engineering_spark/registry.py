@@ -231,6 +231,7 @@ def _load_all() -> None:
         ann_refresh,
         dedup_ingest,
         drift,
+        pq_refresh,
         windows,
     )
     from projet_data_engineering_spark.operators import (  # noqa: F401
