@@ -404,7 +404,10 @@ def dsir_weights(docs: DataFrame, target: F.Column) -> DataFrame:
     )
     vocab = toks.groupBy("t").agg(
         F.count("*").alias("cr"),
-        F.sum(F.col("is_target").cast("long")).alias("ct"),
+        # when/otherwise (not sum(cast)) so a term seen only in NULL-lang
+        # docs counts 0, matching the oracle's CASE ... ELSE 0 — sum over
+        # all-NULL yields NULL on Spark and would hash-diverge
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("ct"),
     )
     tot = vocab.agg(
         F.sum("cr").alias("nr"), F.sum("ct").alias("nt"),

@@ -1111,15 +1111,25 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.35
+SEMDEDUP_K = 32  # registered-query cluster count — the SCALED shape (k ∝ n)
 
 
-def _semdedup_oracle() -> str:
-    from projet_data_engineering_spark.operators.similarity import (
-        _ivf_oracle_ctes,
+def _semdedup_oracle(k: int = SEMDEDUP_K, iters: int = 2) -> str:
+    """DuckDB transcription with the quantizer's k PARAMETERIZED — the
+    shared kmeans CTE builder retrains the identical k-cluster model, so
+    the oracle follows whatever cluster count the registered query runs
+    (r7 verdict: a fixed k=8 oracle pinned the query to the one
+    configuration whose pair stage cannot model its own 100×)."""
+    from projet_data_engineering_spark.operators.ml import (
+        DIM,
+        kmeans_centroid_ctes,
     )
 
+    ctes, cfinal = kmeans_centroid_ctes(k, iters, DIM, prefix="sd")
+    joined = ",\n    ".join(ctes)
     return f"""
-    WITH {_ivf_oracle_ctes()[0]},
+    WITH {joined},
+    cent AS (SELECT cid AS cent_id, ce AS cv FROM {cfinal}),
     b AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -1154,12 +1164,15 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lower-id vector in its cluster (greedy-by-id acceptance —
     deterministic, the same contract as the streaming near-dup ingest).
 
-    k is pinned to 8 HERE because the oracle must train the identical
-    quantizer; production sizing is :func:`semdedup_flags`'s ``k``
-    parameter — see its docstring for why k must grow with the corpus
-    (bench_newops_r07b measures the scaled configuration at sf5/sf10)."""
+    Registered in its PRODUCTION shape (r8): k=SEMDEDUP_K clusters (k is
+    the knob that must grow with the corpus — see :func:`semdedup_flags`)
+    and the Arrow/BLAS pair stage, so the hash-oracled artifact is the
+    same plan that scales; the oracle retrains the identical k-cluster
+    quantizer via the parameterized CTE builder. The JVM exact-arithmetic
+    pair tier stays flag-for-flag parity-pinned in
+    tests/test_dsir_semdedup.py."""
     e = load_table(spark, sf_dir, "embeddings")
-    return semdedup_flags(e, k=8)
+    return semdedup_flags(e, k=SEMDEDUP_K, arrow_pairs=True)
 
 
 def semdedup_flags(
@@ -1189,7 +1202,9 @@ def semdedup_flags(
     fold arithmetic, but a row-form pair join materializes O(block²) rows
     each carrying two dim-sized arrays, which is COPY-bound long before it
     is compute-bound (measured >10 min at sf5/k=40 vs ~BLAS-seconds of
-    actual math). True runs each cluster through ``applyInPandas`` with a
+    actual math). True runs BOTH stages vectorized — assignment as one
+    ``mapInPandas`` argmax against the literal centroid matrix (see the
+    inline janino note), each cluster through ``applyInPandas`` with a
     numpy matmul — the production tier for real block sizes; cosine
     rounds to 4 dp before the τ compare, the same tolerance that already
     reconciles the Arrow twin ``q_embed_knn_arrow`` with the JVM fold, and
@@ -1215,6 +1230,68 @@ def semdedup_flags(
         (r["cid"], [float(x) for x in r["ce"]])
         for r in kmeans_centroids(emb, k=k, iters=2).collect()
     )
+    if arrow_pairs:
+        # Production tier: BOTH stages numpy. Past k≈16 the k·dim literal
+        # argmax expression exceeds janino's 64 KB method limit — the
+        # compile ATTEMPT alone on the megabyte generated class costs
+        # ~15 s of driver time per job before the interpreted fallback
+        # (measured at k=32/sf0.1), so the scaled shape assigns in the
+        # same engine that flags: one mapInPandas argmax over the literal
+        # centroid matrix (a closure constant), then the per-cluster
+        # flag pass. Same 4-dp-rounded cosine + lowest-cid tie-break;
+        # flag parity vs the exact JVM tier is pinned in pytest.
+        import numpy as np
+
+        cmat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+        cid_lut = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+        def assign_batches(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                cos = np.round(
+                    (x @ cmat.T)
+                    / (np.sqrt((x * x).sum(axis=1))[:, None] * cnorm[None, :]),
+                    4,
+                )
+                best = cos.argmax(axis=1)  # first max = lowest cid
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "v": pdf["v"],
+                        "cent_id": cid_lut[best].astype("int32"),
+                    }
+                )
+
+        assigned = b.mapInPandas(
+            assign_batches, schema="vec_id bigint, v array<double>, cent_id int"
+        )
+
+        def flag_cluster(pdf):
+            import numpy as np
+            import pandas as pd
+
+            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
+            C = np.round(Vn @ Vn.T, 4)
+            dropped = np.triu(C >= tau, 1).any(axis=0)
+            return pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cent_id": pdf["cent_id"],
+                    "keep": np.where(dropped, 0, 1).astype("int32"),
+                }
+            )
+
+        return assigned.groupBy("cent_id").applyInPandas(
+            flag_cluster, schema="vec_id bigint, cent_id int, keep int"
+        )
     vnorm = F.sqrt(dot_unrolled(F.col("v"), F.col("v")))
 
     def _dot_lit(cv: list[float]) -> F.Column:
@@ -1238,29 +1315,6 @@ def semdedup_flags(
         .localCheckpoint(eager=True)  # the materialized assignment table —
         # shared by both sides of the within-cluster pair join
     )
-    if arrow_pairs:
-        import numpy as np  # noqa: F401 (worker-side import below)
-
-        def flag_cluster(pdf):
-            import numpy as np
-            import pandas as pd
-
-            pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            Vn = V / np.sqrt((V * V).sum(axis=1))[:, None]
-            C = np.round(Vn @ Vn.T, 4)
-            dropped = np.triu(C >= tau, 1).any(axis=0)
-            return pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cent_id": pdf["cent_id"],
-                    "keep": np.where(dropped, 0, 1).astype("int32"),
-                }
-            )
-
-        return assigned.groupBy("cent_id").applyInPandas(
-            flag_cluster, schema="vec_id bigint, cent_id int, keep int"
-        )
     a, c = assigned.alias("a"), assigned.alias("b")
     dups = (
         a.join(

@@ -64,12 +64,6 @@ PQ_SHORTLIST = 50  # ADC candidates kept for the exact rerank tier
 assert PQ_M * PQ_SUBDIM == DIM
 
 
-def _sub(v: Column, m: int) -> Column:
-    """m-th contiguous subvector (1-based slice, same bounds as the oracle's
-    DuckDB list slice)."""
-    return F.slice(v, m * PQ_SUBDIM + 1, PQ_SUBDIM)
-
-
 BooksLocal = dict[int, list[tuple[int, list[float]]]]
 
 
@@ -91,8 +85,10 @@ def _train_books(emb: DataFrame) -> BooksLocal:
     stage-count-bound (~100 tiny jobs), and a 1-row broadcast codebook
     artifact was copy-bound — BroadcastNestedLoopJoin appends the build
     row to EVERY stream row, so a ~10 KiB nested-array model became
-    gigabytes of per-row copying at sf5+. Literals ride whole-stage
-    codegen with zero per-row payload."""
+    gigabytes of per-row copying at sf5+. Literals carry zero per-row
+    payload; note the M·K-candidate assignment projection is too wide for
+    janino (see :func:`pq_encode_with`) and runs interpreted — still the
+    measured-fastest JVM form."""
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -162,8 +158,12 @@ def _d2_unrolled(vec: Column, off: int, ce: list[float]) -> Column:
     CodegenFallback, evaluated per element through interpreted closures),
     and the fold-based variant of this module measured compute-bound on
     exactly that. Plain GetArrayItem + multiply/add rides whole-stage
-    codegen. Left-to-right addition order matches the JVM fold and
-    DuckDB's list_sum, so the bits are identical."""
+    codegen at the widths the k-means family uses (k≤16 candidates per
+    projection — IVF assignment, Lloyd's rounds); PQ's fused M·K=256-
+    candidate encode projection exceeds janino's 64 KB method limit and
+    falls back to interpreted evaluation — see :func:`pq_encode_with` for
+    why that fallback is kept. Left-to-right addition order matches the
+    JVM fold and DuckDB's list_sum, so the bits are identical."""
     expr = None
     for i, c in enumerate(ce):
         t = F.element_at(vec, off + i + 1) - F.lit(c)
@@ -203,7 +203,23 @@ def pq_encode_with(emb: DataFrame, books: BooksLocal) -> DataFrame:
     """(vec_id, v, c1..cM, recon_err) against an already-trained model —
     pure map work, literal codebooks, ZERO joins/shuffles/broadcasts. At
     100 TB the (vec_id, c1..cM) projection IS the stored index — M bytes a
-    row."""
+    row.
+
+    Codegen caveat (measured, r8): the fused M·K=256-candidate projection
+    generates >64 KB of bytecode for one method, janino refuses
+    ("Code grows beyond 64 KB"), and the stage runs through Spark's
+    interpreted projection. That fallback is KEPT deliberately — every
+    alternative measured slower at sf5/100 k vectors: 8+8 argmin split
+    behind a localCheckpoint barrier 29.8 s, behind a sortWithinPartitions
+    barrier 8.9 s (the 8-argmin half-stages still exceed 64 KB anyway), a
+    least()/chained-when argmin reformulation 10.5 s, per-operator codegen
+    (wholeStage=false) 8.2 s, forced-interpreted 8.3 s — vs 6.9 s for this
+    fused interpreted form. tests/test_pq.py pins the fallback so a Spark
+    upgrade that starts compiling it (or a regression that slows it) is
+    caught, not silent. The production bulk-encode tier is
+    :func:`pq_encode_arrow` (vectorized numpy over mapInPandas), which
+    beats all JVM forms; this JVM form keeps the exact-arithmetic oracle
+    contract."""
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     structs = [
         F.array_min(_cands(books, m, F.col("v"), rounded=True)).alias(f"s{m}")
@@ -227,6 +243,70 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     sample, persist the model, encode incrementally — ``pq_encode_with``
     is that second half."""
     return pq_encode_with(emb, _train_books(emb))
+
+
+def pq_encode_arrow(emb: DataFrame, books: BooksLocal) -> DataFrame:
+    """(vec_id, c1..cM, recon_err) — the vectorized PRODUCTION bulk-encode
+    tier: one ``mapInPandas`` pass where each Arrow batch computes all M·K
+    subspace distances as numpy array ops and the argmin per (row, m) in
+    one reduction. The semdedup ``arrow_pairs`` pattern applied to encode:
+    the JVM literal form (:func:`pq_encode_with`) keeps the exact-
+    arithmetic oracle contract but runs interpreted (its fused projection
+    exceeds janino's 64 KB method limit — see its docstring for the
+    measured alternatives), while this tier does the identical math
+    BLAS-shaped. Still map-only: literal codebooks travel as a closure
+    constant (M·K·subdim doubles), zero joins/shuffles/broadcasts, so the
+    100 TB cost model is unchanged — only the per-batch arithmetic engine.
+
+    Numerics: float64 throughout, (x−c)² summed in index order (numpy is
+    sequential at subdim=4, matching the JVM fold), argmin takes the FIRST
+    minimum = lowest cid (books are cid-sorted). The one tolerance:
+    np.round is binary half-even where Spark's ROUND is decimal HALF_UP —
+    divergence needs a d2 landing exactly on a 5e-7 boundary;
+    tests/test_pq.py pins code-for-code and recon_err parity against the
+    JVM form on the driver fixtures."""
+    import numpy as np
+
+    cents = np.stack(
+        [np.array([ce for _, ce in books[m]], dtype=np.float64) for m in range(PQ_M)]
+    )  # (M, K, subdim)
+    cid_lut = np.array(
+        [[cid for cid, _ in books[m]] for m in range(PQ_M)], dtype=np.int64
+    )  # (M, K)
+    m_count, subdim = PQ_M, PQ_SUBDIM
+
+    def encode_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((n, m_count), dtype=np.int64)
+            err = np.zeros(n, dtype=np.float64)
+            for m in range(m_count):
+                sub = x[:, m * subdim : (m + 1) * subdim]
+                diff = sub[:, None, :] - cents[m][None, :, :]
+                d2 = np.round((diff * diff).sum(axis=2), 6)  # (n, K)
+                am = d2.argmin(axis=1)  # first min = lowest cid
+                codes[:, m] = cid_lut[m][am]
+                err += d2[np.arange(n), am]  # m-order accumulation
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for m in range(m_count):
+                out[f"c{m + 1}"] = codes[:, m]
+            out["recon_err"] = np.round(err, 6)
+            yield pd.DataFrame(out)
+
+    schema = (
+        "vec_id bigint, "
+        + ", ".join(f"c{m + 1} bigint" for m in range(PQ_M))
+        + ", recon_err double"
+    )
+    return emb.select("vec_id", "embedding").mapInPandas(
+        encode_batches, schema=schema
+    )
 
 
 def _books_ctes() -> str:
@@ -282,16 +362,20 @@ _CODE_COLS = ", ".join(
 _PQ_ENCODE_ORACLE = f"""
     WITH {_books_ctes()}
     SELECT vec_id, {_CODE_COLS},
-           ROUND(SUM(d2), 6) AS recon_err
+           ROUND(list_sum(list(d2 ORDER BY m)), 6) AS recon_err
     FROM codes GROUP BY vec_id
     """
 
 # ADC from the oracle side: the query's own rows of the dense distance grid
-# ARE its distance table, so approximate distance = the 4-row sum of grid
-# entries matched on the corpus vector's codes.
+# ARE its distance table, so approximate distance = the M-row sum of grid
+# entries matched on the corpus vector's codes. The sum is forced into
+# subspace order (list ORDER BY m, then a left-to-right list_sum) so it
+# adds the 6-dp-rounded entries in EXACTLY the sequence Spark's literal
+# m=0..M-1 chain does — a plain SUM() leaves DuckDB's accumulation order
+# unspecified, and a half-boundary total could flip the final ROUND.
 _PQ_SCORED_CTE = f"""scored AS (
         SELECT q.vec_id AS query_id, c.vec_id,
-               ROUND(SUM(q.d2), 6) AS adist
+               ROUND(list_sum(list(q.d2 ORDER BY q.m)), 6) AS adist
         FROM codes c JOIN alldt q
           ON q.m = c.m AND q.cid = c.cid
          AND q.vec_id < {PQ_NQ} AND c.vec_id <> q.vec_id
@@ -312,8 +396,8 @@ _PQ_ANN_ORACLE = f"""
 
 @query("q_pq_encode", oracle=_PQ_ENCODE_ORACLE)
 def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantize the embedding store: 4 trained subspace codebooks,
-    4 codes + exact reconstruction error per vector. The compression tier a
+    """Product-quantize the embedding store: M trained subspace codebooks
+    (PQ_M of them), M codes + exact reconstruction error per vector. The compression tier a
     100 TB vector corpus applies before its inverted lists (IVF**+PQ**);
     reconstruction error is the contract column — the oracle recomputes the
     whole lattice (training included), so a wrong slice bound, rounding

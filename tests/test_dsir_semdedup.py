@@ -166,7 +166,7 @@ def test_semdedup_arrow_pair_stage_matches_jvm(spark):
     from projet_data_engineering_spark.operators.dedup import semdedup_flags
 
     e = load_table(spark, SF_DIR, "embeddings")
-    for k in (4, 8, 16):
+    for k in (4, 8, 32):  # 32 = SEMDEDUP_K, the registered production shape
         jvm = {
             (r["vec_id"], r["cent_id"], r["keep"])
             for r in semdedup_flags(e, k=k).collect()

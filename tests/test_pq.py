@@ -145,3 +145,56 @@ def test_encode_plan_is_pure_map_work(spark):
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
     assert "Exchange" not in plan
+
+
+def test_encode_codegen_fallback_is_pinned(spark):
+    """pq_encode_with's fused M·K argmin projection exceeds janino's 64 KB
+    method limit and runs through Spark's interpreted projection — the
+    documented, measured-fastest JVM form (its docstring records the
+    losing alternatives). The plan string still shows *(N) markers (the
+    fallback happens at compile time, inside execution), so the pin is
+    behavioral: with spark.sql.codegen.fallback=false the compile failure
+    must THROW. If a Spark upgrade starts compiling this plan (or a shape
+    change re-enables codegen), this fails and the docstring/measurements
+    must be revisited — the fallback stays a recorded decision, never a
+    silent one."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq._train_books(emb)  # training pays its own fallback; pin encode
+    enc = pq.pq_encode_with(emb, books).drop("v")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        with pytest.raises(Exception, match="64 KB|grows beyond"):
+            enc.collect()
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+
+
+def test_encode_arrow_parity_with_jvm(spark):
+    """The vectorized production encode (mapInPandas + numpy) must agree
+    with the oracle-contract JVM form code-for-code, and on recon_err to
+    the shared 6-dp rounding."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq._train_books(emb)
+    jvm = {
+        r["vec_id"]: r
+        for r in pq.pq_encode_with(emb, books).drop("v").collect()
+    }
+    arrow = pq.pq_encode_arrow(emb, books).collect()
+    assert len(arrow) == len(jvm)
+    for r in arrow:
+        j = jvm[r["vec_id"]]
+        for m in range(pq.PQ_M):
+            assert r[f"c{m + 1}"] == j[f"c{m + 1}"], (r["vec_id"], m)
+        assert abs(r["recon_err"] - j["recon_err"]) <= 1e-9
+
+
+def test_encode_arrow_plan_is_map_only(spark):
+    """The Arrow tier keeps the JVM form's cost model: no join, no
+    exchange — one ArrowEvalPython/mapInPandas pass over the scan."""
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq._train_books(emb)
+    plan = formatted_plan(pq.pq_encode_arrow(emb, books))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
