@@ -46,6 +46,63 @@ def auto_fuzziness(term: str) -> int:
     return 0 if n <= 2 else (1 if n <= 5 else 2)
 
 
+FUZZY_MAX_D = 2  # AUTO fuzziness tops out at 2 — the delete index covers it
+
+
+def _delete_neighborhood_expr(col: str) -> str:
+    """SQL expression: every string obtainable from ``col`` by deleting up
+    to FUZZY_MAX_D characters, duplicates removed — the SymSpell delete
+    neighborhood (Garbe's symmetric-delete algorithm; the Levenshtein-
+    automaton analogue that's expressible as plain DataFrame algebra). The
+    guarantee the fuzzy index rests on: lev(a, b) <= d implies the d-delete
+    neighborhoods of a and b intersect, so matching on EQUAL delete keys
+    (then verifying with real levenshtein) is lossless for AUTO fuzziness.
+    Pure SQL higher-order functions — build-time only, never in a serving
+    scan."""
+    d1 = (
+        f"transform(sequence(1, length({col})), i -> "
+        f"concat(substring({col}, 1, i-1), substring({col}, i+1)))"
+    )
+    d2 = (
+        f"flatten(transform(filter({d1}, s -> length(s) > 0), s -> "
+        "transform(sequence(1, length(s)), j -> "
+        "concat(substring(s, 1, j-1), substring(s, j+1)))))"
+    )
+    return f"array_distinct(concat(array({col}), {d1}, {d2}))"
+
+
+def _py_delete_neighborhood(term: str, d: int) -> set[str]:
+    """Driver-side mirror of :func:`_delete_neighborhood_expr` for the
+    (bounded) query terms; parity with the SQL form is pinned in
+    tests/test_search.py."""
+    out = {term}
+    frontier = {term}
+    for _ in range(d):
+        frontier = {s[:i] + s[i + 1 :] for s in frontier for i in range(len(s))}
+        out |= frontier
+    return out
+
+
+def fuzzy_keys(vocab: DataFrame, n_buckets: int) -> DataFrame:
+    """(del_key, term, term_bucket, del_bucket, _pk) — the fuzzy-expansion
+    index over a (term, term_bucket) dictionary: each vocab term posted
+    under all its <=FUZZY_MAX_D delete keys, bucketed by crc32(del_key) so
+    a query probes only its own keys' partitions. Row count is
+    |V| x O(len^2) — the classic SymSpell space-for-time trade, paid at
+    build/merge time so serving never scans the dictionary."""
+    return (
+        vocab.select(
+            "term",
+            "term_bucket",
+            F.explode(F.expr(_delete_neighborhood_expr("term"))).alias(
+                "del_key"
+            ),
+        )
+        .withColumn("del_bucket", F.crc32("del_key") % n_buckets)
+        .withColumn("_pk", F.concat_ws("|", "del_key", "term"))
+    )
+
+
 def fuzzy_term_match(tokens: Column, term: str) -> Column:
     """T2 — does any token fuzzy-match ``term``? exists() keeps it JVM-side."""
     fuzz = auto_fuzziness(term)
@@ -627,7 +684,7 @@ def build_search_index(
     """T7 — write the full BM25 serving layout to ``path``: the ES
     re-index analogue (reference ``scraper/main.py:271-277``) made concrete.
 
-    Three artifacts:
+    Four artifacts:
 
     - ``{path}/postings`` — (term, doc_id, dl, tf, _pk), PARTITIONED by
       ``term_bucket = crc32(term) % n_buckets`` so a query's scan prunes to
@@ -640,9 +697,16 @@ def build_search_index(
       (same lesson as the dedup bands' ``_pk``, ADVICE r6).
     - ``{path}/vocab`` — the term DICTIONARY (term, _pk, partitioned by
       term_bucket): |V| rows, the Lucene-terms-file analogue. Exact serving
-      never reads it; FUZZY serving (``bm25_serve_fuzzy``) levenshtein-
-      matches query terms against it instead of scanning any postings, then
-      prunes the postings scan to the matched variants' buckets.
+      never reads it; it is the (mergeable, term-keyed) source the fuzzy
+      index derives from.
+    - ``{path}/fuzzy`` — the SymSpell delete-key index over the dictionary
+      (:func:`fuzzy_keys`; partitioned by ``del_bucket``): FUZZY serving
+      (``bm25_serve_fuzzy``) probes the query terms' own delete keys
+      through a literal PartitionFilter and verifies the surviving
+      candidates with levenshtein — a BOUNDED slice of the dictionary per
+      query, instead of the |V| x |q| theta-join scan (which is linear in
+      vocabulary: fine at sf10, the serving bottleneck on a web corpus's
+      billions of terms).
     - ``{path}/stats`` — the 1-row corpus stats (n_docs, avg_dl) BM25 needs,
       plus the layout manifest (``n_buckets``): serving derives its bucket
       pruning from the stored value, so a build/serve bucket-count mismatch
@@ -679,6 +743,25 @@ def build_search_index(
         .write.partitionBy("term_bucket")
         .mode("overwrite")
         .parquet(f"{path}/vocab")
+    )
+    # Fuzzy-expansion index: the dictionary re-posted under its SymSpell
+    # delete keys (crc32(del_key)-bucketed) so bm25_serve_fuzzy probes a
+    # partition-pruned slice instead of levenshtein-scanning all |V| terms
+    # — at web-corpus vocab sizes (billions of terms) the full dictionary
+    # scan per query is the bottleneck this removes.
+    (
+        fuzzy_keys(
+            spark.read.parquet(f"{path}/vocab").select("term", "term_bucket"),
+            n_buckets,
+        )
+        # co-locate each bucket into one task before the partitioned write:
+        # without this every vocab-partition task writes into every delete
+        # bucket — O(n_buckets^2) tiny files (measured 2.4x the whole build
+        # at sf1)
+        .repartition(F.col("del_bucket"))
+        .write.partitionBy("del_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/fuzzy")
     )
     toks.agg(
         F.count("*").alias("n_docs"),
@@ -763,42 +846,63 @@ def bm25_serve_fuzzy(
     """T1+T2 over T7 — AUTO-fuzziness BM25 FROM the materialized index:
     the typo-tolerant query path that never touches the document corpus.
 
-    Lucene's shape exactly: expand the query against the term DICTIONARY
-    (the ``{index}/vocab`` artifact — |V| rows, not the postings), then
-    read postings only for the matched variants. The levenshtein
-    theta-join runs vocab x |query terms| with the length-band prefilter;
-    the resulting term->qterm map is a broadcast, and the postings scan is
-    pruned to the matched variants' buckets via a literal IN-list
-    PartitionFilter (bucket ids collected driver-side — bounded by
-    ``n_buckets``, never corpus-sized). All fuzzy variants of a query term
-    score as THAT term (tf sums variants, df counts docs with any
-    variant), identical semantics to the scan-path
+    Lucene's shape (term-dictionary expansion, automaton-pruned): each
+    query term's own SymSpell delete keys (bounded: |q| x O(len^2),
+    computed driver-side) probe the ``{index}/fuzzy`` artifact through a
+    literal ``del_bucket`` IN-list PartitionFilter and an EQUALITY join on
+    the key — candidates are the dictionary terms sharing a delete key,
+    verified with the length band + real levenshtein. The dictionary scan
+    is therefore a bounded slice per query, independent of |V|; the prior
+    form (levenshtein theta-join across the whole vocab artifact) was
+    linear in vocabulary — fine at sf10, the serving bottleneck on a web
+    corpus's billions of terms. Losslessness (lev <= d implies the
+    d-delete neighborhoods intersect) is pinned against the full-scan
+    expansion in tests/test_search.py. The matched term->qterm map is a
+    broadcast, and the postings scan is pruned to the matched variants'
+    buckets via a literal IN-list PartitionFilter (bucket ids collected
+    driver-side — bounded by ``n_buckets``, never corpus-sized). All fuzzy
+    variants of a query term score as THAT term (tf sums variants, df
+    counts docs with any variant), identical semantics to the scan-path
     ``bm25_scores_fuzzy`` — asserted hash-identical by
     ``q_bm25_fuzzy_served``'s shared oracle.
 
-    Vocab freshness contract: ``build_search_index`` writes stats (the
-    serve entry point) last, and ``run_stream_index_refresh`` merges vocab
-    BEFORE postings, so at every observable point vocab ⊇ postings terms —
-    a fuzzy query can never miss a served posting; vocab terms whose
-    postings haven't landed yet simply match nothing."""
+    Freshness contract: ``build_search_index`` writes stats (the serve
+    entry point) last, and ``run_stream_index_refresh`` merges vocab and
+    fuzzy keys BEFORE postings, so at every observable point the fuzzy
+    index covers ⊇ the stored postings' terms — a fuzzy query can never
+    miss a served posting; dictionary terms whose postings haven't landed
+    yet simply match nothing."""
+    import zlib
+
     stats = spark.read.parquet(f"{index_path}/stats")
     n_buckets = int(stats.select("n_buckets").first()[0])
     qt = []
     for t in (t.lower() for t in query_terms):
         if t not in {q for q, _ in qt}:
             qt.append((t, auto_fuzziness(t)))
-    qterms = spark.createDataFrame(qt, ["qterm", "fuzz"])
+    probe = [
+        (k, qterm, fuzz)
+        for qterm, fuzz in qt
+        for k in sorted(_py_delete_neighborhood(qterm, fuzz))
+    ]
+    probe_df = spark.createDataFrame(probe, ["del_key", "qterm", "fuzz"])
+    # literal partition pruning from the query's OWN keys — no data read
+    # decides the filter, so the fuzzy scan never opens other buckets
+    key_buckets = sorted(
+        {zlib.crc32(k.encode("utf-8")) % n_buckets for k, _, _ in probe}
+    )
     vmatch = (
-        spark.read.parquet(f"{index_path}/vocab")
-        .select("term", "term_bucket")
-        .join(
-            F.broadcast(qterms),
-            (
-                F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz")
-            )
-            & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("fuzz")),
+        spark.read.parquet(f"{index_path}/fuzzy")
+        .filter(F.col("del_bucket").isin(key_buckets))
+        .join(F.broadcast(probe_df), "del_key")
+        # verify BEFORE the dedup shuffle: levenshtein is per-row map work,
+        # so the distinct only shuffles true matches, not every shared key
+        .filter(
+            (F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz"))
+            & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("fuzz"))
         )
         .select("term", "qterm", "term_bucket")
+        .distinct()
     )
     # literal bucket list -> PartitionFilter on the postings scan; bounded
     # by n_buckets regardless of how many variants matched

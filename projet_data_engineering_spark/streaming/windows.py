@@ -513,10 +513,14 @@ def run_stream_index_refresh(
         path_exists,
         recover_atomic_overwrite,
     )
-    from projet_data_engineering_spark.operators.search import tokenize
+    from projet_data_engineering_spark.operators.search import (
+        fuzzy_keys,
+        tokenize,
+    )
 
     postings_path = f"{index_path}/postings"
     vocab_path = f"{index_path}/vocab"
+    fuzzy_path = f"{index_path}/fuzzy"
     docstats_path = f"{index_path}/docstats"
     stats_path = f"{index_path}/stats"
 
@@ -556,6 +560,18 @@ def run_stream_index_refresh(
         else:
             vocab.write.partitionBy("term_bucket").mode("overwrite").parquet(
                 vocab_path
+            )
+        # Fuzzy delete-key index follows the same superset discipline:
+        # merged BEFORE postings (keyed on del_key|term, so replay is
+        # idempotent), derived from the batch's own distinct terms only.
+        fuzzy = fuzzy_keys(vocab.select("term", "term_bucket"), n_buckets)
+        if path_exists(spark, fuzzy_path):
+            merge_upsert_partitioned(
+                spark, fuzzy_path, fuzzy, "_pk", "del_bucket"
+            )
+        else:
+            fuzzy.write.partitionBy("del_bucket").mode("overwrite").parquet(
+                fuzzy_path
             )
         if path_exists(spark, postings_path):
             merge_upsert_partitioned(

@@ -195,3 +195,130 @@ def test_bm25_fuzzy_served_no_match_is_empty(spark, tmp_path):
     idx = str(tmp_path / "idx")
     build_search_index(docs, "doc_id", "text", idx, n_buckets=8)
     assert bm25_serve_fuzzy(spark, idx, ["zzzzzzzzzz"]).count() == 0
+
+
+def test_delete_neighborhood_sql_matches_python(spark):
+    """The SQL delete-neighborhood (build side) and the driver-side python
+    mirror (query side) must generate the SAME key sets — the equality the
+    SymSpell intersection guarantee joins across."""
+    from projet_data_engineering_spark.operators.search import (
+        FUZZY_MAX_D,
+        _delete_neighborhood_expr,
+        _py_delete_neighborhood,
+    )
+
+    terms = ["a", "ab", "abc", "strem", "stream", "vector", "mississippi"]
+    rows = (
+        spark.createDataFrame([Row(term=t) for t in terms])
+        .selectExpr("term", f"{_delete_neighborhood_expr('term')} AS keys")
+        .collect()
+    )
+    for r in rows:
+        assert set(r["keys"]) == _py_delete_neighborhood(
+            r["term"], FUZZY_MAX_D
+        ), r["term"]
+
+
+def test_fuzzy_delete_key_expansion_is_lossless(spark, tmp_path):
+    """The delete-key probe (bounded slice of the dictionary) must recover
+    EXACTLY the term->qterm pairs the full |V| x |q| levenshtein theta-join
+    finds — the SymSpell intersection guarantee, checked on the real
+    fixture vocabulary with every AUTO fuzziness tier (0, 1, 2)."""
+    from pyspark.sql import functions as F
+
+    from projet_data_engineering_spark.io import load_table
+    from projet_data_engineering_spark.operators.search import (
+        auto_fuzziness,
+        build_search_index,
+        tokenize,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, "doc_id", "text", idx, n_buckets=16)
+    terms = ["up", "strem", "vectr", "window", "aggregatee"]
+    qt = [(t, auto_fuzziness(t)) for t in terms]
+    qdf = spark.createDataFrame(qt, ["qterm", "fuzz"])
+    full = {
+        (r["term"], r["qterm"])
+        for r in (
+            docs.select(F.explode(tokenize(F.col("text"))).alias("term"))
+            .distinct()
+            .join(
+                F.broadcast(qdf),
+                (F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz"))
+                & (F.levenshtein("term", "qterm") <= F.col("fuzz")),
+            )
+            .collect()
+        )
+    }
+    # probe path: replicate bm25_serve_fuzzy's vmatch stage
+    import zlib
+
+    from projet_data_engineering_spark.operators.search import (
+        _py_delete_neighborhood,
+    )
+
+    probe = [
+        (k, qterm, fuzz)
+        for qterm, fuzz in qt
+        for k in sorted(_py_delete_neighborhood(qterm, fuzz))
+    ]
+    buckets = sorted({zlib.crc32(k.encode()) % 16 for k, _, _ in probe})
+    probed = {
+        (r["term"], r["qterm"])
+        for r in (
+            spark.read.parquet(f"{idx}/fuzzy")
+            .filter(F.col("del_bucket").isin(buckets))
+            .join(
+                F.broadcast(
+                    spark.createDataFrame(probe, ["del_key", "qterm", "fuzz"])
+                ),
+                "del_key",
+            )
+            .select("term", "qterm", "fuzz")
+            .distinct()
+            .filter(
+                (F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz"))
+                & (F.levenshtein("term", "qterm") <= F.col("fuzz"))
+            )
+            .collect()
+        )
+    }
+    assert probed == full and full  # lossless AND the fixture exercises it
+
+
+def test_bm25_fuzzy_served_prunes_the_dictionary_scan(spark, tmp_path):
+    """The fuzzy serve plan must probe the delete-key index through a
+    del_bucket PartitionFilter (the bounded-slice contract) — and never
+    full-scan the vocab artifact."""
+    from projet_data_engineering_spark.operators.search import (
+        bm25_serve_fuzzy,
+        build_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark joins streams"),
+            Row(doc_id=2, text="stream processing with spark"),
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, "doc_id", "text", idx, n_buckets=16)
+    served = bm25_serve_fuzzy(spark, idx, ["strem"])
+    served.collect()
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # scan locations are truncated in toString — identify scans by schema
+    scans = [seg for seg in plan.split("FileScan") if "del_key" in seg[:700]]
+    assert scans, plan
+    for seg in scans:
+        pf = seg.split("PartitionFilters", 1)[1][:200]
+        assert "del_bucket" in pf and " IN " in pf, seg[:900]
+    # the vocab artifact (term+term_bucket only) is not read on the serve
+    # path: every scan is postings (doc_id), fuzzy (del_key) or stats
+    for seg in plan.split("FileScan")[1:]:
+        head = seg[:700]
+        assert (
+            "doc_id" in head or "del_key" in head or "n_docs" in head
+        ), head
