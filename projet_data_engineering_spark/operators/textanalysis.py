@@ -1055,8 +1055,103 @@ def bpe_encode(
     return src.mapInPandas(batches, schema=schema)
 
 
-@query("q_bpe_encode")  # iterative train + apply — not SQL-expressible,
-# rows-only driver check by design (parity pinned in pytest instead)
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Unrolled-round DuckDB transcription of the SEQUENTIAL greedy BPE
+    train+encode — the q_kmeans/q_logreg pattern applied to the tokenizer
+    (r7 verdict item 5). Spark's ``bpe_train`` selects provably-safe merge
+    BATCHES, but the safe-batch conditions guarantee the batched run
+    replays the sequential order exactly (pinned against a literal python
+    BPE in pytest) — so the oracle transcribes the simple sequential
+    algorithm and the driver hash check now ALSO proves the batching
+    theorem on real data.
+
+    Greedy application per rule is ONE string ``replace()`` over a
+    DOUBLE-separator symbol encoding (``SS s1 SS s2 SS ... SS`` with
+    S = chr(30)): the pattern ``S l SS r S -> S lr S`` consumes one outer
+    separator from each side, so adjacent matches never share characters —
+    replace-all left-to-right is then EXACTLY the (out, pending) fold:
+    overlapping candidates ("aaa" + rule (a,a)) resolve left-first, and a
+    symbol can never match inside another symbol (boundaries are S-S)."""
+    s = "chr(30)"
+    sep2 = f"{s} || {s}"
+    ctes = [
+        """dict AS (
+        SELECT w, COUNT(*) AS freq FROM (
+            SELECT UNNEST(list_filter(str_split(lower(text), ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    )""",
+        f"""w0 AS (
+        SELECT w, freq,
+               {sep2} || array_to_string(
+                   list_transform(generate_series(1, length(w)),
+                                  i -> substr(w, CAST(i AS BIGINT), 1)),
+                   {sep2}) || {sep2} AS repr
+        FROM dict
+    )""",
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""p{k} AS (
+            SELECT syms[i] AS l, syms[i + 1] AS r, SUM(freq) AS n FROM (
+                SELECT list_filter(str_split(repr, {s}), x -> x <> '')
+                           AS syms,
+                       freq
+                FROM w{k}
+            ), UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+            GROUP BY l, r
+        )"""
+        )
+        ctes.append(
+            f"m{k} AS (SELECT l, r FROM p{k} "
+            "ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"""w{k + 1} AS (
+            SELECT w.w, w.freq,
+                   CASE WHEN m.l IS NULL THEN w.repr
+                        ELSE replace(w.repr,
+                                     {s} || m.l || {sep2} || m.r || {s},
+                                     {s} || m.l || m.r || {s})
+                   END AS repr
+            FROM w{k} w LEFT JOIN m{k} m ON TRUE
+        )"""
+        )
+    ctes.append(
+        f"""enc AS (
+        SELECT w, len(list_filter(str_split(repr, {s}), x -> x <> ''))
+                   AS n_tok
+        FROM w{n_merges}
+    )"""
+    )
+    ctes.append(
+        """docwords AS (
+        SELECT doc_id,
+               UNNEST(list_filter(str_split(lower(text), ' '),
+                                  x -> x <> '')) AS w
+        FROM documents
+    )""",
+    )
+    ctes.append(
+        """perdoc AS (
+        SELECT dw.doc_id, COUNT(*) AS n_words, SUM(e.n_tok) AS n_tokens
+        FROM docwords dw JOIN enc e ON e.w = dw.w
+        GROUP BY dw.doc_id
+    )"""
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(COALESCE(p.n_words, 0)) AS BIGINT) AS total_words,
+           CAST(SUM(COALESCE(p.n_tokens, 0)) AS BIGINT) AS total_tokens
+    FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+    GROUP BY d.lang
+    """
+
+
+@query("q_bpe_encode", oracle=_bpe_encode_oracle(6))
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end tokenizer pipeline: train 6 BPE merges on the corpus
     (``bpe_train``, batched rounds), then tokenize the SAME corpus with the
