@@ -460,6 +460,110 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def index_refresh_batch(
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> None:
+    """One micro-batch of BM25 index maintenance (the foreachBatch body of
+    :func:`run_stream_index_refresh`, callable directly so replay/crash
+    tests and the composed serving stack (``streaming.stack``) can drive
+    it) — see the runner's docstring for the merge-order/failure
+    contract."""
+    from projet_data_engineering_spark.io import (
+        atomic_overwrite,
+        merge_upsert_partitioned,
+        path_exists,
+        recover_atomic_overwrite,
+    )
+    from projet_data_engineering_spark.operators.search import (
+        fuzzy_keys,
+        tokenize,
+    )
+
+    postings_path = f"{index_path}/postings"
+    vocab_path = f"{index_path}/vocab"
+    fuzzy_path = f"{index_path}/fuzzy"
+    docstats_path = f"{index_path}/docstats"
+    stats_path = f"{index_path}/stats"
+    if batch.isEmpty():
+        return
+    spark = batch.sparkSession
+    recover_atomic_overwrite(spark, docstats_path)
+    recover_atomic_overwrite(spark, stats_path)
+    toks = batch.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
+    ).withColumn("dl", F.size("tokens"))
+    postings = (
+        toks.select(id_col, "dl", F.explode("tokens").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("term_bucket", F.crc32(F.col("term")) % n_buckets)
+        .withColumn(
+            "_pk",
+            F.concat_ws("|", F.col("term"), F.col(id_col).cast("string")),
+        )
+    )
+    # Vocab BEFORE postings: at every crash point the stored dictionary
+    # is a superset of the stored postings' terms, so bm25_serve_fuzzy
+    # can never miss a served posting (a dictionary term whose postings
+    # haven't landed yet matches nothing — harmless). Keyed on the term
+    # itself, so replay is idempotent like every other merge here.
+    vocab = (
+        postings.select("term", "term_bucket")
+        .distinct()
+        .withColumn("_pk", F.col("term"))
+    )
+    if path_exists(spark, vocab_path):
+        merge_upsert_partitioned(
+            spark, vocab_path, vocab, "_pk", "term_bucket"
+        )
+    else:
+        vocab.write.partitionBy("term_bucket").mode("overwrite").parquet(
+            vocab_path
+        )
+    # Fuzzy delete-key index follows the same superset discipline:
+    # merged BEFORE postings (keyed on del_key|term, so replay is
+    # idempotent), derived from the batch's own distinct terms only.
+    fuzzy = fuzzy_keys(vocab.select("term", "term_bucket"), n_buckets)
+    if path_exists(spark, fuzzy_path):
+        merge_upsert_partitioned(
+            spark, fuzzy_path, fuzzy, "_pk", "del_bucket"
+        )
+    else:
+        fuzzy.write.partitionBy("del_bucket").mode("overwrite").parquet(
+            fuzzy_path
+        )
+    if path_exists(spark, postings_path):
+        merge_upsert_partitioned(
+            spark, postings_path, postings, "_pk", "term_bucket"
+        )
+    else:
+        postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
+            postings_path
+        )
+    docstats = toks.select(id_col, "dl")
+    if path_exists(spark, docstats_path):
+        old = spark.read.parquet(docstats_path)
+        merged = merge_upsert(old, docstats, id_col)
+    else:
+        merged = docstats
+    atomic_overwrite(merged, docstats_path)
+    # Derived 1-row stats (+ the n_buckets layout manifest bm25_serve
+    # reads), recomputed from the idempotent docstats state — can never
+    # double-count a replayed batch.
+    atomic_overwrite(
+        spark.read.parquet(docstats_path).agg(
+            F.count("*").alias("n_docs"),
+            F.avg("dl").alias("avg_dl"),
+            F.lit(n_buckets).alias("n_buckets"),
+        ),
+        stats_path,
+    )
+
+
 def run_stream_index_refresh(
     doc_stream: DataFrame,
     index_path: str,
@@ -507,98 +611,8 @@ def run_stream_index_refresh(
     replays the batch; docstats is replaced through ``io.atomic_overwrite``
     (versioned dir + rename swap, recovered at batch start), so no crash
     window can lose prior doc lengths."""
-    from projet_data_engineering_spark.io import (
-        atomic_overwrite,
-        merge_upsert_partitioned,
-        path_exists,
-        recover_atomic_overwrite,
-    )
-    from projet_data_engineering_spark.operators.search import (
-        fuzzy_keys,
-        tokenize,
-    )
-
-    postings_path = f"{index_path}/postings"
-    vocab_path = f"{index_path}/vocab"
-    fuzzy_path = f"{index_path}/fuzzy"
-    docstats_path = f"{index_path}/docstats"
-    stats_path = f"{index_path}/stats"
-
     def refresh(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():
-            return
-        spark = batch.sparkSession
-        recover_atomic_overwrite(spark, docstats_path)
-        recover_atomic_overwrite(spark, stats_path)
-        toks = batch.select(
-            F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
-        ).withColumn("dl", F.size("tokens"))
-        postings = (
-            toks.select(id_col, "dl", F.explode("tokens").alias("term"))
-            .groupBy("term", id_col, "dl")
-            .agg(F.count("*").alias("tf"))
-            .withColumn("term_bucket", F.crc32(F.col("term")) % n_buckets)
-            .withColumn(
-                "_pk",
-                F.concat_ws("|", F.col("term"), F.col(id_col).cast("string")),
-            )
-        )
-        # Vocab BEFORE postings: at every crash point the stored dictionary
-        # is a superset of the stored postings' terms, so bm25_serve_fuzzy
-        # can never miss a served posting (a dictionary term whose postings
-        # haven't landed yet matches nothing — harmless). Keyed on the term
-        # itself, so replay is idempotent like every other merge here.
-        vocab = (
-            postings.select("term", "term_bucket")
-            .distinct()
-            .withColumn("_pk", F.col("term"))
-        )
-        if path_exists(spark, vocab_path):
-            merge_upsert_partitioned(
-                spark, vocab_path, vocab, "_pk", "term_bucket"
-            )
-        else:
-            vocab.write.partitionBy("term_bucket").mode("overwrite").parquet(
-                vocab_path
-            )
-        # Fuzzy delete-key index follows the same superset discipline:
-        # merged BEFORE postings (keyed on del_key|term, so replay is
-        # idempotent), derived from the batch's own distinct terms only.
-        fuzzy = fuzzy_keys(vocab.select("term", "term_bucket"), n_buckets)
-        if path_exists(spark, fuzzy_path):
-            merge_upsert_partitioned(
-                spark, fuzzy_path, fuzzy, "_pk", "del_bucket"
-            )
-        else:
-            fuzzy.write.partitionBy("del_bucket").mode("overwrite").parquet(
-                fuzzy_path
-            )
-        if path_exists(spark, postings_path):
-            merge_upsert_partitioned(
-                spark, postings_path, postings, "_pk", "term_bucket"
-            )
-        else:
-            postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
-                postings_path
-            )
-        docstats = toks.select(id_col, "dl")
-        if path_exists(spark, docstats_path):
-            old = spark.read.parquet(docstats_path)
-            merged = merge_upsert(old, docstats, id_col)
-        else:
-            merged = docstats
-        atomic_overwrite(merged, docstats_path)
-        # Derived 1-row stats (+ the n_buckets layout manifest bm25_serve
-        # reads), recomputed from the idempotent docstats state — can never
-        # double-count a replayed batch.
-        atomic_overwrite(
-            spark.read.parquet(docstats_path).agg(
-                F.count("*").alias("n_docs"),
-                F.avg("dl").alias("avg_dl"),
-                F.lit(n_buckets).alias("n_buckets"),
-            ),
-            stats_path,
-        )
+        index_refresh_batch(batch, index_path, id_col, text_col, n_buckets)
 
     (
         doc_stream.writeStream.foreachBatch(refresh)
