@@ -150,20 +150,44 @@ _R6_GREEN = {
 }
 
 
-# Queries whose executed plan/protocol changed in round 7 (drop-list
-# broadcast hints removed from q_dedup_apply/q_curate; build_dedup_state
-# bands now carry the _pk merge key; the partitioned-merge writer lock):
-# results are expected identical, but their pre-r7 driver evidence no longer
-# describes the current code, so they walk FIRST.
-_R7_CHANGED = {
-    "q_dedup_apply", "q_curate", "q_dedup_incremental_served",
-    "q_stream_dedup_ingest",
-    # late-r7: fuzzy expansion moved from per-token-instance levenshtein to
-    # a distinct-vocabulary match broadcast back onto the stream
-    "q_bm25_fuzzy",
+# Names the driver checked in round 7 (CORRECTNESS_r07.json: 50/50 green —
+# the r7 additions (trained-model tier, served dedup/PQ, curation funnel)
+# plus the r7-changed cohort). Cumulatively r1-r7 covers all 212 queries
+# registered through round 7.
+_R7_GREEN = {
+    "q_ann_pq", "q_ann_pq_rerank", "q_bloom_join", "q_bm25_fuzzy",
+    "q_bm25_fuzzy_served", "q_chunk_windows", "q_constraint_audit",
+    "q_containment_pairs", "q_contamination_fuzzy", "q_curate",
+    "q_curation_funnel", "q_dedup_apply", "q_dedup_canonical",
+    "q_dedup_incremental_served", "q_dedup_recall", "q_domain_resample",
+    "q_domain_temperature", "q_drift_psi", "q_dsir_select", "q_dsir_weights",
+    "q_ewma", "q_gap_fill", "q_gopher_rules", "q_hof_arrays",
+    "q_hybrid_search", "q_json_extract", "q_k_anonymity", "q_label_prop",
+    "q_logreg", "q_logreg_auc", "q_logreg_confusion", "q_map_funcs",
+    "q_pca_power", "q_pca_project", "q_pq_encode", "q_pq_recall",
+    "q_pq_served", "q_regex_extract_all", "q_semdedup", "q_shuffle_shard",
+    "q_stream_ann_refresh", "q_stream_dedup_ingest", "q_stream_drift",
+    "q_stream_pq_refresh", "q_token_budget", "q_vocab_coverage",
+    "q_window_frame", "q_window_lag", "q_window_rank", "q_winsorized_mean",
+}
+
+# Queries whose code, oracle, or executed plan changed in round 8: the
+# scaled SemDeDup registration (k=32 + Arrow pair/assign stages, new
+# parameterized-k oracle), the PQ oracle's order-forced sums + dead-code/
+# docstring sweep, the DSIR null-safe target counts, q_bpe_encode's new
+# hash oracle (was rows-only), and the fuzzy-serving rework (SymSpell
+# delete-key artifact replaces the full-vocab theta-join, which also
+# touches the BM25 index build every served query bootstraps). Their older
+# driver evidence no longer describes the current code, so they walk FIRST.
+_R8_CHANGED = {
+    "q_semdedup", "q_bpe_encode", "q_bm25_fuzzy_served", "q_bm25_served",
+    "q_pq_encode", "q_ann_pq", "q_pq_recall", "q_ann_pq_rerank",
+    "q_pq_served", "q_stream_pq_refresh", "q_dsir_weights", "q_dsir_select",
+    "q_posting_lists",
 }
 
 _TIERS = (
+    (7, _R7_GREEN),
     (6, _R6_GREEN),
     (5, _R5_GREEN),
     (4, _R4_GREEN),
@@ -184,15 +208,14 @@ def _latest_evidence(name: str) -> int:
 
 def _ordered(names: list[str]) -> list[str]:
     """Walk order for a budget-limited (50 queries/round) driver sweep —
-    VERDICT r6 item 6: round-7-changed names first (their old evidence
+    VERDICT r7 item 7: round-8-changed names first (their old evidence
     describes code that no longer runs), then everything else STALEST
-    driver evidence first (never-checked, then latest=r1, r2, ... r6), so
-    the r7 sample lands on the cohort last verified in r1/r2/r3 (the
-    q_tpch_q7/8/9/15/19/22 + q_grouping_sets + q_window_range + warehouse
-    set the r6 verdict named). Python's stable sort preserves registration
-    order within each tier."""
-    first = [n for n in names if n in _R7_CHANGED]
-    rest = [n for n in names if n not in _R7_CHANGED]
+    driver evidence first (never-checked, then latest=r1, r2, ... r7), so
+    the r8 sample re-proves the r1/r2 cohort — the dedup/search/ETL
+    families whose last driver rows predate the most plan churn. Python's
+    stable sort preserves registration order within each tier."""
+    first = [n for n in names if n in _R8_CHANGED]
+    rest = [n for n in names if n not in _R8_CHANGED]
     rest.sort(key=_latest_evidence)
     return first + rest
 
