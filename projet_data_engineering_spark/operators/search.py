@@ -749,17 +749,34 @@ def build_search_index(
     # partition-pruned slice instead of levenshtein-scanning all |V| terms
     # — at web-corpus vocab sizes (billions of terms) the full dictionary
     # scan per query is the bottleneck this removes.
+    vocab_df = spark.read.parquet(f"{path}/vocab").select(
+        "term", "term_bucket"
+    )
+    # Layout is what makes the probe bounded, and it was MEASURED at a
+    # 1M-term dictionary (tools/bench_fuzzy_vocab.py), not guessed:
+    # - bucket count stays n_buckets: a query's ~100 probe keys hash all
+    #   over the keyspace, so thousands of small partitions only multiply
+    #   directory listings + file-footer opens (a 3.8k-dir variant ran 4x
+    #   SLOWER than 64 dirs);
+    # - each bucket file is SORTED by del_key with small (4 MB) row
+    #   groups: the pruning unit is the parquet row-group stat, so the
+    #   probe reads ~|keys| row groups however large |V| grows — this,
+    #   not the partition filter, is the point-lookup mechanism
+    #   (partition filters bound directories, row-group stats bound
+    #   bytes);
+    # - the serve side must keep the per-key IN as or-of-eq for the stats
+    #   to apply — see bm25_serve_fuzzy's inFilterThreshold note.
+    n_fuzzy_buckets = n_buckets
     (
-        fuzzy_keys(
-            spark.read.parquet(f"{path}/vocab").select("term", "term_bucket"),
-            n_buckets,
-        )
+        fuzzy_keys(vocab_df, n_fuzzy_buckets)
         # co-locate each bucket into one task before the partitioned write:
         # without this every vocab-partition task writes into every delete
         # bucket — O(n_buckets^2) tiny files (measured 2.4x the whole build
         # at sf1)
         .repartition(F.col("del_bucket"))
-        .write.partitionBy("del_bucket")
+        .sortWithinPartitions("del_key")
+        .write.option("parquet.block.size", 4 * 1024 * 1024)
+        .partitionBy("del_bucket")
         .mode("overwrite")
         .parquet(f"{path}/fuzzy")
     )
@@ -767,6 +784,7 @@ def build_search_index(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
         F.lit(n_buckets).alias("n_buckets"),
+        F.lit(n_fuzzy_buckets).alias("n_fuzzy_buckets"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -814,7 +832,7 @@ def bm25_serve(
         .filter(F.col("term_bucket").isin(buckets))
         .filter(F.col("term").isin(terms))
     )
-    stats = stats.drop("n_buckets")
+    stats = stats.select("n_docs", "avg_dl")
     # (term, doc_id) is unique in the postings table, so df = plain count.
     dfc = hits.groupBy("term").agg(F.count("*").alias("df"))
     return (
@@ -875,7 +893,8 @@ def bm25_serve_fuzzy(
     import zlib
 
     stats = spark.read.parquet(f"{index_path}/stats")
-    n_buckets = int(stats.select("n_buckets").first()[0])
+    manifest = stats.select("n_buckets", "n_fuzzy_buckets").first()
+    n_fuzzy_buckets = int(manifest["n_fuzzy_buckets"])
     qt = []
     for t in (t.lower() for t in query_terms):
         if t not in {q for q, _ in qt}:
@@ -889,11 +908,32 @@ def bm25_serve_fuzzy(
     # literal partition pruning from the query's OWN keys — no data read
     # decides the filter, so the fuzzy scan never opens other buckets
     key_buckets = sorted(
-        {zlib.crc32(k.encode("utf-8")) % n_buckets for k, _, _ in probe}
+        {zlib.crc32(k.encode("utf-8")) % n_fuzzy_buckets for k, _, _ in probe}
     )
+    # Above ~10 IN values Spark collapses the parquet pushdown to a
+    # [min, max] RANGE — probe keys span the keyspace, so that range
+    # matches every row group and the sorted-file layout prunes NOTHING
+    # (measured 3.9s vs 1.2s at a 1M-term dictionary). Raising the
+    # threshold past the probe size keeps the pushdown as or-of-eq, which
+    # the build's sorted 4 MB row groups evaluate per group. Session-level
+    # conf (Spark has no per-query form); larger or-of-eq IN pushdowns are
+    # strictly more prunable, so it is safe to leave raised.
+    cur = int(
+        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
+    )
+    if cur <= len(probe):
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold", str(len(probe) + 1)
+        )
     vmatch = (
         spark.read.parquet(f"{index_path}/fuzzy")
         .filter(F.col("del_bucket").isin(key_buckets))
+        # literal IN on the key as well: reaches the reader as a
+        # PushedFilter, and the build sorts each bucket file by del_key,
+        # so row-group stats turn the probe into a point lookup instead of
+        # a bucket scan (a query's ~100 keys touch most buckets — the
+        # partition filter alone bounds directories, not bytes)
+        .filter(F.col("del_key").isin([k for k, _, _ in probe]))
         .join(F.broadcast(probe_df), "del_key")
         # verify BEFORE the dedup shuffle: levenshtein is per-row map work,
         # so the distinct only shuffles true matches, not every shared key
@@ -917,7 +957,7 @@ def bm25_serve_fuzzy(
     )
     tf = hits.groupBy(id_col, "dl", "qterm").agg(F.sum("tf").alias("tf"))
     dfc = tf.groupBy("qterm").agg(F.countDistinct(id_col).alias("df"))
-    stats = stats.drop("n_buckets")
+    stats = stats.select("n_docs", "avg_dl")
     return (
         tf.join(F.broadcast(dfc), "qterm")
         .crossJoin(F.broadcast(stats))

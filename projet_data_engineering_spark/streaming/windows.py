@@ -526,14 +526,34 @@ def index_refresh_batch(
         )
     # Fuzzy delete-key index follows the same superset discipline:
     # merged BEFORE postings (keyed on del_key|term, so replay is
-    # idempotent), derived from the batch's own distinct terms only.
-    fuzzy = fuzzy_keys(vocab.select("term", "term_bucket"), n_buckets)
+    # idempotent), derived from the batch's own distinct terms only. Its
+    # bucket count is LAYOUT: read from the stored manifest when the index
+    # exists (a mid-stream change would split a key across bucket dirs),
+    # bootstrap-defaulted to n_buckets otherwise — a stream-built index
+    # serves correctly at any count; the adaptive sizing for huge
+    # dictionaries comes from periodic build_search_index rebuilds.
+    if path_exists(spark, stats_path):
+        n_fuzzy_buckets = int(
+            spark.read.parquet(stats_path).first()["n_fuzzy_buckets"]
+        )
+    else:
+        n_fuzzy_buckets = n_buckets
+    fuzzy = fuzzy_keys(vocab.select("term", "term_bucket"), n_fuzzy_buckets)
     if path_exists(spark, fuzzy_path):
         merge_upsert_partitioned(
             spark, fuzzy_path, fuzzy, "_pk", "del_bucket"
         )
     else:
-        fuzzy.write.partitionBy("del_bucket").mode("overwrite").parquet(
+        # same sorted-by-key layout as the batch build (tight row-group
+        # stats for the serve path's pushed del_key IN-filter); partition
+        # merges don't re-sort, so stats loosen as batches accrue — a
+        # periodic rebuild (build_search_index) restores them, the
+        # standard compaction story
+        fuzzy.repartition(F.col("del_bucket")).sortWithinPartitions(
+            "del_key"
+        ).write.option(
+            "parquet.block.size", 4 * 1024 * 1024
+        ).partitionBy("del_bucket").mode("overwrite").parquet(
             fuzzy_path
         )
     if path_exists(spark, postings_path):
@@ -559,6 +579,7 @@ def index_refresh_batch(
             F.count("*").alias("n_docs"),
             F.avg("dl").alias("avg_dl"),
             F.lit(n_buckets).alias("n_buckets"),
+            F.lit(n_fuzzy_buckets).alias("n_fuzzy_buckets"),
         ),
         stats_path,
     )

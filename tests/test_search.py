@@ -315,6 +315,12 @@ def test_bm25_fuzzy_served_prunes_the_dictionary_scan(spark, tmp_path):
     for seg in scans:
         pf = seg.split("PartitionFilters", 1)[1][:200]
         assert "del_bucket" in pf and " IN " in pf, seg[:900]
+        # the probe's own keys must ALSO reach the reader as a pushed
+        # In(del_key, ...) — that, with the build's sorted 4 MB row
+        # groups, is what bounds BYTES (the partition filter only bounds
+        # directories; a multi-term query's keys hit most buckets)
+        pushed = seg.split("PushedFilters", 1)[1][:300]
+        assert "In(del_key" in pushed, seg[:900]
     # the vocab artifact (term+term_bucket only) is not read on the serve
     # path: every scan is postings (doc_id), fuzzy (del_key) or stats
     for seg in plan.split("FileScan")[1:]:
@@ -322,3 +328,30 @@ def test_bm25_fuzzy_served_prunes_the_dictionary_scan(spark, tmp_path):
         assert (
             "doc_id" in head or "del_key" in head or "n_docs" in head
         ), head
+
+
+def test_bm25_fuzzy_served_raises_in_filter_threshold(spark, tmp_path):
+    """Above ~10 IN values Spark's parquet pushdown degrades to a [min,max]
+    range that matches every sorted row group (probe keys span the
+    keyspace) — serve must raise the session threshold past the probe size
+    so the or-of-eq form survives to the reader (search.py measured this
+    3.3x at a 1M-term dictionary: tools/bench_fuzzy_vocab.py)."""
+    from projet_data_engineering_spark.operators.search import (
+        bm25_serve_fuzzy,
+        build_search_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spark joins streams vector tables"),
+            Row(doc_id=2, text="stream processing with spark queries"),
+        ]
+    )
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, "doc_id", "text", idx, n_buckets=16)
+    # three typo'd terms ⇒ dozens of delete keys, far above the 10 default
+    bm25_serve_fuzzy(spark, idx, ["strem", "vectr", "queris"]).collect()
+    thresh = int(
+        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
+    )
+    assert thresh > 10, thresh
