@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "q_bloom_join",     # bloom-pruned fact join (r7b)
     "q_dsir_weights",   # DSIR importance weights (r7b)
     "q_semdedup",       # trained-cluster semantic dedup (r7b)
+    "q_pq_encode_arrow",  # PQ bulk-encode, production Arrow tier (r8)
 ]
 
 # The 24-query set benched in round 1 (BENCH_r01/BASELINE.md anchor). The

@@ -409,6 +409,25 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_pq_encode_arrow", oracle=_PQ_ENCODE_ORACLE)
+def q_pq_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pq_encode in its PRODUCTION shape: the same trained codebooks,
+    the encode stage run through :func:`pq_encode_arrow` (numpy over
+    mapInPandas) instead of the interpreted JVM projection — registered
+    under the SAME retraining oracle so the tier a 100 TB corpus would
+    actually run is the one the hash gate proves, not just a pytest
+    parity pin (the q_semdedup lesson from round 7: an oracled artifact
+    must model its own 100×). Same columns, same 6-dp rounding discipline;
+    the only numeric daylight is np.round's half-even vs ROUND's half-up
+    on an exact 5e-7 boundary, pinned code-for-code in tests/test_pq.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode_arrow(emb, _train_books(emb)).select(
+        "vec_id",
+        *[F.col(f"c{m + 1}") for m in range(PQ_M)],
+        "recon_err",
+    )
+
+
 def adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(query_id, vec_id, adist) for the full panel×corpus ADC scan —
     shared by ``q_ann_pq`` (top-5) and ``q_ann_pq_rerank`` (shortlist).

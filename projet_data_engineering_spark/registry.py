@@ -183,7 +183,7 @@ _R8_CHANGED = {
     "q_semdedup", "q_bpe_encode", "q_bm25_fuzzy_served", "q_bm25_served",
     "q_pq_encode", "q_ann_pq", "q_pq_recall", "q_ann_pq_rerank",
     "q_pq_served", "q_stream_pq_refresh", "q_dsir_weights", "q_dsir_select",
-    "q_posting_lists",
+    "q_posting_lists", "q_pq_encode_arrow",
 }
 
 _TIERS = (
