@@ -913,7 +913,10 @@ def ngram_jaccard_join(
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        a.join(b, F.col("a.term") == F.col("b.term"))
+        # merge hint: both sides are the corpus-derived prefix table —
+        # never broadcastable at scale (see containment_join's measured
+        # sf10 AQE-broadcast driver OOM; same join shape)
+        a.hint("merge").join(b, F.col("a.term") == F.col("b.term"))
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .where(
             F.expr(f"{q} * least(a.n, b.n) >= {p} * greatest(a.n, b.n)")
@@ -1193,14 +1196,38 @@ def containment_join(
     |S_i| - ceil(tau*|S_i|) + 1 rarest-first shingles — probed against the
     FULL shingle index of the other side (containment admits no prefix on
     the containing side: j may be arbitrarily large), plus the length
-    filter |S_j| >= ceil(tau*|S_i|). Candidates are verified exactly.
-    Rarest-first ordering keeps probe buckets small: hot boilerplate
-    shingles never appear in a prefix.
+    filter |S_j| >= ceil(tau*|S_i|), plus the POSITIONAL filter: a match
+    at ranks (pa, pb) under the shared global rarest-first order caps the
+    intersection at min(|S_i| - pa, |S_j| - pb) + 1, which must reach
+    ceil(tau*|S_i|). Lossless by the first-shared-term argument (as in
+    the Jaccard sibling): a true pair's first shared shingle has no
+    shared shingle before it on EITHER side, so the cap is genuine there,
+    and pigeonhole puts that shingle inside i's prefix. Candidates are
+    then verified exactly.
 
     At 100 TB: two keyed shuffles for shingle stats + one keyed
-    prefix-vs-index join + one keyed verify join — no all-pairs stage.
-    The oracle is the unpruned all-pairs ground truth, so every gate run
-    is an empirical losslessness proof for the prefix+length pruning."""
+    prefix-vs-index join + one keyed verify join — no all-pairs stage,
+    and the positional cap evaluates IN-STREAM inside the candidate
+    join's own stage, so false candidates die before the distinct/verify
+    shuffles ever see them. The candidate join is merge-hinted: both its
+    sides scale with the corpus, and at sf10 AQE's runtime size estimate
+    (compressed shuffle bytes) converted it to broadcast and killed the
+    driver building a multi-million-row hash relation — a hint here
+    encodes a true invariant, not a tuning guess. The oracle is the
+    unpruned all-pairs ground truth, so every gate run is an empirical
+    losslessness proof for the prefix+length+positional pruning.
+
+    Cost is CORPUS-ENTROPY-dependent, measured honestly (r8, 500k docs):
+    on a realistic vocabulary (1M terms — web-like shingle entropy) the
+    prefix join stays bounded and the whole query runs locally
+    (`evidence/bench_containment_r08.json`); on `tools/gen_sf.py`'s
+    29,791-distinct-trigram corpus every doc pair shares rare-looking
+    shingles and the candidate set is irreducibly ~1.35e9 pairs (measured
+    post-positional, 97% of them distinct — no published lossless filter
+    can prune what the data doesn't distinguish), which needs a cluster,
+    not a laptop; the DuckDB all-pairs oracle is equally quadratic there,
+    which is why the pair joins are excluded BY NAME from the sf10 gate
+    (`evidence/CHECK_r08_sf10.txt`)."""
     p, q = tau_num, tau_den
     grams = ", ' ', ".join(
         ["t[i]"] + [f"t[i + {k}]" for k in range(1, ngram)]
@@ -1235,18 +1262,38 @@ def containment_join(
     )
     prefix = ranked.where(
         F.col("pos") <= F.expr(f"n - ({p} * n + {q - 1}) div {q} + 1")
-    ).select("doc_id", "term", "n")
+    ).select("doc_id", "term", "pos", "n")
 
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    full = sh.join(sz, "doc_id").select(
-        F.col("doc_id").alias("j"), "term", F.col("n").alias("nb")
+    # the full index side carries pos too: the positional cap needs the
+    # match's rank within j under the SAME global (df, term) order
+    full = ranked.select(
+        F.col("doc_id").alias("j"),
+        "term",
+        F.col("pos").alias("pb"),
+        F.col("n").alias("nb"),
     )
     cand = (
+        # merge hint: BOTH sides are corpus-derived (prefix table and the
+        # full shingle index) — broadcasting either is wrong at any real
+        # scale, and AQE's compressed-bytes estimate was measured doing
+        # exactly that at sf10 (driver OOM building the hash relation)
         prefix.alias("a")
+        .hint("merge")
         .join(full.alias("b"), "term")
         .where(F.col("a.doc_id") != F.col("b.j"))
         # length: the containing side must hold at least ceil(tau*|A|)
         .where(F.expr(f"b.nb >= ({p} * a.n + {q - 1}) div {q}"))
+        # positional: a match at (pos, pb) caps |A∩B| at
+        # min(|A| - pos, |B| - pb) + 1, which must reach ceil(tau*|A|) —
+        # evaluated in-stream in the join stage, so false candidates die
+        # before the distinct/verify shuffles ever see them
+        .where(
+            F.expr(
+                "least(a.n - a.pos, b.nb - b.pb) + 1"
+                f" >= ({p} * a.n + {q - 1}) div {q}"
+            )
+        )
         .select(F.col("a.doc_id").alias("i"), F.col("b.j").alias("j"))
         .distinct()
     )

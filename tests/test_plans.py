@@ -438,6 +438,18 @@ def test_containment_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pair_join_candidate_stage_is_merge_not_broadcast(spark):
+    """The prefix-vs-index candidate join must stay a SortMergeJoin: both
+    sides are corpus-derived, and at sf10 AQE's compressed-bytes estimate
+    was measured broadcast-converting it and OOMing the driver building
+    the hash relation (SCALING.md "Exact pair joins vs corpus entropy").
+    The merge hint pins it; this asserts the pin holds in the compiled
+    plan for BOTH pair joins."""
+    for name in ("q_containment_pairs", "q_ngram_jaccard_pairs"):
+        plan = formatted_plan(Q[name](spark, SF_DIR))
+        assert "SortMergeJoin" in plan, (name, plan[:2000])
+
+
 def test_no_query_plans_cartesian_or_rowwise_python(spark):
     """Repo-wide lint (tools/plan_audit.py twin): no registered query may
     plan a partitioned CartesianProduct or a row-at-a-time Python UDF

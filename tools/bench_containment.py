@@ -1,0 +1,121 @@
+"""Containment-join scale bench at REALISTIC shingle entropy (r8).
+
+`tools/gen_sf.py`'s documents table draws from a tiny template pool —
+29,791 distinct trigrams across 500k docs at sf10 (measured), so every
+doc pair shares "rare" shingles and the candidate set after every
+published lossless filter (prefix + length + positional) is irreducibly
+~1.35e9 pairs: a cluster-sized job and an equally quadratic DuckDB
+oracle, which is why the pair joins are excluded by name from the sf10
+oracle gate. This bench is the other half of that argument: the SAME
+operator at the SAME row count over a web-like vocabulary (1M terms,
+zipf-ish head/tail) where prefix filtering does its published job.
+
+Corpus: n_docs base docs of 30 tokens; every 50th doc gets a TWIN made
+of its first 27 tokens — a shingle-subset by construction (prefix of a
+token stream ⇒ prefix of its trigram stream), i.e. a planted containment
+pair with containment 1.0. The bench asserts every planted twin is
+found (recall 1.0 — losslessness on a corpus where truth is known) and
+times the full query.
+
+Usage: python tools/bench_containment.py [n_docs] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ALPHA = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+TOKENS_PER_DOC = 30
+TWIN_EVERY = 50
+TWIN_TOKENS = 27  # 25 of the base's 28 trigrams, all shared -> containment 1.0
+
+
+def gen_docs(data_dir: str, n_docs: int, n_terms: int = 1_000_000):
+    rng = np.random.default_rng(11)
+    lens = rng.integers(4, 13, size=n_terms)
+    terms = np.array(["".join(ALPHA[rng.integers(0, 26, size=n)]) for n in lens])
+    w = 1.0 / np.arange(1, n_terms + 1) ** 0.7
+    w /= w.sum()
+    toks = rng.choice(terms, size=(n_docs, TOKENS_PER_DOC), p=w)
+    ids, texts = [], []
+    for i in range(n_docs):
+        ids.append(i)
+        texts.append(" ".join(toks[i]))
+        if i % TWIN_EVERY == 0:
+            # twin = the doc's token-stream prefix -> trigram-set subset
+            ids.append(n_docs + i)
+            texts.append(" ".join(toks[i][:TWIN_TOKENS]))
+    os.makedirs(data_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"doc_id": np.array(ids, dtype=np.int64), "text": texts}),
+        f"{data_dir}/documents.parquet",
+    )
+    return n_docs
+
+
+def main() -> int:
+    from projet_data_engineering_spark.operators.datapipe import containment_join
+    from projet_data_engineering_spark.session import get_spark
+
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+    out_json = (
+        sys.argv[2] if len(sys.argv) > 2 else "evidence/bench_containment_r08.json"
+    )
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".localdata",
+        f"containment_{n_docs}",
+    )
+    if not os.path.exists(f"{base}/documents.parquet"):
+        gen_docs(base, n_docs)
+    spark = get_spark("bench_containment")
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    total_docs = docs.count()
+
+    t0 = time.time()
+    pairs = containment_join(docs, "doc_id", "text", 3).collect()
+    elapsed = round(time.time() - t0, 2)
+
+    # every planted twin (twin_id = n_docs + i) must appear as a
+    # contained side of its base doc i with containment 1.0
+    planted = set(range(0, n_docs, TWIN_EVERY))
+    got = {
+        (r["i"] - n_docs)
+        for r in pairs
+        if r["i"] >= n_docs and r["j"] == r["i"] - n_docs and r["containment"] == 1.0
+    }
+    missing = sorted(planted - got)[:5]
+    assert not missing, f"planted twins not found: {missing}"
+
+    out = {
+        "n_docs": total_docs,
+        "vocab_terms": 1_000_000,
+        "planted_twins": len(planted),
+        "planted_recall": 1.0,
+        "result_pairs": len(pairs),
+        "elapsed_s": elapsed,
+        "note": (
+            "same operator, same 500k-doc row count as the sf10 gate "
+            "corpus, web-like shingle entropy: prefix+length+positional "
+            "pruning bounds the candidate join as published; on gen_sf's "
+            "29,791-trigram corpus the same filters provably cannot "
+            "(1.35e9 distinct candidate pairs measured post-filter)"
+        ),
+    }
+    print(json.dumps(out))
+    with open(out_json, "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
