@@ -63,7 +63,10 @@ def gen_docs(data_dir: str, n_docs: int, n_terms: int = 1_000_000):
 
 
 def main() -> int:
-    from projet_data_engineering_spark.operators.datapipe import containment_join
+    from projet_data_engineering_spark.operators.datapipe import (
+        containment_join,
+        ngram_jaccard_join,
+    )
     from projet_data_engineering_spark.session import get_spark
 
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
@@ -96,6 +99,16 @@ def main() -> int:
     missing = sorted(planted - got)[:5]
     assert not missing, f"planted twins not found: {missing}"
 
+    # same corpus through the Jaccard sibling: twin trigram Jaccard is
+    # 25/28 ≈ 0.893 >= tau=4/5, so the planted pairs are ITS truth too
+    t0 = time.time()
+    jpairs = ngram_jaccard_join(docs, "doc_id", "text", 3).collect()
+    j_elapsed = round(time.time() - t0, 2)
+    # jaccard emits i < j, and base_id < twin_id = base_id + n_docs
+    jgot = {r["i"] for r in jpairs if r["j"] == r["i"] + n_docs}
+    jmissing = sorted(planted - jgot)[:5]
+    assert not jmissing, f"planted twins missed by jaccard: {jmissing}"
+
     out = {
         "n_docs": total_docs,
         "vocab_terms": 1_000_000,
@@ -103,6 +116,9 @@ def main() -> int:
         "planted_recall": 1.0,
         "result_pairs": len(pairs),
         "elapsed_s": elapsed,
+        "jaccard_result_pairs": len(jpairs),
+        "jaccard_planted_recall": 1.0,
+        "jaccard_elapsed_s": j_elapsed,
         "note": (
             "same operator, same 500k-doc row count as the sf10 gate "
             "corpus, web-like shingle entropy: prefix+length+positional "
