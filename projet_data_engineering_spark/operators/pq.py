@@ -689,10 +689,15 @@ def train_pq_quantizer(embeddings: DataFrame, path: str) -> None:
 
 
 def encoded_codes(emb: DataFrame, books: BooksLocal) -> DataFrame:
-    """(vec_id, c1..cM, shard) — the stored-codes projection of
-    :func:`pq_encode_with`, shared by the batch build and the streaming
-    refresher so both writers produce identical rows."""
-    return pq_encode_with(emb, books).select(
+    """(vec_id, c1..cM, shard) — the stored-codes projection shared by
+    the batch build and the streaming refresher so both writers produce
+    identical rows. Runs the PRODUCTION encode tier
+    (:func:`pq_encode_arrow`, r8): the serving artifact is bulk-encoded
+    on every reindex, so the build pays the BLAS-shaped path, not the
+    interpreted JVM projection — code-for-code equality of the two tiers
+    is pinned in tests/test_pq.py and hash-proven by q_pq_encode_arrow
+    sharing q_pq_encode's retraining oracle at four SFs."""
+    return pq_encode_arrow(emb, books).select(
         "vec_id",
         *[f"c{m + 1}" for m in range(PQ_M)],
         _shard(F.col("vec_id")).alias("shard"),
