@@ -929,20 +929,35 @@ def ngram_jaccard_join(
         .distinct()
     )
 
+    # verify + size joins carry the same merge hint as the candidate
+    # join: shingle table and per-doc sizes are corpus-derived (one/many
+    # rows per doc — billions at 100 TB), but Spark's STATIC size
+    # estimate propagates the compressed parquet file size through the
+    # explode, so at sf10 it plans all of them as broadcasts and the
+    # stacked hash relations OOM the driver (measured via q_dedup_recall)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("i"), "term")
     sb = sh.select(F.col("doc_id").alias("j"), "term")
     inter = (
-        cand.join(sa, "i").join(sb, ["j", "term"]).groupBy("i", "j").agg(
-            F.count("*").alias("c")
-        )
+        cand.join(sa.hint("merge"), "i")
+        .join(sb.hint("merge"), ["j", "term"])
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
     )
     union = F.col("na") + F.col("nb") - F.col("c")
     return (
         inter.join(
-            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")), "i"
+            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")).hint(
+                "merge"
+            ),
+            "i",
         )
-        .join(sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")), "j")
+        .join(
+            sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")).hint(
+                "merge"
+            ),
+            "j",
+        )
         .where(F.col("c") * q >= union * p)
         .select("i", "j", F.round(F.col("c") / union, 6).alias("jaccard"))
     )
@@ -1298,16 +1313,22 @@ def containment_join(
         .distinct()
     )
 
+    # corpus-derived verify/size sides merge-hinted — see the Jaccard
+    # sibling: static estimates plan them as broadcasts at sf10
     sa = sh.select(F.col("doc_id").alias("i"), "term")
     sb = sh.select(F.col("doc_id").alias("j"), "term")
     inter = (
-        cand.join(sa, "i").join(sb, ["j", "term"]).groupBy("i", "j").agg(
-            F.count("*").alias("c")
-        )
+        cand.join(sa.hint("merge"), "i")
+        .join(sb.hint("merge"), ["j", "term"])
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
     )
     return (
         inter.join(
-            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")), "i"
+            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")).hint(
+                "merge"
+            ),
+            "i",
         )
         .where(F.col("c") * q >= F.col("na") * p)
         .select("i", "j", F.round(F.col("c") / F.col("na"), 6).alias("containment"))
@@ -1814,7 +1835,11 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("doc1"), F.col("j").alias("doc2")
     )
     lsh = minhash_candidate_pairs(d, "doc_id", "text")
-    probed = truth.join(
+    # merge hint: truth and the LSH candidate list are BOTH O(dup-pairs),
+    # i.e. corpus-sized on any real web corpus — at sf10 AQE broadcast-
+    # converted this probe join (4.1M-pair side compresses under the
+    # 64 MB threshold) and OOMed the driver building the hash relation
+    probed = truth.hint("merge").join(
         lsh.withColumn("f", F.lit(1)), ["doc1", "doc2"], "left"
     ).agg(
         F.count("*").alias("n_true"),

@@ -115,7 +115,12 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        a.join(
+        # merge hint: both sides are the corpus-derived band table — the
+        # same never-broadcastable invariant as the PPJoin candidate joins
+        # (SCALING.md "Exact pair joins vs corpus entropy"); AQE's
+        # compressed-bytes estimate sits under the 64 MB threshold at sf10
+        # while the in-heap hash relation does not
+        a.hint("merge").join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
