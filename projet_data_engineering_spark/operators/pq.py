@@ -76,19 +76,26 @@ def _train_books(emb: DataFrame) -> BooksLocal:
     lowest-cid ties; 6-dp-rounded means) — the oracle transcribes it with
     the SAME shared CTE builder, sliced source expression.
 
-    Execution shape is the MLlib-style centroid loop: the model lives on
-    the DRIVER (a bounded M·K·subdim doubles — 1 KiB here, never
-    corpus-proportional) and each Lloyd's round is ONE map-only assignment
-    pass with the centroids embedded as LITERAL expressions + one
-    groupBy(m, cid) update collected back. Two earlier shapes lost to
-    this on measurement: per-subspace DataFrame trainings were
-    stage-count-bound (~100 tiny jobs), and a 1-row broadcast codebook
-    artifact was copy-bound — BroadcastNestedLoopJoin appends the build
-    row to EVERY stream row, so a ~10 KiB nested-array model became
-    gigabytes of per-row copying at sf5+. Literals carry zero per-row
-    payload; note the M·K-candidate assignment projection is too wide for
-    janino (see :func:`pq_encode_with`) and runs interpreted — still the
-    measured-fastest JVM form."""
+    Execution shape (r8, measured): the model lives on the DRIVER (a
+    bounded M·K·subdim doubles — 1 KiB here, never corpus-proportional)
+    and each Lloyd's round is ONE ``mapInPandas`` pass that assigns every
+    row's M subvectors in numpy and emits PER-BATCH PARTIAL SUMS — at most
+    M·K rows of (m, cid, Σx₀..Σx₃, count) per Arrow batch — followed by a
+    tiny groupBy(m, cid) that finishes the means. Map-side combined by
+    construction: the shuffle is O(batches · M · K) rows regardless of
+    corpus size. This replaced the literal-expression JVM loop from r7:
+    the fused M·K=256-candidate assignment projections exceeded janino's
+    64 KB method limit, and two rounds of interpreted evaluation + eager
+    localCheckpoints cost ~20 s per trained model at sf0.1 (2 000 rows!)
+    — pure plan/compile overhead, paid by every PQ query. The Arrow round
+    trains the identical lattice in <2 s (raw-d2 argmin, first-min =
+    lowest cid since books are cid-sorted; subdim=4 numpy sums are
+    sequential, matching the JVM fold bit-for-bit), and the earlier
+    measured losers stand: per-subspace DataFrame trainings were
+    stage-count-bound, a 1-row broadcast codebook artifact was copy-bound
+    (BroadcastNestedLoopJoin appends the build row to EVERY stream row)."""
+    import numpy as np
+
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -102,49 +109,65 @@ def _train_books(emb: DataFrame) -> BooksLocal:
         ]
         for m in range(PQ_M)
     }
+    m_count, sd = PQ_M, PQ_SUBDIM
+    schema = (
+        "m int, cid int, "
+        + ", ".join(f"s{i} double" for i in range(sd))
+        + ", cnt bigint"
+    )
     for _ in range(PQ_ITERS):
         # Raw-d2 argmin (NOT rounded — training matches kmeans_centroids;
-        # only the ENCODE argmin rounds), ties toward the lowest cid. The
-        # per-subspace argmins are computed as M NARROW columns (each a
-        # codegen-friendly unrolled-arithmetic expression) and the frame
-        # MATERIALIZED before the explode: fusing the 16 argmins into the
-        # explode projection blows past codegen's field limits and drops
-        # the whole stage to interpreted evaluation (measured 2× slower
-        # than paying the checkpoint).
-        wide = e.select(
-            "v",
-            *[
-                F.array_min(_cands(books, m, F.col("v"), rounded=False))[
-                    "cid"
-                ].alias(f"c{m}")
-                for m in range(PQ_M)
-            ],
-        ).localCheckpoint(eager=True)
-        parts = [
-            F.struct(
-                F.lit(m).alias("m"),
-                F.col(f"c{m}").alias("cid"),
-                *[
-                    F.element_at(F.col("v"), m * PQ_SUBDIM + i + 1).alias(
-                        f"x{i}"
-                    )
-                    for i in range(PQ_SUBDIM)
-                ],
-            )
-            for m in range(PQ_M)
+        # only the ENCODE argmin rounds), ties toward the lowest cid:
+        # numpy argmin returns the FIRST minimum and candidate rows are
+        # cid-sorted. Clusters that receive no rows emit no partials and
+        # drop from the model (never invented) — same as the JVM round.
+        cents = [
+            np.array([ce for _, ce in books[m]], dtype=np.float64)
+            for m in range(m_count)
         ]
-        long = wide.select(F.explode(F.array(*parts)).alias("p")).select("p.*")
-        means = long.groupBy("m", "cid").agg(
+        cid_lut = [
+            [cid for cid, _ in books[m]] for m in range(m_count)
+        ]
+
+        def assign_partials(batches, cents=cents, cid_lut=cid_lut):
+            import numpy as np
+            import pandas as pd
+
+            cols = (
+                ["m", "cid"] + [f"s{i}" for i in range(sd)] + ["cnt"]
+            )
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                out = []
+                for m in range(m_count):
+                    sub = x[:, m * sd : (m + 1) * sd]
+                    diff = sub[:, None, :] - cents[m][None, :, :]
+                    d2 = (diff * diff).sum(axis=2)  # (n, K_m)
+                    am = d2.argmin(axis=1)
+                    for k in range(len(cid_lut[m])):
+                        mask = am == k
+                        c = int(mask.sum())
+                        if c:
+                            s = sub[mask].sum(axis=0)
+                            out.append(
+                                (m, cid_lut[m][k], *map(float, s), c)
+                            )
+                yield pd.DataFrame(out, columns=cols)
+
+        partials = e.select("v").mapInPandas(assign_partials, schema=schema)
+        means = partials.groupBy("m", "cid").agg(
             *[
-                F.round(F.avg(f"x{i}"), 6).alias(f"d{i}")
-                for i in range(PQ_SUBDIM)
+                F.round(F.sum(f"s{i}") / F.sum("cnt"), 6).alias(f"d{i}")
+                for i in range(sd)
             ]
         )
         rows = means.collect()  # bounded: ≤ M·K rows
-        books = {m: [] for m in range(PQ_M)}
+        books = {m: [] for m in range(m_count)}
         for r in rows:
             books[r["m"]].append(
-                (r["cid"], [float(r[f"d{i}"]) for i in range(PQ_SUBDIM)])
+                (r["cid"], [float(r[f"d{i}"]) for i in range(sd)])
             )
         for m in books:
             books[m].sort()
@@ -172,14 +195,14 @@ def _d2_unrolled(vec: Column, off: int, ce: list[float]) -> Column:
     return expr
 
 
-def _cands(books: BooksLocal, m: int, vec: Column, rounded: bool) -> Column:
+def _cands(books: BooksLocal, m: int, vec: Column) -> Column:
     """Array of struct(d2, cid) for subspace ``m``'s literal candidates
-    against the row's FULL vector (indexed at the subspace offset)."""
+    against the row's FULL vector (indexed at the subspace offset), d2
+    rounded to 6 dp per the ENCODE argmin contract (training, which argmins
+    on raw d2, runs through the Arrow round in :func:`_train_books`)."""
     entries = []
     for cid, ce in books[m]:
-        d2 = _d2_unrolled(vec, m * PQ_SUBDIM, ce)
-        if rounded:
-            d2 = F.round(d2, 6)
+        d2 = F.round(_d2_unrolled(vec, m * PQ_SUBDIM, ce), 6)
         entries.append(
             F.struct(d2.alias("d2"), F.lit(cid).alias("cid"))
         )
@@ -222,7 +245,7 @@ def pq_encode_with(emb: DataFrame, books: BooksLocal) -> DataFrame:
     contract."""
     v = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     structs = [
-        F.array_min(_cands(books, m, F.col("v"), rounded=True)).alias(f"s{m}")
+        F.array_min(_cands(books, m, F.col("v"))).alias(f"s{m}")
         for m in range(PQ_M)
     ]
     enc = v.select("vec_id", "v", *structs)
