@@ -63,3 +63,147 @@ def q_dedup_clusters_lss(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = minhash_candidate_pairs(d, "doc_id", "text")
     return connected_components_lss(pairs)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct-count sketch (r8)
+# ---------------------------------------------------------------------------
+#
+# The DETERMINISTIC, MERGEABLE cardinality estimator next to
+# ``relational.q_approx_distinct`` (HyperLogLog++, engine-specific and
+# therefore rows-only at the driver gate): hash every key with md5, keep the
+# k smallest distinct hash fractions per group, estimate D ≈ (k−1)/u₍ₖ₎
+# (Bar-Yossef et al. 2002). Every step is engine-neutral arithmetic —
+# md5 hex, a 13-hex-digit base-16 expansion (52 bits, exact in a double),
+# one IEEE division — so unlike HLL++ the estimate itself is hash-oracled,
+# not just error-bounded. Mergeability (union of sketches = sketch of
+# union, EXACTLY) is what makes it a planning primitive at 100 TB:
+# per-shard sketches of k doubles roll up to corpus cardinality without
+# re-scanning, pytest-proven in tests/test_skew_approx.py.
+
+KMV_K = 256  # sketch size: relative error ~1/sqrt(k) ≈ 6.25%
+
+_HEX_ALPHABET = "0123456789abcdef"
+
+
+def _kmv_u_sql(key_expr: str) -> str:
+    """Portable SQL (Spark + DuckDB dialect intersection) mapping a key
+    expression to a uniform hash fraction u ∈ [0, 1): the first 13 hex
+    digits of md5 read as a base-16 integer (52 bits — exactly
+    representable in a double in BOTH engines) over 2⁵². Both engines
+    evaluate the identical literal-coefficient sum, so the doubles are
+    bit-equal and the oracle hash compare is exact, not tolerance-based."""
+    digits = " + ".join(
+        f"(instr('{_HEX_ALPHABET}', substring(md5(CAST({key_expr} AS STRING)),"
+        f" {i + 1}, 1)) - 1) * CAST({16 ** (12 - i)} AS DOUBLE)"
+        for i in range(13)
+    )
+    return f"(({digits}) / CAST({1 << 52} AS DOUBLE))"
+
+
+def kmv_sketch(df: DataFrame, grp: str, key: str, k: int = KMV_K) -> DataFrame:
+    """(grp, n_seen, ks) — the bottom-k DISTINCT hash fractions of ``key``
+    per group plus the count of distinct hashes retained (n_seen < k means
+    the sketch is exhaustive and the estimate is exact). The artifact is
+    k doubles per group — the thing a 100 TB planner persists per shard.
+
+    Execution: one distinct on (grp, u) (map-side combined), one per-group
+    window rank over the distinct hashes, one bounded collect_list (≤ k
+    rows per group by the rank filter). The per-group sort ranks DISTINCT
+    hashes, not corpus rows — at web scale the distinct set is the
+    expensive part and is exactly what exact countDistinct would shuffle
+    anyway; the sketch's win is the O(k) artifact and the merge rule."""
+    from pyspark.sql import Window
+
+    u = F.expr(_kmv_u_sql(key))
+    hashed = df.select(F.col(grp).alias("grp"), u.alias("u")).distinct()
+    w = Window.partitionBy("grp").orderBy("u")
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(
+            F.max("rn").alias("n_seen"),
+            F.sort_array(F.collect_list("u")).alias("ks"),
+        )
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union rule: bottom-k of the UNION of two sketches' hash sets — the
+    sketch the two-shard corpus would have produced, exactly (bottom-k of a
+    union is the bottom-k of the union of bottom-ks). Bounded array ops on
+    ≤ 2k doubles per group; full outer so one-sided groups survive."""
+    ab = (
+        a.select("grp", F.col("ks").alias("ka"))
+        .join(b.select("grp", F.col("ks").alias("kb")), "grp", "full_outer")
+        .select(
+            "grp",
+            F.slice(
+                F.array_sort(
+                    F.array_distinct(
+                        F.concat(
+                            F.coalesce("ka", F.expr("CAST(array() AS array<double>)")),
+                            F.coalesce("kb", F.expr("CAST(array() AS array<double>)")),
+                        )
+                    )
+                ),
+                1,
+                k,
+            ).alias("ks"),
+        )
+    )
+    return ab.select("grp", F.size("ks").alias("n_seen"), "ks")
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """(grp, distinct_est): (k−1)/u₍ₖ₎ when the sketch is full, else the
+    exact retained count (a sketch smaller than k IS the distinct set)."""
+    return sketch.select(
+        "grp",
+        F.when(F.col("n_seen") < k, F.col("n_seen").cast("double"))
+        .otherwise(
+            F.round((F.lit(k - 1) / F.element_at("ks", k)), 4)
+        )
+        .alias("distinct_est"),
+    )
+
+
+_KMV_ORACLE = f"""
+    WITH h AS (
+        SELECT DISTINCT o_orderpriority AS grp,
+               {_kmv_u_sql('o_custkey')} AS u
+        FROM orders
+    ),
+    r AS (
+        SELECT grp, u,
+               ROW_NUMBER() OVER (PARTITION BY grp ORDER BY u) AS rn
+        FROM h
+    ),
+    s AS (
+        SELECT grp, MAX(rn) AS n_seen,
+               MAX(CASE WHEN rn = {KMV_K} THEN u END) AS kth_u
+        FROM r WHERE rn <= {KMV_K} GROUP BY grp
+    )
+    SELECT grp AS o_orderpriority,
+           CASE WHEN n_seen < {KMV_K} THEN CAST(n_seen AS DOUBLE)
+                ELSE ROUND(({KMV_K} - 1) / kth_u, 4) END AS distinct_est
+    FROM s
+    """
+
+
+@query("q_kmv_distinct", oracle=_KMV_ORACLE)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order priority, estimated from the KMV
+    bottom-{k} sketch — the deterministic twin of q_approx_distinct whose
+    ESTIMATE the DuckDB oracle reproduces bit-for-bit (both engines walk
+    the same md5 → 52-bit fraction → (k−1)/u₍ₖ₎ lattice). Error-bound and
+    merge-law pytests live in tests/test_skew_approx.py.
+
+    Reference anchor: the reference counts distinct product_ids by
+    collection scan (scraper/main.py:263); this is the bounded-memory
+    shape that count takes when the collection is 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return kmv_estimate(
+        kmv_sketch(o, "o_orderpriority", "o_custkey")
+    ).select(F.col("grp").alias("o_orderpriority"), "distinct_est")

@@ -284,3 +284,70 @@ def test_bloom_join_plan_filters_before_exchange(spark):
     assert plan.index("xxhash64") > plan.index("SortMergeJoin") or (
         "Filter" in plan.split("SortMergeJoin")[0]
     )
+
+
+def test_kmv_estimate_within_error_bound(spark):
+    """KMV bottom-k estimate vs exact distinct per group: relative error
+    within 3/sqrt(k) (three standard deviations of the (k-1)/u_k
+    estimator) for every group at SF_DIR."""
+    from projet_data_engineering_spark.operators import sampling as sm
+
+    o = load_table(spark, SF_DIR, "orders")
+    exact = {
+        r["o_orderpriority"]: r["d"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("d"))
+        .collect()
+    }
+    est = {
+        r["grp"]: r["distinct_est"]
+        for r in sm.kmv_estimate(
+            sm.kmv_sketch(o, "o_orderpriority", "o_custkey")
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    bound = 3.0 / sm.KMV_K**0.5
+    for g, d in exact.items():
+        assert abs(est[g] - d) / d <= bound, (g, est[g], d)
+
+
+def test_kmv_merge_law_is_exact(spark):
+    """Union rule: merge(sketch(A), sketch(B)) equals sketch(A ∪ B)
+    EXACTLY — same retained hashes, same estimate — for a disjoint
+    orderkey split. This is the property that lets per-shard sketches
+    roll up to corpus cardinality without a re-scan."""
+    from projet_data_engineering_spark.operators import sampling as sm
+
+    o = load_table(spark, SF_DIR, "orders")
+    a = o.where(F.col("o_orderkey") % 2 == 0)
+    b = o.where(F.col("o_orderkey") % 2 == 1)
+    merged = sm.kmv_merge(
+        sm.kmv_sketch(a, "o_orderpriority", "o_custkey"),
+        sm.kmv_sketch(b, "o_orderpriority", "o_custkey"),
+    )
+    full = sm.kmv_sketch(o, "o_orderpriority", "o_custkey")
+    mrows = {r["grp"]: r["ks"] for r in merged.collect()}
+    frows = {r["grp"]: r["ks"] for r in full.collect()}
+    assert set(mrows) == set(frows)
+    for g in frows:
+        assert mrows[g] == frows[g], g
+    me = {r["grp"]: r["distinct_est"] for r in sm.kmv_estimate(merged).collect()}
+    fe = {r["grp"]: r["distinct_est"] for r in sm.kmv_estimate(full).collect()}
+    assert me == fe
+
+
+def test_kmv_sketch_is_bounded(spark):
+    """The persisted artifact is at most k doubles per group, n_seen
+    tracks the retained-distinct count, and hashes are sorted unique."""
+    from projet_data_engineering_spark.operators import sampling as sm
+
+    rows = sm.kmv_sketch(
+        load_table(spark, SF_DIR, "orders"), "o_orderpriority", "o_custkey"
+    ).collect()
+    assert rows
+    for r in rows:
+        ks = r["ks"]
+        assert 1 <= len(ks) <= sm.KMV_K
+        assert r["n_seen"] == len(ks)
+        assert ks == sorted(set(ks))
+        assert all(0.0 <= u < 1.0 for u in ks)
