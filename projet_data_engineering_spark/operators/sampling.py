@@ -207,3 +207,67 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_estimate(
         kmv_sketch(o, "o_orderpriority", "o_custkey")
     ).select(F.col("grp").alias("o_orderpriority"), "distinct_est")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampled percentiles (r8) — the q_kmv_distinct of quantiles
+# ---------------------------------------------------------------------------
+
+PSAMPLE_K = 4096  # per-group sample size: p50/p95 sampling error ~1/sqrt(k)
+
+
+_PSAMPLE_ORACLE = f"""
+    WITH r AS (
+        SELECT l_returnflag, l_quantity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY md5(CAST(l_orderkey AS STRING) || '-' ||
+                                CAST(l_linenumber AS STRING)),
+                            l_orderkey, l_linenumber) AS rn
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_est,
+           ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_est
+    FROM r WHERE rn <= {PSAMPLE_K}
+    GROUP BY l_returnflag
+    """
+
+
+@query("q_percentile_sampled", oracle=_PSAMPLE_ORACLE)
+def q_percentile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentiles from a DETERMINISTIC per-group hash sample — the
+    bounded-memory quantile path whose ESTIMATE the oracle reproduces
+    exactly, complementing the rows-only ``q_percentile_approx`` the way
+    ``q_kmv_distinct`` complements ``q_approx_distinct``: Spark's
+    percentile_approx sketch is engine-specific, but exact percentiles
+    over the md5-bottom-k sample are pure engine-neutral arithmetic, so
+    the driver hash-checks the whole estimator. Statistically the sample
+    is uniform per group (md5 on the (orderkey, linenumber) primary key),
+    error ~1/sqrt(k); at 100 TB the per-group window ranks rows by hash
+    without a full sort of values (rank-k cutoff), and the percentile
+    aggregates k rows per group instead of the corpus. Closeness to the
+    exact percentiles is pinned in tests/test_skew_approx.py."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws(
+            "-",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        h, "l_orderkey", "l_linenumber"
+    )
+    return (
+        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= PSAMPLE_K)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_est"),
+            F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_est"),
+        )
+    )

@@ -351,3 +351,24 @@ def test_kmv_sketch_is_bounded(spark):
         assert r["n_seen"] == len(ks)
         assert ks == sorted(set(ks))
         assert all(0.0 <= u < 1.0 for u in ks)
+
+
+def test_percentile_sampled_close_to_exact(spark):
+    """The deterministic hash-sample percentile estimate tracks the exact
+    per-group percentiles: p50/p95 within 10% relative error at k=4096
+    (sampling error ~1/sqrt(k) plus quantile density factor)."""
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in entrymod.queries()["q_percentile"](spark, SF_DIR).collect()
+    }
+    est = {
+        r["l_returnflag"]: (r["p50_est"], r["p95_est"])
+        for r in entrymod.queries()["q_percentile_sampled"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for g, (p50, p95) in exact.items():
+        e50, e95 = est[g]
+        assert abs(e50 - p50) / p50 <= 0.10, (g, e50, p50)
+        assert abs(e95 - p95) / p95 <= 0.10, (g, e95, p95)
