@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q_dsir_weights",   # DSIR importance weights (r7b)
     "q_semdedup",       # trained-cluster semantic dedup (r7b)
     "q_pq_encode_arrow",  # PQ bulk-encode, production Arrow tier (r8)
+    "q_kmv_distinct",   # mergeable bottom-k cardinality sketch (r8)
+    "q_percentile_sampled",  # deterministic hash-sample percentiles (r8)
 ]
 
 # The 24-query set benched in round 1 (BENCH_r01/BASELINE.md anchor). The

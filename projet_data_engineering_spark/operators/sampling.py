@@ -86,19 +86,32 @@ KMV_K = 256  # sketch size: relative error ~1/sqrt(k) ≈ 6.25%
 _HEX_ALPHABET = "0123456789abcdef"
 
 
-def _kmv_u_sql(key_expr: str) -> str:
-    """Portable SQL (Spark + DuckDB dialect intersection) mapping a key
-    expression to a uniform hash fraction u ∈ [0, 1): the first 13 hex
-    digits of md5 read as a base-16 integer (52 bits — exactly
-    representable in a double in BOTH engines) over 2⁵². Both engines
-    evaluate the identical literal-coefficient sum, so the doubles are
-    bit-equal and the oracle hash compare is exact, not tolerance-based."""
+def hex13_long_sql(expr: str) -> str:
+    """Portable SQL (Spark + DuckDB dialect intersection): the first 13 hex
+    digits of md5(expr) read as a base-16 BIGINT — a uniform 52-bit integer
+    hash computed by IDENTICAL integer arithmetic in both engines (bare
+    integer literals parse as BIGINT in both; no floats, so no decimal-
+    literal trap — Spark parses ``281474976710656.0`` as DECIMAL). Shared
+    by the KMV fraction here and the Count-Min buckets in textanalysis.
+    Coefficients are CAST AS BIGINT: small powers of 16 parse as INT and
+    the INT×INT product overflows under Spark's ANSI mode."""
     digits = " + ".join(
-        f"(instr('{_HEX_ALPHABET}', substring(md5(CAST({key_expr} AS STRING)),"
-        f" {i + 1}, 1)) - 1) * CAST({16 ** (12 - i)} AS DOUBLE)"
+        f"(instr('{_HEX_ALPHABET}', substring(md5(CAST({expr} AS STRING)),"
+        f" {i + 1}, 1)) - 1) * CAST({16 ** (12 - i)} AS BIGINT)"
         for i in range(13)
     )
-    return f"(({digits}) / CAST({1 << 52} AS DOUBLE))"
+    return f"({digits})"
+
+
+def _kmv_u_sql(key_expr: str) -> str:
+    """Uniform hash fraction u ∈ [0, 1): the 52-bit integer hash over 2⁵².
+    Exactly representable in a double (every partial sum is an integer
+    < 2⁵²), so the doubles are bit-equal across engines and the oracle
+    hash compare is exact, not tolerance-based."""
+    return (
+        f"(CAST({hex13_long_sql(key_expr)} AS DOUBLE)"
+        f" / CAST({1 << 52} AS DOUBLE))"
+    )
 
 
 def kmv_sketch(df: DataFrame, grp: str, key: str, k: int = KMV_K) -> DataFrame:

@@ -1353,3 +1353,148 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("stop_hits") >= GOPHER_STOP_MIN)
     )
     return m.withColumn("pass_flag", F.when(ok, 1).otherwise(0))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min frequency sketch (r8) — the third deterministic sketch tier
+# ---------------------------------------------------------------------------
+#
+# Term-frequency estimation with FIXED-SIZE state: d=4 hash rows × w
+# counters, every counter a plain groupBy count. Estimates only ever
+# OVER-count (each row's counter sums the true count plus its bucket
+# collisions; the min over rows picks the least-polluted view), the
+# d×w counter matrix is mergeable by plain addition (shard sketches sum
+# to the corpus sketch, exactly), and — because the bucket hash is the
+# engine-neutral md5 integer of ``sampling.hex13_long_sql`` — the whole
+# estimator is hash-oracled, like q_kmv_distinct / q_percentile_sampled
+# and unlike engine-specific HLL++/percentile_approx. w is deliberately
+# SMALL here (16) so the fixture corpus actually collides and the
+# min-over-rows matters; at 100 TB w scales to the tolerable error
+# (err ≲ 2·N/w with d rows at failure prob 2⁻ᵈ) while the state stays
+# O(d·w) — the reason CMS replaces exact value_counts when the term
+# universe is the open web's vocabulary.
+
+CMS_D = 4    # hash rows
+CMS_W = 16   # counters per row (small on purpose: fixture-visible collisions)
+
+
+def _cms_bucket_sql(i: int, term_expr: str) -> str:
+    """Row-``i`` bucket of a term: the shared 52-bit md5 integer of the
+    salted term, mod w. Pure integer SQL, identical in both engines."""
+    from projet_data_engineering_spark.operators.sampling import (
+        hex13_long_sql,
+    )
+
+    salted = f"'{i}:' || {term_expr}"
+    return f"({hex13_long_sql(salted)} % {CMS_W})"
+
+
+def _tokens(d: DataFrame) -> DataFrame:
+    """One row per token occurrence: lower, split on space, drop empties —
+    the corpus tokenization every text-analysis oracle transcribes."""
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .where(F.col("t") != "")
+    )
+
+
+def cms_sketch(tokens: DataFrame) -> DataFrame:
+    """(i, bucket, cnt) — the d×w counter matrix. One explode to d rows per
+    occurrence, one map-side-combined groupBy: state is O(d·w) no matter
+    the corpus. Merging shard sketches = union + groupBy sum (exact)."""
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.expr(_cms_bucket_sql(i, "t")).alias("bucket"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        tokens.select(F.explode(probes).alias("p"))
+        .select("p.i", "p.bucket")
+        .groupBy("i", "bucket")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sum rule: counters add cell-wise — the merged matrix IS the sketch
+    of the concatenated corpus, exactly (counting is linear)."""
+    return (
+        a.unionByName(b)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(terms: DataFrame, sketch: DataFrame) -> DataFrame:
+    """(term, est_count) for each probe term: min over the d matched
+    counters. The sketch is d·w rows — broadcast by construction, so the
+    probe is a map-side join however large the term list is."""
+    probed = terms.select(
+        F.col("t").alias("term"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_cms_bucket_sql(i, "t")).alias("bucket"),
+                    )
+                    for i in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("term", "p.i", "p.bucket")
+    return (
+        probed.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def _cms_oracle() -> str:
+    probes = " UNION ALL ".join(
+        f"SELECT t, {i} AS i, {_cms_bucket_sql(i, 't')} AS bucket FROM vocab"
+        for i in range(CMS_D)
+    )
+    occ = " UNION ALL ".join(
+        f"SELECT {i} AS i, {_cms_bucket_sql(i, 't')} AS bucket FROM tok"
+        for i in range(CMS_D)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT t FROM (
+            SELECT unnest(str_split(lower(text), ' ')) AS t FROM documents
+        ) WHERE t <> ''
+    ),
+    vocab AS (SELECT DISTINCT t FROM tok),
+    counters AS (
+        SELECT i, bucket, COUNT(*) AS cnt FROM ({occ}) GROUP BY i, bucket
+    ),
+    probes AS ({probes})
+    SELECT p.t AS term, MIN(c.cnt) AS est_count
+    FROM probes p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+    GROUP BY p.t
+    """
+
+
+@query("q_cms_counts", oracle=_cms_oracle())
+def q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every vocabulary term's Count-Min frequency estimate from the d×w
+    counter matrix — the fixed-state replacement for exact value_counts
+    when the term universe doesn't fit anywhere (web-scale vocabulary).
+    The oracle rebuilds the identical counters and probes, so the gate
+    proves the ESTIMATOR, not just an error bound; the never-undercount
+    guarantee and the shard-merge law are pinned in
+    tests/test_skew_approx.py.
+
+    Reference anchor: the reference's ingredient value_counts
+    (app/main.py dashboard aggregations) — this is that count's shape
+    once ingredients become open-vocabulary tokens at 100 TB."""
+    toks = _tokens(load_table(spark, sf_dir, "documents"))
+    sketch = cms_sketch(toks)
+    vocab = toks.distinct()
+    return cms_estimate(vocab, sketch)

@@ -372,3 +372,38 @@ def test_percentile_sampled_close_to_exact(spark):
         e50, e95 = est[g]
         assert abs(e50 - p50) / p50 <= 0.10, (g, e50, p50)
         assert abs(e95 - p95) / p95 <= 0.10, (g, e95, p95)
+
+
+def test_cms_never_undercounts_and_collides(spark):
+    """CMS hard guarantee: est >= exact for EVERY term (counters only
+    accumulate). With w=16 against a 31-term vocabulary the fixture must
+    actually collide (some term strictly over-counted), otherwise the
+    sketch degenerates to exact counting and the min-over-rows is
+    untested."""
+    from projet_data_engineering_spark.operators import textanalysis as ta
+
+    d = load_table(spark, SF_DIR, "documents")
+    toks = ta._tokens(d)
+    exact = {r["t"]: r["c"] for r in toks.groupBy("t").agg(F.count("*").alias("c")).collect()}
+    est = {
+        r["term"]: r["est_count"]
+        for r in entrymod.queries()["q_cms_counts"](spark, SF_DIR).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[t] >= exact[t] for t in exact)
+    assert any(est[t] > exact[t] for t in exact), "w too large: no collision"
+
+
+def test_cms_merge_law_is_exact(spark):
+    """Counting is linear: cell-wise summed shard sketches equal the
+    whole-corpus sketch exactly, hence identical estimates."""
+    from projet_data_engineering_spark.operators import textanalysis as ta
+
+    d = load_table(spark, SF_DIR, "documents")
+    ta_a = ta._tokens(d.where(F.col("doc_id") % 2 == 0))
+    ta_b = ta._tokens(d.where(F.col("doc_id") % 2 == 1))
+    merged = ta.cms_merge(ta.cms_sketch(ta_a), ta.cms_sketch(ta_b))
+    full = ta.cms_sketch(ta._tokens(d))
+    m = {(r["i"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    f = {(r["i"], r["bucket"]): r["cnt"] for r in full.collect()}
+    assert m == f
