@@ -252,6 +252,7 @@ def _load_all() -> None:
     from projet_data_engineering_spark.recipes import curation  # noqa: F401
     from projet_data_engineering_spark.streaming import (  # noqa: F401
         ann_refresh,
+        cms_ingest,
         dedup_ingest,
         drift,
         pq_refresh,

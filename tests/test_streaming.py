@@ -626,3 +626,32 @@ def test_drift_monitor_fires_on_shifted_batch_and_clamps(spark, tmp_path):
     assert {k: tuple(v) for k, v in again.items()} == {
         k: tuple(v) for k, v in got.items()
     }
+
+
+def test_cms_ingest_replay_is_idempotent(spark, tmp_path):
+    """At-least-once semantics: redelivering a batch (same batch_id)
+    leaves the state byte-identical, and the served counters equal the
+    batch-built sketch of the ingested documents exactly (merge law)."""
+    from projet_data_engineering_spark.streaming import cms_ingest as ci
+    from projet_data_engineering_spark.operators import textanalysis as ta
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    state = str(tmp_path / "cms_state")
+    for k in range(3):
+        ci.cms_ingest_batch(d.filter(F.col("doc_id") % 3 == k), state, k)
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(state).collect()
+    )
+    # redeliver batch 1 (crash-after-commit replay)
+    ci.cms_ingest_batch(d.filter(F.col("doc_id") % 3 == 1), state, 1)
+    after = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert before == after
+    served = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in ci.serve_cms_counters(spark, state).collect()
+    }
+    batch = {
+        (r["i"], r["bucket"]): r["cnt"]
+        for r in ta.cms_sketch(ta._tokens(d)).collect()
+    }
+    assert served == batch
