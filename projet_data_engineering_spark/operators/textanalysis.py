@@ -1456,12 +1456,13 @@ def cms_estimate(terms: DataFrame, sketch: DataFrame) -> DataFrame:
 
 
 def _cms_oracle() -> str:
+    # Buckets depend only on the TERM, so by linearity the counters are
+    # built from per-term counts — O(|vocab|·d) hash expansions instead of
+    # O(occurrences·d) (the occurrence-level form measured 170 s at sf1.0
+    # on DuckDB; identical counters either way).
     probes = " UNION ALL ".join(
-        f"SELECT t, {i} AS i, {_cms_bucket_sql(i, 't')} AS bucket FROM vocab"
-        for i in range(CMS_D)
-    )
-    occ = " UNION ALL ".join(
-        f"SELECT {i} AS i, {_cms_bucket_sql(i, 't')} AS bucket FROM tok"
+        f"SELECT t, c, {i} AS i, {_cms_bucket_sql(i, 't')} AS bucket"
+        f" FROM tcnt"
         for i in range(CMS_D)
     )
     return f"""
@@ -1470,12 +1471,12 @@ def _cms_oracle() -> str:
             SELECT unnest(str_split(lower(text), ' ')) AS t FROM documents
         ) WHERE t <> ''
     ),
-    vocab AS (SELECT DISTINCT t FROM tok),
+    tcnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    probes AS ({probes}),
     counters AS (
-        SELECT i, bucket, COUNT(*) AS cnt FROM ({occ}) GROUP BY i, bucket
-    ),
-    probes AS ({probes})
-    SELECT p.t AS term, MIN(c.cnt) AS est_count
+        SELECT i, bucket, SUM(c) AS cnt FROM probes GROUP BY i, bucket
+    )
+    SELECT p.t AS term, CAST(MIN(c.cnt) AS BIGINT) AS est_count
     FROM probes p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
     GROUP BY p.t
     """
