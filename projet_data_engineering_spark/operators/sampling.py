@@ -126,13 +126,21 @@ def kmv_sketch(df: DataFrame, grp: str, key: str, k: int = KMV_K) -> DataFrame:
     hashes, not corpus rows — at web scale the distinct set is the
     expensive part and is exactly what exact countDistinct would shuffle
     anyway; the sketch's win is the O(k) artifact and the merge rule."""
-    from pyspark.sql import Window
-
     u = F.expr(_kmv_u_sql(key))
     hashed = df.select(F.col(grp).alias("grp"), u.alias("u")).distinct()
+    return kmv_from_hashes(hashed, k)
+
+
+def kmv_from_hashes(hashed: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Rank an already-hashed (grp, u) frame into the (grp, n_seen, ks)
+    sketch — the half of :func:`kmv_sketch` the streaming server reuses to
+    fold batch partials (their union IS a hash frame)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("grp").orderBy("u")
     return (
-        hashed.withColumn("rn", F.row_number().over(w))
+        hashed.distinct()
+        .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .groupBy("grp")
         .agg(

@@ -1,24 +1,31 @@
-"""Streaming Count-Min ingest: micro-batch token partials that serve the
-EXACT whole-corpus sketch (ST2 × ``q_cms_counts``).
+"""Streaming sketch ingest: micro-batch partials that serve the EXACT
+whole-corpus sketches (ST2 × the deterministic-sketch tier).
 
-Counting is linear, so the CMS merge law (``textanalysis.cms_merge``) makes
-a streaming frequency sketch trivially exactly-once-able: each micro-batch
-contributes its own d×w partial counter matrix, keyed by batch_id, and the
-served matrix is the cell-wise sum over batches. An at-least-once
-redelivery REPLACES its batch_id slice with identical rows (the partial is
-a pure function of the batch), so replays are no-ops and the served sketch
-after any prefix of batches equals the batch-built sketch of exactly those
-documents — which is why the driver query's oracle is the SAME SQL as the
-batch query's: stream ≡ batch is the contract, not an approximation.
+Both sketches here are MERGEABLE with exact laws, which makes streaming
+maintenance trivially exactly-once-able: each micro-batch contributes its
+own bounded partial, keyed by batch_id, and serving folds the merge law
+over the batch slices. An at-least-once redelivery REPLACES its batch_id
+slice with identical rows (the partial is a pure function of the batch),
+so replays are no-ops and the served sketch after any prefix of batches
+equals the batch-built sketch of exactly those rows — which is why each
+driver query's oracle is the SAME SQL as its batch twin's: stream ≡ batch
+is the contract, not an approximation.
 
-State: |batches| × d·w rows (here 3 × 64), one atomic_overwrite per batch.
-At 100 TB the same layout holds — partials are O(d·w) per batch regardless
-of batch size, and compaction (summing old batch slices into one) is the
-same cell-wise sum.
+- Count-Min (``q_stream_cms``): counting is linear — partial = the batch's
+  d×w counter matrix, serve = cell-wise sum (``textanalysis.cms_merge``
+  folded over batches). State |batches|·d·w rows.
+- KMV (``q_stream_kmv``): bottom-k of a union is the bottom-k of the union
+  of bottom-ks — partial = the batch's per-group bottom-k hash set, serve
+  = rank over the unioned distinct hashes (``sampling.kmv_merge`` folded).
+  State ≤ |batches|·k rows per group.
+
+At 100 TB the same layouts hold — partials are O(state) per batch
+regardless of batch size, and compaction (folding old batch slices into
+one) is the same merge law.
 
 Reference anchor: the continuous-refresh loop the reference runs by
-re-scraping into MongoDB on a schedule (scraper/main.py); this is the
-frequency-state version with exact replay semantics.
+re-scraping into MongoDB on a schedule (scraper/main.py); these are the
+frequency/cardinality-state versions with exact replay semantics.
 """
 
 from __future__ import annotations
@@ -132,4 +139,129 @@ __all__ = [
     "serve_cms_counters",
     "run_stream_cms",
     "q_stream_cms",
+]
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV ingest (same pattern, union law instead of sum law)
+# ---------------------------------------------------------------------------
+
+
+def kmv_ingest_batch(
+    batch: DataFrame, state_path: str, batch_id: int, grp: str, key: str
+) -> None:
+    """One micro-batch: the batch's per-group bottom-k hash set (exploded
+    to (batch_id, grp, u) rows — ≤ k per group) replaces its own batch_id
+    slice of the state, idempotently."""
+    from projet_data_engineering_spark.operators.sampling import kmv_sketch
+
+    spark = batch.sparkSession
+    part = (
+        kmv_sketch(batch, grp, key)
+        .select("grp", F.explode("ks").alias("u"))
+        .select(F.lit(int(batch_id)).alias("batch_id"), "grp", "u")
+    )
+    if path_exists(spark, state_path):
+        old = spark.read.parquet(state_path).filter(
+            F.col("batch_id") != int(batch_id)
+        )
+        part = old.unionByName(part)
+    atomic_overwrite(part, state_path)
+
+
+def serve_kmv_sketch(spark: SparkSession, state_path: str) -> DataFrame:
+    """(grp, n_seen, ks): the served sketch — ``kmv_merge`` folded over
+    every batch slice (rank over the unioned distinct hashes)."""
+    from projet_data_engineering_spark.operators.sampling import (
+        kmv_from_hashes,
+    )
+
+    return kmv_from_hashes(
+        spark.read.parquet(state_path).select("grp", "u")
+    )
+
+
+def run_stream_kmv(
+    stream_df: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    grp: str,
+    key: str,
+) -> None:
+    """Wire ``kmv_ingest_batch`` into a Structured Streaming sink
+    (foreachBatch, availableNow)."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        kmv_ingest_batch(batch, state_path, batch_id, grp, key)
+
+    (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def _kmv_oracle() -> str:
+    from projet_data_engineering_spark.operators.sampling import _KMV_ORACLE
+
+    return _KMV_ORACLE
+
+
+@query("q_stream_kmv", oracle=_kmv_oracle())
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming cardinality maintenance end-to-end: orders arrive as three
+    micro-batch files (o_orderkey % 3, mtime-ordered + maxFilesPerTrigger=1)
+    through ``run_stream_kmv``, and the served sketch answers the
+    distinct-customers estimate. The oracle is ``q_kmv_distinct``'s SQL
+    UNCHANGED — the union law says the streamed bottom-k state must equal
+    the batch sketch hash-for-hash, so the gate proves the streaming path
+    (per-batch partials, replay-safe slice replacement, serve-time rank),
+    not a relaxed variant."""
+    import shutil
+    import tempfile
+    import time
+
+    from projet_data_engineering_spark.operators.sampling import kmv_estimate
+
+    o = spread(load_table(spark, sf_dir, "orders"), "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    root = tempfile.mkdtemp(prefix="stream_kmv_")
+    try:
+        src = f"{root}/src"
+        for k in range(3):
+            o.filter(F.col("o_orderkey") % 3 == k).coalesce(1).write.parquet(
+                f"{src}/b{k}"
+            )
+            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+        stream = (
+            spark.readStream.schema(o.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{src}/*")
+        )
+        run_stream_kmv(
+            stream,
+            f"{root}/state",
+            f"{root}/chk",
+            "o_orderpriority",
+            "o_custkey",
+        )
+        sk = serve_kmv_sketch(spark, f"{root}/state")
+        out = kmv_estimate(sk).select(
+            F.col("grp").alias("o_orderpriority"), "distinct_est"
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+__all__ += [
+    "kmv_ingest_batch",
+    "serve_kmv_sketch",
+    "run_stream_kmv",
+    "q_stream_kmv",
 ]

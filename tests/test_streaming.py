@@ -655,3 +655,36 @@ def test_cms_ingest_replay_is_idempotent(spark, tmp_path):
         for r in ta.cms_sketch(ta._tokens(d)).collect()
     }
     assert served == batch
+
+
+def test_kmv_ingest_replay_is_idempotent(spark, tmp_path):
+    """Redelivering a batch leaves the KMV state byte-identical, and the
+    served sketch equals the batch-built sketch exactly (union law)."""
+    from projet_data_engineering_spark.streaming import cms_ingest as si
+    from projet_data_engineering_spark.operators import sampling as sm
+
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    state = str(tmp_path / "kmv_state")
+    for k in range(3):
+        si.kmv_ingest_batch(
+            o.filter(F.col("o_orderkey") % 3 == k),
+            state, k, "o_orderpriority", "o_custkey",
+        )
+    before = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    si.kmv_ingest_batch(
+        o.filter(F.col("o_orderkey") % 3 == 1),
+        state, 1, "o_orderpriority", "o_custkey",
+    )
+    after = sorted(tuple(r) for r in spark.read.parquet(state).collect())
+    assert before == after
+    served = {
+        r["grp"]: r["ks"]
+        for r in si.serve_kmv_sketch(spark, state).collect()
+    }
+    batch = {
+        r["grp"]: r["ks"]
+        for r in sm.kmv_sketch(o, "o_orderpriority", "o_custkey").collect()
+    }
+    assert served == batch
