@@ -275,6 +275,7 @@ def _load_all() -> None:
         datapipe,
         ml,
         corpusmix,
+        versioned,
     )
 
     _LOADED = True

@@ -851,3 +851,60 @@ def test_atomic_overwrite_standalone_after_midswap_crash(spark, tmp_path):
     }
     assert not os.path.exists(path + "__next")
     assert not os.path.exists(path + "__old")
+
+
+def _vt_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_versioned_table_time_travel_and_compaction(spark, tmp_path):
+    """MVCC contract: (a) reads AS OF v are stable as later versions land,
+    (b) compacting a prefix leaves every surviving read identical —
+    including tombstone visibility for keys deleted inside the prefix."""
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    path = str(tmp_path / "vt")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, s string")
+    assert vt.versioned_upsert(mk([(1, "a"), (2, "b"), (3, "c")]), path, "k") == 1
+    assert vt.versioned_upsert(mk([(2, "B"), (4, "d")]), path, "k") == 2
+    assert vt.versioned_delete(
+        spark.createDataFrame([(1,)], "k int"), path, "k"
+    ) == 3
+    assert vt.versioned_upsert(mk([(5, "e")]), path, "k") == 4
+
+    asof1 = _vt_rows(vt.read_version(spark, path, "k", 1))
+    asof2 = _vt_rows(vt.read_version(spark, path, "k", 2))
+    asof3 = _vt_rows(vt.read_version(spark, path, "k", 3))
+    latest = _vt_rows(vt.read_version(spark, path, "k"))
+    assert asof1 == [(1, "a"), (2, "b"), (3, "c")]
+    assert asof2 == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    assert asof3 == [(2, "B"), (3, "c"), (4, "d")]  # k=1 tombstoned
+    assert latest == asof3 + [(5, "e")]
+
+    # compact the first three versions; k=1's tombstone must survive
+    vt.compact_versions(spark, path, "k", 3)
+    assert vt.table_versions(spark, path) == [3, 4]
+    assert _vt_rows(vt.read_version(spark, path, "k", 3)) == asof3
+    assert _vt_rows(vt.read_version(spark, path, "k")) == latest
+
+
+def test_versioned_publish_is_invisible_until_rename(spark, tmp_path):
+    """A crashed half-write (still _tmp-prefixed) is not a version: the
+    lister ignores it and the retry simply overwrites it."""
+    import os
+
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    path = str(tmp_path / "vt")
+    df = spark.createDataFrame([(1, "a")], "k int, s string")
+    vt.versioned_upsert(df, path, "k")
+    # simulate a crash mid-publish of v2: data written, rename never ran
+    df.withColumn("_op", F.lit("u")).write.parquet(f"{path}/_tmp_v2")
+    assert vt.table_versions(spark, path) == [1]
+    assert _vt_rows(vt.read_version(spark, path, "k")) == [(1, "a")]
+    # the retry lands as a clean v2 over the leftover tmp dir
+    assert vt.versioned_upsert(
+        spark.createDataFrame([(2, "b")], "k int, s string"), path, "k"
+    ) == 2
+    assert _vt_rows(vt.read_version(spark, path, "k")) == [(1, "a"), (2, "b")]
+    assert os.path.exists(f"{path}/v2")
