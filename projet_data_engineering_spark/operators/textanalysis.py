@@ -1364,29 +1364,41 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OVER-count (each row's counter sums the true count plus its bucket
 # collisions; the min over rows picks the least-polluted view), the
 # d×w counter matrix is mergeable by plain addition (shard sketches sum
-# to the corpus sketch, exactly), and — because the bucket hash is the
-# engine-neutral md5 integer of ``sampling.hex13_long_sql`` — the whole
-# estimator is hash-oracled, like q_kmv_distinct / q_percentile_sampled
-# and unlike engine-specific HLL++/percentile_approx. w is deliberately
-# SMALL here (16) so the fixture corpus actually collides and the
-# min-over-rows matters; at 100 TB w scales to the tolerable error
-# (err ≲ 2·N/w with d rows at failure prob 2⁻ᵈ) while the state stays
-# O(d·w) — the reason CMS replaces exact value_counts when the term
-# universe is the open web's vocabulary.
+# to the corpus sketch, exactly), and — because the bucket hash is plain
+# engine-neutral md5-hex arithmetic — the whole estimator is
+# hash-oracled, like q_kmv_distinct / q_percentile_sampled and unlike
+# engine-specific HLL++/percentile_approx. w is deliberately SMALL here
+# (16) so the fixture corpus actually collides and the min-over-rows
+# matters; at 100 TB w scales to the tolerable error (err ≲ 2·N/w with
+# d rows at failure prob 2⁻ᵈ) while the state stays O(d·w) — the reason
+# CMS replaces exact value_counts when the term universe is the open
+# web's vocabulary.
+#
+# Hot-path cost (measured, r8): one md5 PER OCCURRENCE, with the d row
+# buckets read as d hex digits at fixed distinct positions of that one
+# digest (positions 8, 16, 24, 32 — independent uniform nibbles of one
+# crypto hash). The first cut salted d SEPARATE md5s per occurrence and
+# expanded 13 digits each (52 string ops + 4 digests per token): the
+# sf10 sketch build blew past 10 minutes; this form is one digest + 4
+# single-char lookups. w=16 IS one hex digit — the assert ties the
+# bucketing to that; a wider w takes p digits (w = 16^p).
 
 CMS_D = 4    # hash rows
 CMS_W = 16   # counters per row (small on purpose: fixture-visible collisions)
 
+assert CMS_W == 16, "bucket = one hex digit; widen by taking 16^p slices"
 
-def _cms_bucket_sql(i: int, term_expr: str) -> str:
-    """Row-``i`` bucket of a term: the shared 52-bit md5 integer of the
-    salted term, mod w. Pure integer SQL, identical in both engines."""
-    from projet_data_engineering_spark.operators.sampling import (
-        hex13_long_sql,
+_CMS_ALPHABET = "0123456789abcdef"
+
+
+def _cms_bucket_sql(i: int, h_expr: str) -> str:
+    """Row-``i`` bucket from an already-computed md5-hex column: the hex
+    digit at position 8·(i+1), as an integer 0..15. One char lookup —
+    identical text in both engines."""
+    return (
+        f"(instr('{_CMS_ALPHABET}', substring({h_expr}, {8 * (i + 1)}, 1))"
+        f" - 1)"
     )
-
-    salted = f"'{i}:' || {term_expr}"
-    return f"({hex13_long_sql(salted)} % {CMS_W})"
 
 
 def _tokens(d: DataFrame) -> DataFrame:
@@ -1398,22 +1410,33 @@ def _tokens(d: DataFrame) -> DataFrame:
     )
 
 
-def cms_sketch(tokens: DataFrame) -> DataFrame:
-    """(i, bucket, cnt) — the d×w counter matrix. One explode to d rows per
-    occurrence, one map-side-combined groupBy: state is O(d·w) no matter
-    the corpus. Merging shard sketches = union + groupBy sum (exact)."""
+def _cms_probes(df: DataFrame, term_col: str) -> DataFrame:
+    """(..., i, bucket) — one md5 per row, d digit lookups, exploded to d
+    probe rows. The digest is materialized as a column so it is computed
+    once, not once per bucket expression."""
     probes = F.array(
         *[
             F.struct(
                 F.lit(i).alias("i"),
-                F.expr(_cms_bucket_sql(i, "t")).alias("bucket"),
+                F.expr(_cms_bucket_sql(i, "h")).alias("bucket"),
             )
             for i in range(CMS_D)
         ]
     )
     return (
-        tokens.select(F.explode(probes).alias("p"))
-        .select("p.i", "p.bucket")
+        df.withColumn("h", F.md5(F.col(term_col)))
+        .select(*df.columns, F.explode(probes).alias("p"))
+        .select(*df.columns, "p.i", "p.bucket")
+    )
+
+
+def cms_sketch(tokens: DataFrame) -> DataFrame:
+    """(i, bucket, cnt) — the d×w counter matrix. One digest + d digit
+    lookups per occurrence, one explode, one map-side-combined groupBy:
+    state is O(d·w) no matter the corpus. Merging shard sketches = union +
+    groupBy sum (exact)."""
+    return (
+        _cms_probes(tokens, "t")
         .groupBy("i", "bucket")
         .count()
         .withColumnRenamed("count", "cnt")
@@ -1434,20 +1457,9 @@ def cms_estimate(terms: DataFrame, sketch: DataFrame) -> DataFrame:
     """(term, est_count) for each probe term: min over the d matched
     counters. The sketch is d·w rows — broadcast by construction, so the
     probe is a map-side join however large the term list is."""
-    probed = terms.select(
-        F.col("t").alias("term"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("i"),
-                        F.expr(_cms_bucket_sql(i, "t")).alias("bucket"),
-                    )
-                    for i in range(CMS_D)
-                ]
-            )
-        ).alias("p"),
-    ).select("term", "p.i", "p.bucket")
+    probed = _cms_probes(terms.select("t"), "t").select(
+        F.col("t").alias("term"), "i", "bucket"
+    )
     return (
         probed.join(F.broadcast(sketch), ["i", "bucket"])
         .groupBy("term")
@@ -1461,7 +1473,7 @@ def _cms_oracle() -> str:
     # O(occurrences·d) (the occurrence-level form measured 170 s at sf1.0
     # on DuckDB; identical counters either way).
     probes = " UNION ALL ".join(
-        f"SELECT t, c, {i} AS i, {_cms_bucket_sql(i, 't')} AS bucket"
+        f"SELECT t, c, {i} AS i, {_cms_bucket_sql(i, 'h')} AS bucket"
         f" FROM tcnt"
         for i in range(CMS_D)
     )
@@ -1471,7 +1483,7 @@ def _cms_oracle() -> str:
             SELECT unnest(str_split(lower(text), ' ')) AS t FROM documents
         ) WHERE t <> ''
     ),
-    tcnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t),
+    tcnt AS (SELECT t, md5(t) AS h, COUNT(*) AS c FROM tok GROUP BY t),
     probes AS ({probes}),
     counters AS (
         SELECT i, bucket, SUM(c) AS cnt FROM probes GROUP BY i, bucket
