@@ -128,6 +128,40 @@ def read_version(
     )
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CDC feed: the NET per-key change between two versions — (op, _v,
+    payload) for every key whose latest op in ``(from_version,
+    to_version]`` differs from a no-op. This is what an incremental
+    downstream consumer (index refresher, dedup state, CMS partials)
+    applies instead of re-reading the table: latest-op-per-key over just
+    the range's change sets, the same single window as ``read_version``
+    but over a version SLICE. A key upserted then deleted inside the
+    range surfaces once, as the delete."""
+    vs = [v for v in table_versions(spark, path) if v > from_version]
+    if to_version is not None:
+        vs = [v for v in vs if v <= to_version]
+    if not vs:
+        return spark.range(0).select(
+            F.lit(None).alias(key), F.lit(None).alias("_op")
+        )
+    scans = None
+    for v in vs:
+        s = spark.read.parquet(f"{path}/v{v}").withColumn("_v", F.lit(v))
+        scans = s if scans is None else scans.unionByName(s)
+    w = Window.partitionBy(key).orderBy(F.col("_v").desc())
+    return (
+        scans.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def compact_versions(
     spark: SparkSession, path: str, key: str, upto: int
 ) -> None:
@@ -234,3 +268,62 @@ __all__ = [
     "compact_versions",
     "q_time_travel",
 ]
+
+
+@query(
+    "q_table_cdc",
+    oracle="""
+    WITH ups AS (
+        SELECT doc_id, lang, CAST(n_chars + 1 AS BIGINT) AS n_chars
+        FROM documents WHERE doc_id % 8 = 0
+    ),
+    dels AS (SELECT doc_id FROM documents WHERE doc_id % 16 = 0)
+    SELECT 'd' AS op, 3 AS version, doc_id,
+           CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS n_chars
+    FROM dels
+    UNION ALL
+    SELECT 'u' AS op, 2 AS version, doc_id, lang, n_chars
+    FROM ups WHERE doc_id NOT IN (SELECT doc_id FROM dels)
+    """,
+)
+def q_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC slice of the q_time_travel table between version 1 and
+    latest: the NET per-key op an incremental consumer applies (a key
+    upserted in v2 then tombstoned in v3 surfaces once, as the delete).
+    The apply law — read_version(v1) + read_changes(1→latest) ≡
+    read_version(latest) — is pinned in tests/test_io.py."""
+    import shutil
+    import tempfile
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="table_cdc_")
+    try:
+        t = f"{root}/docs"
+        versioned_upsert(d.filter(F.col("doc_id") % 4 == 0), t, "doc_id")
+        versioned_upsert(
+            d.filter(F.col("doc_id") % 8 == 0).withColumn(
+                "n_chars", F.col("n_chars") + F.lit(1)
+            ),
+            t,
+            "doc_id",
+        )
+        versioned_delete(
+            d.filter(F.col("doc_id") % 16 == 0).select("doc_id"), t, "doc_id"
+        )
+        out = read_changes(spark, t, "doc_id", from_version=1).select(
+            F.col("_op").alias("op"),
+            F.col("_v").alias("version"),
+            "doc_id",
+            "lang",
+            "n_chars",
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+__all__.insert(4, "read_changes")
+__all__.append("q_table_cdc")

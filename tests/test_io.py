@@ -908,3 +908,30 @@ def test_versioned_publish_is_invisible_until_rename(spark, tmp_path):
     ) == 2
     assert _vt_rows(vt.read_version(spark, path, "k")) == [(1, "a"), (2, "b")]
     assert os.path.exists(f"{path}/v2")
+
+
+def test_versioned_cdc_apply_law(spark, tmp_path):
+    """read_version(v1) patched with read_changes(v1 -> latest) must equal
+    read_version(latest): apply upserts, drop tombstoned keys."""
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    path = str(tmp_path / "vt")
+    mk = lambda rows: spark.createDataFrame(rows, "k int, s string")
+    vt.versioned_upsert(mk([(1, "a"), (2, "b"), (3, "c")]), path, "k")
+    vt.versioned_upsert(mk([(2, "B"), (4, "d")]), path, "k")
+    vt.versioned_delete(spark.createDataFrame([(1,)], "k int"), path, "k")
+    vt.versioned_upsert(mk([(1, "A2"), (5, "e")]), path, "k")
+
+    base = {r["k"]: r["s"] for r in vt.read_version(spark, path, "k", 1).collect()}
+    for r in vt.read_changes(spark, path, "k", from_version=1).collect():
+        if r["_op"] == "d":
+            base.pop(r["k"], None)
+        else:
+            base[r["k"]] = r["s"]
+    latest = {
+        r["k"]: r["s"] for r in vt.read_version(spark, path, "k").collect()
+    }
+    assert base == latest
+    # a key deleted then re-upserted inside the range surfaces as the upsert
+    net = {r["k"]: r["_op"] for r in vt.read_changes(spark, path, "k", 1).collect()}
+    assert net[1] == "u" and net[5] == "u" and net[2] == "u"
