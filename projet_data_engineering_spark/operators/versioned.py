@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from projet_data_engineering_spark.io import load_table, spread
 from projet_data_engineering_spark.registry import query
 
-_VDIR = re.compile(r"^v(\d+)$")
+_VDIR = re.compile(r"^v(\d+)(?:_b(\d+))?$")
 
 
 def _fs_list(spark: SparkSession, path: str) -> list[str]:
@@ -52,31 +52,56 @@ def _fs_list(spark: SparkSession, path: str) -> list[str]:
     return [s.getPath().getName() for s in fs.listStatus(hpath)]
 
 
-def table_versions(spark: SparkSession, path: str) -> list[int]:
-    """Committed versions, ascending. Only fully-published ``v{N}`` dirs
-    count — in-flight ``_tmp`` writes are invisible by prefix."""
-    out = []
+def _version_dirs(spark: SparkSession, path: str) -> dict[int, str]:
+    """{version: dir name} for every committed version. Only
+    fully-published ``v{N}`` / ``v{N}_b{batch}`` dirs count — in-flight
+    ``_tmp`` writes are invisible by prefix. The optional ``_b`` suffix is
+    the streaming sink's exactly-once marker: one rename commits the
+    version AND its micro-batch id."""
+    out = {}
     for name in _fs_list(spark, path):
         m = _VDIR.match(name)
         if m:
-            out.append(int(m.group(1)))
-    return sorted(out)
+            out[int(m.group(1))] = name
+    return out
 
 
-def _publish(df: DataFrame, path: str, version: int) -> None:
+def table_versions(spark: SparkSession, path: str) -> list[int]:
+    """Committed versions, ascending."""
+    return sorted(_version_dirs(spark, path))
+
+
+def applied_batch_ids(spark: SparkSession, path: str) -> set[int]:
+    """Micro-batch ids already committed by the streaming sink (parsed
+    from the ``_b`` dir-name suffix — atomically published with the
+    version itself)."""
+    out = set()
+    for name in _version_dirs(spark, path).values():
+        m = _VDIR.match(name)
+        if m and m.group(2) is not None:
+            out.add(int(m.group(2)))
+    return out
+
+
+def _publish(
+    df: DataFrame, path: str, version: int, suffix: str = ""
+) -> None:
     """Write the change set then make it visible with ONE rename — readers
     observe the version entirely or not at all; a crashed half-write stays
-    ``_tmp``-prefixed (never listed) and the retry overwrites it."""
+    ``_tmp``-prefixed (never listed) and the retry overwrites it. The
+    streaming sink passes ``suffix="_b{batch_id}"`` so the same single
+    rename also commits the batch marker."""
     spark = df.sparkSession
-    tmp = f"{path}/_tmp_v{version}"
+    name = f"v{version}{suffix}"
+    tmp = f"{path}/_tmp_{name}"
     df.write.mode("overwrite").parquet(tmp)
     sc = spark.sparkContext
     jvm = sc._jvm
     src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/v{version}")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
     fs = src.getFileSystem(sc._jsc.hadoopConfiguration())
     if not fs.rename(src, dst):
-        raise RuntimeError(f"version publish failed: {path}/v{version}")
+        raise RuntimeError(f"version publish failed: {path}/{name}")
 
 
 def versioned_upsert(df: DataFrame, path: str, key: str) -> int:
@@ -92,10 +117,11 @@ def versioned_delete(keys: DataFrame, path: str, key: str) -> int:
     """Commit tombstones for ``keys`` (a 1-column frame of ``key``) as the
     next version; the payload columns ride as NULLs of the live schema."""
     spark = keys.sparkSession
-    vs = table_versions(spark, path)
+    dirs = _version_dirs(spark, path)
+    vs = sorted(dirs)
     if not vs:
         raise ValueError("cannot delete from an empty versioned table")
-    live = spark.read.parquet(f"{path}/v{vs[-1]}").drop("_op")
+    live = spark.read.parquet(f"{path}/{dirs[vs[-1]]}").drop("_op")
     tomb = keys.join(live.limit(0), [key], "left").select(
         *live.columns
     ).withColumn("_op", F.lit("d"))
@@ -109,14 +135,15 @@ def read_version(
     """The table AS OF ``version`` (default: latest): latest op per key
     over the change sets ≤ version, tombstones dropped. One window over
     the unioned scans — the keyed-MERGE shuffle, not a per-version cost."""
-    vs = table_versions(spark, path)
+    dirs = _version_dirs(spark, path)
+    vs = sorted(dirs)
     if version is not None:
         vs = [v for v in vs if v <= version]
     if not vs:
         return spark.range(0).select(F.lit(None).alias(key))
     scans = None
     for v in vs:
-        s = spark.read.parquet(f"{path}/v{v}").withColumn(
+        s = spark.read.parquet(f"{path}/{dirs[v]}").withColumn(
             "_v", F.lit(v)
         )
         scans = s if scans is None else scans.unionByName(s)
@@ -143,7 +170,8 @@ def read_changes(
     the range's change sets, the same single window as ``read_version``
     but over a version SLICE. A key upserted then deleted inside the
     range surfaces once, as the delete."""
-    vs = [v for v in table_versions(spark, path) if v > from_version]
+    dirs = _version_dirs(spark, path)
+    vs = [v for v in sorted(dirs) if v > from_version]
     if to_version is not None:
         vs = [v for v in vs if v <= to_version]
     if not vs:
@@ -152,7 +180,7 @@ def read_changes(
         )
     scans = None
     for v in vs:
-        s = spark.read.parquet(f"{path}/v{v}").withColumn("_v", F.lit(v))
+        s = spark.read.parquet(f"{path}/{dirs[v]}").withColumn("_v", F.lit(v))
         scans = s if scans is None else scans.unionByName(s)
     w = Window.partitionBy(key).orderBy(F.col("_v").desc())
     return (
@@ -170,13 +198,19 @@ def compact_versions(
     fold) — a key deleted inside the prefix must stay deleted when later
     versions stack on top; only (key, latest-op) per key is retained, so
     the base is bounded by the live-key count, not by history length.
-    Reads before and after compaction are pytest-pinned identical."""
-    vs = [v for v in table_versions(spark, path) if v <= upto]
+    Reads before and after compaction are pytest-pinned identical.
+
+    Streaming caveat: folding discards the folded versions' ``_b`` batch
+    markers, so under ``run_stream_versioned`` only compact versions
+    older than the stream's checkpoint horizon — Structured Streaming
+    never redelivers batches before the last committed checkpoint."""
+    dirs = _version_dirs(spark, path)
+    vs = [v for v in sorted(dirs) if v <= upto]
     if len(vs) < 2:
         return
     scans = None
     for v in vs:
-        s = spark.read.parquet(f"{path}/v{v}").withColumn("_v", F.lit(v))
+        s = spark.read.parquet(f"{path}/{dirs[v]}").withColumn("_v", F.lit(v))
         scans = s if scans is None else scans.unionByName(s)
     w = Window.partitionBy(key).orderBy(F.col("_v").desc())
     base = (
@@ -191,7 +225,7 @@ def compact_versions(
         sc._jsc.hadoopConfiguration()
     )
     for v in vs:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/v{v}"), True)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dirs[v]}"), True)
     _publish(base, path, upto)
 
 

@@ -256,6 +256,7 @@ def _load_all() -> None:
         dedup_ingest,
         drift,
         pq_refresh,
+        versioned_sink,
         windows,
     )
     from projet_data_engineering_spark.operators import (  # noqa: F401

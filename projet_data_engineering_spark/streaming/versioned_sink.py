@@ -1,0 +1,129 @@
+"""Streaming sink into the MVCC versioned table (ST1 × q_time_travel).
+
+``foreachBatch`` is at-least-once, and a naive "commit a new version per
+micro-batch" sink would re-commit a redelivered batch as a duplicate
+version. The exactly-once trick here costs nothing extra: the version
+directory NAME carries the micro-batch id (``v{N}_b{batch_id}``), so the
+single atomic rename that publishes the version IS the batch marker —
+there is no window where the data is committed but the marker is not.
+A redelivered batch finds its id in ``applied_batch_ids`` (parsed from
+the same directory listing every reader uses) and returns without
+writing. The result: an at-least-once document stream becomes an
+exactly-once, fully TIME-TRAVELABLE corpus — every micro-batch is a
+queryable version forever, which is the reproducible-training-set story
+(`read_version` as of any batch) built directly on the ingest path.
+
+Compaction caveat (documented on ``compact_versions`` too): folding a
+version prefix discards those versions' batch markers, so only compact
+versions older than the stream's checkpoint horizon — Structured
+Streaming never redelivers batches before the last committed checkpoint,
+so markers older than it are dead weight by definition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from projet_data_engineering_spark.io import load_table, spread
+from projet_data_engineering_spark.operators.versioned import (
+    _publish,
+    applied_batch_ids,
+    read_version,
+    table_versions,
+)
+from projet_data_engineering_spark.registry import query
+
+
+def versioned_sink_batch(
+    batch: DataFrame, path: str, key: str, batch_id: int
+) -> None:
+    """One micro-batch: commit the batch as the next version with its
+    batch id in the directory name; a redelivery is a listing-check no-op."""
+    spark = batch.sparkSession
+    bid = int(batch_id)
+    if bid in applied_batch_ids(spark, path):
+        return
+    v = (table_versions(spark, path) or [0])[-1] + 1
+    _publish(
+        batch.withColumn("_op", F.lit("u")), path, v, suffix=f"_b{bid}"
+    )
+
+
+def run_stream_versioned(
+    stream_df: DataFrame, path: str, checkpoint: str, key: str
+) -> None:
+    """Wire ``versioned_sink_batch`` into a Structured Streaming sink
+    (foreachBatch, availableNow): at-least-once arrivals become an
+    exactly-once versioned, time-travelable table."""
+
+    def step(batch: DataFrame, batch_id: int) -> None:
+        versioned_sink_batch(batch, path, key, batch_id)
+
+    (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+@query(
+    "q_stream_versioned",
+    oracle="""
+    SELECT 2 AS as_of, doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 3 <= 1
+    UNION ALL
+    SELECT 3 AS as_of, doc_id, lang, n_chars FROM documents
+    """,
+)
+def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents arrive as three micro-batch files (doc_id % 3,
+    mtime-ordered + maxFilesPerTrigger=1) through ``run_stream_versioned``;
+    the table is then read AS OF version 2 (the first two batches) and AS
+    OF latest, stacked — so the hash proves both the exactly-once ingest
+    and that every micro-batch stays a queryable snapshot. Replay
+    idempotence (same batch_id twice → one version) is pinned in
+    tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    import time
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="stream_versioned_")
+    try:
+        src = f"{root}/src"
+        for k in range(3):
+            d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
+                f"{src}/b{k}"
+            )
+            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+        stream = (
+            spark.readStream.schema(d.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{src}/*")
+        )
+        t = f"{root}/table"
+        run_stream_versioned(stream, t, f"{root}/chk", "doc_id")
+        asof2 = read_version(spark, t, "doc_id", version=2).select(
+            F.lit(2).alias("as_of"), "doc_id", "lang", "n_chars"
+        )
+        latest = read_version(spark, t, "doc_id").select(
+            F.lit(3).alias("as_of"), "doc_id", "lang", "n_chars"
+        )
+        out = asof2.unionByName(latest)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+__all__ = [
+    "versioned_sink_batch",
+    "run_stream_versioned",
+    "q_stream_versioned",
+]

@@ -688,3 +688,35 @@ def test_kmv_ingest_replay_is_idempotent(spark, tmp_path):
         for r in sm.kmv_sketch(o, "o_orderpriority", "o_custkey").collect()
     }
     assert served == batch
+
+
+def test_versioned_sink_replay_commits_one_version(spark, tmp_path):
+    """The version dir name IS the batch marker: redelivering a batch_id
+    is a listing-check no-op — no duplicate version, identical reads —
+    and the marker commits atomically with the version (no window where
+    data exists but the marker does not)."""
+    from projet_data_engineering_spark.streaming import versioned_sink as vs
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "vtable")
+    for k in range(3):
+        vs.versioned_sink_batch(
+            d.filter(F.col("doc_id") % 3 == k), path, "doc_id", k
+        )
+    assert vt.table_versions(spark, path) == [1, 2, 3]
+    assert vt.applied_batch_ids(spark, path) == {0, 1, 2}
+    before = sorted(
+        tuple(r) for r in vt.read_version(spark, path, "doc_id").collect()
+    )
+    # redeliver batch 1: no fourth version, reads unchanged
+    vs.versioned_sink_batch(
+        d.filter(F.col("doc_id") % 3 == 1), path, "doc_id", 1
+    )
+    assert vt.table_versions(spark, path) == [1, 2, 3]
+    after = sorted(
+        tuple(r) for r in vt.read_version(spark, path, "doc_id").collect()
+    )
+    assert before == after
