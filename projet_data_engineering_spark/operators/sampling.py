@@ -127,7 +127,9 @@ def kmv_sketch(df: DataFrame, grp: str, key: str, k: int = KMV_K) -> DataFrame:
     expensive part and is exactly what exact countDistinct would shuffle
     anyway; the sketch's win is the O(k) artifact and the merge rule."""
     u = F.expr(_kmv_u_sql(key))
-    hashed = df.select(F.col(grp).alias("grp"), u.alias("u")).distinct()
+    # no .distinct() here — kmv_from_hashes dedups; stacking a second
+    # Distinct would be a redundant full-width aggregation
+    hashed = df.select(F.col(grp).alias("grp"), u.alias("u"))
     return kmv_from_hashes(hashed, k)
 
 

@@ -1456,14 +1456,17 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
 def cms_estimate(terms: DataFrame, sketch: DataFrame) -> DataFrame:
     """(term, est_count) for each probe term: min over the d matched
     counters. The sketch is d·w rows — broadcast by construction, so the
-    probe is a map-side join however large the term list is."""
+    probe is a map-side join however large the term list is. LEFT join +
+    coalesce(0): a probe term hitting an empty counter cell must estimate
+    0 (the true CMS min), not vanish from the output or min over only its
+    polluted cells."""
     probed = _cms_probes(terms.select("t"), "t").select(
         F.col("t").alias("term"), "i", "bucket"
     )
     return (
-        probed.join(F.broadcast(sketch), ["i", "bucket"])
+        probed.join(F.broadcast(sketch), ["i", "bucket"], "left")
         .groupBy("term")
-        .agg(F.min("cnt").alias("est_count"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
 
 
@@ -1488,8 +1491,8 @@ def _cms_oracle() -> str:
     counters AS (
         SELECT i, bucket, SUM(c) AS cnt FROM probes GROUP BY i, bucket
     )
-    SELECT p.t AS term, CAST(MIN(c.cnt) AS BIGINT) AS est_count
-    FROM probes p JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
+    SELECT p.t AS term, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count
+    FROM probes p LEFT JOIN counters c ON c.i = p.i AND c.bucket = p.bucket
     GROUP BY p.t
     """
 

@@ -35,18 +35,23 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from projet_data_engineering_spark.io import load_table, spread
+from projet_data_engineering_spark.io import (
+    _fs_for,
+    _hpath,
+    load_table,
+    path_exists,
+    spread,
+)
 from projet_data_engineering_spark.registry import query
 
 _VDIR = re.compile(r"^v(\d+)(?:_b(\d+))?$")
+_COMPACT_TMP = re.compile(r"^_tmp_compact_v(\d+)$")
 
 
 def _fs_list(spark: SparkSession, path: str) -> list[str]:
     """Names of the direct children of ``path`` (empty if absent)."""
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    fs, jvm = _fs_for(spark, path)
+    hpath = _hpath(jvm, path)
     if not fs.exists(hpath):
         return []
     return [s.getPath().getName() for s in fs.listStatus(hpath)]
@@ -95,12 +100,8 @@ def _publish(
     name = f"v{version}{suffix}"
     tmp = f"{path}/_tmp_{name}"
     df.write.mode("overwrite").parquet(tmp)
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    src = jvm.org.apache.hadoop.fs.Path(tmp)
-    dst = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
-    fs = src.getFileSystem(sc._jsc.hadoopConfiguration())
-    if not fs.rename(src, dst):
+    fs, jvm = _fs_for(spark, path)
+    if not fs.rename(_hpath(jvm, tmp), _hpath(jvm, f"{path}/{name}")):
         raise RuntimeError(f"version publish failed: {path}/{name}")
 
 
@@ -136,11 +137,17 @@ def read_version(
     over the change sets ≤ version, tombstones dropped. One window over
     the unioned scans — the keyed-MERGE shuffle, not a per-version cost."""
     dirs = _version_dirs(spark, path)
+    if not dirs:
+        raise ValueError(f"no versioned table at {path}")
     vs = sorted(dirs)
     if version is not None:
+        if version < vs[0]:
+            raise ValueError(
+                f"version {version} predates the compaction horizon "
+                f"(oldest readable: {vs[0]}) — a pre-horizon read would "
+                f"silently return a partial table"
+            )
         vs = [v for v in vs if v <= version]
-    if not vs:
-        return spark.range(0).select(F.lit(None).alias(key))
     scans = None
     for v in vs:
         s = spark.read.parquet(f"{path}/{dirs[v]}").withColumn(
@@ -171,12 +178,18 @@ def read_changes(
     but over a version SLICE. A key upserted then deleted inside the
     range surfaces once, as the delete."""
     dirs = _version_dirs(spark, path)
+    if not dirs:
+        raise ValueError(f"no versioned table at {path}")
     vs = [v for v in sorted(dirs) if v > from_version]
     if to_version is not None:
         vs = [v for v in vs if v <= to_version]
     if not vs:
-        return spark.range(0).select(
-            F.lit(None).alias(key), F.lit(None).alias("_op")
+        # no changes in range: schema-correct empty slice
+        latest = sorted(dirs)[-1]
+        return (
+            spark.read.parquet(f"{path}/{dirs[latest]}")
+            .withColumn("_v", F.lit(latest))
+            .limit(0)
         )
     scans = None
     for v in vs:
@@ -190,20 +203,61 @@ def read_changes(
     )
 
 
+def recover_compaction(spark: SparkSession, path: str) -> None:
+    """Roll an interrupted ``compact_versions`` to a consistent state.
+
+    The compaction protocol is: (1) write the folded base to
+    ``_tmp_compact_v{N}`` (Spark leaves a ``_SUCCESS`` marker on
+    completion), (2) delete the folded prefix dirs, (3) rename the tmp to
+    ``v{N}``. Deletes only begin after the tmp is COMPLETE, so:
+
+    - tmp present WITH ``_SUCCESS``: the base is durable — roll FORWARD
+      (finish deleting every committed dir <= N, publish the base). Correct
+      from any crash point in step 2/3: the base contains everything <= N.
+    - tmp present WITHOUT ``_SUCCESS``: crash mid-step-1 — the prefix is
+      untouched; roll BACK by deleting the partial tmp.
+
+    Single-writer assumption (same as io.py's merge protocol): recovery
+    must not race a live compactor."""
+    fs, jvm = _fs_for(spark, path)
+    for name in _fs_list(spark, path):
+        m = _COMPACT_TMP.match(name)
+        if not m:
+            continue
+        upto = int(m.group(1))
+        tmp = f"{path}/{name}"
+        if path_exists(spark, f"{tmp}/_SUCCESS"):
+            dirs = _version_dirs(spark, path)
+            for v in [v for v in dirs if v <= upto]:
+                fs.delete(_hpath(jvm, f"{path}/{dirs[v]}"), True)
+            if not fs.rename(_hpath(jvm, tmp), _hpath(jvm, f"{path}/v{upto}")):
+                raise RuntimeError(f"compaction publish failed: {path}/v{upto}")
+        else:
+            fs.delete(_hpath(jvm, tmp), True)
+
+
 def compact_versions(
     spark: SparkSession, path: str, key: str, upto: int
 ) -> None:
-    """Fold versions ≤ ``upto`` into one base change set at ``v{upto}``,
+    """Fold versions <= ``upto`` into one base change set at ``v{upto}``,
     deleting the prefix. Tombstones are KEPT (op='d' rows survive the
     fold) — a key deleted inside the prefix must stay deleted when later
     versions stack on top; only (key, latest-op) per key is retained, so
     the base is bounded by the live-key count, not by history length.
     Reads before and after compaction are pytest-pinned identical.
 
+    Crash safety: the folded base is written DURABLY to
+    ``_tmp_compact_v{upto}`` (reading the still-live prefix dirs) BEFORE
+    any delete — a crash at any point recovers via
+    :func:`recover_compaction`, which this entry runs first. The earlier
+    delete-before-publish form had a window where the only copy of the
+    history lived in executor-memory checkpoint blocks.
+
     Streaming caveat: folding discards the folded versions' ``_b`` batch
     markers, so under ``run_stream_versioned`` only compact versions
     older than the stream's checkpoint horizon — Structured Streaming
     never redelivers batches before the last committed checkpoint."""
+    recover_compaction(spark, path)
     dirs = _version_dirs(spark, path)
     vs = [v for v in sorted(dirs) if v <= upto]
     if len(vs) < 2:
@@ -217,16 +271,14 @@ def compact_versions(
         scans.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_v")
-        .localCheckpoint(eager=True)  # sever lineage from the dirs we delete
     )
-    sc = spark.sparkContext
-    jvm = sc._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        sc._jsc.hadoopConfiguration()
-    )
+    tmp = f"{path}/_tmp_compact_v{upto}"
+    base.write.mode("overwrite").parquet(tmp)  # durable BEFORE any delete
+    fs, jvm = _fs_for(spark, path)
     for v in vs:
-        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{path}/{dirs[v]}"), True)
-    _publish(base, path, upto)
+        fs.delete(_hpath(jvm, f"{path}/{dirs[v]}"), True)
+    if not fs.rename(_hpath(jvm, tmp), _hpath(jvm, f"{path}/v{upto}")):
+        raise RuntimeError(f"compaction publish failed: {path}/v{upto}")
 
 
 @query(
@@ -294,14 +346,6 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-__all__ = [
-    "table_versions",
-    "versioned_upsert",
-    "versioned_delete",
-    "read_version",
-    "compact_versions",
-    "q_time_travel",
-]
 
 
 @query(
@@ -359,5 +403,15 @@ def q_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-__all__.insert(4, "read_changes")
-__all__.append("q_table_cdc")
+__all__ = [
+    "table_versions",
+    "applied_batch_ids",
+    "versioned_upsert",
+    "versioned_delete",
+    "read_version",
+    "read_changes",
+    "recover_compaction",
+    "compact_versions",
+    "q_time_travel",
+    "q_table_cdc",
+]

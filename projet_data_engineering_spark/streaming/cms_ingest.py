@@ -134,12 +134,6 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-__all__ = [
-    "cms_ingest_batch",
-    "serve_cms_counters",
-    "run_stream_cms",
-    "q_stream_cms",
-]
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +253,11 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
-__all__ += [
+__all__ = [
+    "cms_ingest_batch",
+    "serve_cms_counters",
+    "run_stream_cms",
+    "q_stream_cms",
     "kmv_ingest_batch",
     "serve_kmv_sketch",
     "run_stream_kmv",

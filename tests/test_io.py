@@ -935,3 +935,66 @@ def test_versioned_cdc_apply_law(spark, tmp_path):
     # a key deleted then re-upserted inside the range surfaces as the upsert
     net = {r["k"]: r["_op"] for r in vt.read_changes(spark, path, "k", 1).collect()}
     assert net[1] == "u" and net[5] == "u" and net[2] == "u"
+
+
+def test_compaction_crash_windows_recover(spark, tmp_path):
+    """Compaction durability: (a) crash BEFORE any delete (tmp without
+    _SUCCESS) rolls back, table intact; (b) crash mid-delete (tmp WITH
+    _SUCCESS, prefix partially gone) rolls forward to the folded base —
+    no crash point loses history."""
+    import os
+    import shutil
+
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    mk = lambda rows: spark.createDataFrame(rows, "k int, s string")
+
+    # (a) partial tmp, no _SUCCESS: rollback
+    p1 = str(tmp_path / "a")
+    vt.versioned_upsert(mk([(1, "a")]), p1, "k")
+    vt.versioned_upsert(mk([(2, "b")]), p1, "k")
+    os.makedirs(f"{p1}/_tmp_compact_v2")
+    vt.recover_compaction(spark, p1)
+    assert not os.path.exists(f"{p1}/_tmp_compact_v2")
+    assert vt.table_versions(spark, p1) == [1, 2]
+
+    # (b) complete tmp + half-deleted prefix: roll forward
+    p2 = str(tmp_path / "b")
+    vt.versioned_upsert(mk([(1, "a"), (2, "b")]), p2, "k")
+    vt.versioned_upsert(mk([(2, "B")]), p2, "k")
+    vt.versioned_upsert(mk([(3, "c")]), p2, "k")
+    want = sorted(
+        tuple(r) for r in vt.read_version(spark, p2, "k", 2).collect()
+    )
+    # stage the fold of v1..v2 exactly as compact_versions does...
+    base = vt.read_changes(spark, p2, "k", from_version=0, to_version=2).drop(
+        "_v"
+    )
+    base.write.parquet(f"{p2}/_tmp_compact_v2")
+    # ...then simulate the crash AFTER one prefix delete
+    shutil.rmtree(f"{p2}/v1")
+    vt.recover_compaction(spark, p2)
+    assert vt.table_versions(spark, p2) == [2, 3]
+    assert sorted(
+        tuple(r) for r in vt.read_version(spark, p2, "k", 2).collect()
+    ) == want
+
+
+def test_versioned_pre_horizon_read_raises(spark, tmp_path):
+    """Time travel below the compaction horizon raises instead of
+    silently returning a partial table."""
+    import pytest as _pytest
+
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    mk = lambda rows: spark.createDataFrame(rows, "k int, s string")
+    path = str(tmp_path / "vt")
+    vt.versioned_upsert(mk([(1, "a")]), path, "k")
+    vt.versioned_upsert(mk([(2, "b")]), path, "k")
+    vt.versioned_upsert(mk([(3, "c")]), path, "k")
+    vt.compact_versions(spark, path, "k", 2)
+    assert vt.table_versions(spark, path) == [2, 3]
+    with _pytest.raises(ValueError, match="compaction horizon"):
+        vt.read_version(spark, path, "k", 1)
+    with _pytest.raises(ValueError, match="no versioned table"):
+        vt.read_version(spark, str(tmp_path / "missing"), "k")

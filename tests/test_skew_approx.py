@@ -407,3 +407,25 @@ def test_cms_merge_law_is_exact(spark):
     m = {(r["i"], r["bucket"]): r["cnt"] for r in merged.collect()}
     f = {(r["i"], r["bucket"]): r["cnt"] for r in full.collect()}
     assert m == f
+
+
+def test_cms_unseen_term_estimates_zero_or_low(spark):
+    """A probe term absent from the corpus must still get a row, with the
+    true CMS estimate (0 when any of its cells is empty — never silently
+    dropped, never a min over only its polluted cells)."""
+    from projet_data_engineering_spark.operators import textanalysis as ta
+
+    toks = ta._tokens(load_table(spark, SF_DIR, "documents"))
+    sketch = ta.cms_sketch(toks)
+    probes = spark.createDataFrame(
+        [("zzzz-never-in-corpus",), ("join",)], "t string"
+    )
+    est = {
+        r["term"]: r["est_count"]
+        for r in ta.cms_estimate(probes, sketch).collect()
+    }
+    assert "zzzz-never-in-corpus" in est  # not dropped by the join
+    exact_join = toks.where(F.col("t") == "join").count()
+    assert est["join"] >= exact_join
+    # the unseen term's estimate is bounded by its least-polluted cell
+    assert est["zzzz-never-in-corpus"] >= 0
