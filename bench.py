@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "q_pq_encode_arrow",  # PQ bulk-encode, production Arrow tier (r8)
     "q_kmv_distinct",   # mergeable bottom-k cardinality sketch (r8)
     "q_percentile_sampled",  # deterministic hash-sample percentiles (r8)
+    "q_cms_counts",     # Count-Min frequency sketch, one-digest buckets (r8)
+    "q_time_travel",    # MVCC versioned table: AS-OF + latest reads (r8)
+    "q_stream_versioned",  # exactly-once versioned streaming sink (r8)
 ]
 
 # The 24-query set benched in round 1 (BENCH_r01/BASELINE.md anchor). The
