@@ -294,3 +294,118 @@ def q_percentile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(l_quantity, 0.95)"), 4).alias("p95_est"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CMS join-size estimation (r8) — the sketch-algebra planner primitive
+# ---------------------------------------------------------------------------
+#
+# The third operation of Count-Min algebra: a point query is a MIN over
+# rows, a merge is a cell-wise SUM, and a JOIN-SIZE estimate is the row-wise
+# INNER PRODUCT — est |A ⋈ B on k| = min_i Σ_b cA[i,b]·cB[i,b] (Alon-
+# Matias-Szegedy / Cormode-Muthukrishnan). Never an underestimate;
+# expected overshoot ‖a‖₁·‖b‖₁/w, so unlike the w=16 demo sketch this
+# uses w = 16⁴ = 65 536 buckets (4 hex digits of one md5 per row — the
+# textanalysis trick widened). This is what a 100 TB planner consults
+# before picking a join strategy: two O(d·w) artifacts built in one scan
+# each, no key ever shuffled.
+
+CMS_JS_D = 4       # hash rows
+CMS_JS_P = 4       # hex digits per bucket: w = 16^p = 65536
+CMS_JS_W = 16 ** CMS_JS_P
+
+
+def _js_bucket_sql(i: int, h_expr: str) -> str:
+    """Row-``i`` bucket: hex digits [8i+1 .. 8i+p] of an md5-hex column as
+    a base-16 integer — disjoint digit windows per row, identical text in
+    both engines (BIGINT coefficient casts: the ANSI INT-overflow trap)."""
+    terms = " + ".join(
+        f"(instr('{_HEX_ALPHABET}', substring({h_expr}, {8 * i + 1 + j}, 1))"
+        f" - 1) * CAST({16 ** (CMS_JS_P - 1 - j)} AS BIGINT)"
+        for j in range(CMS_JS_P)
+    )
+    return f"({terms})"
+
+
+def cms_key_sketch(df: DataFrame, key: str) -> DataFrame:
+    """(i, bucket, cnt) over ``key``'s OCCURRENCES (one per row — join
+    cardinality needs multiplicities, not distincts). One digest + d
+    window reads per row, map-side combined to O(d·w) state."""
+    h = F.md5(F.col(key).cast("string"))
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.expr(_js_bucket_sql(i, "h")).alias("bucket"),
+            )
+            for i in range(CMS_JS_D)
+        ]
+    )
+    return (
+        df.select(h.alias("h"))
+        .select(F.explode(probes).alias("p"))
+        .select("p.i", "p.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
+    """1-row (est_join_size) from two key sketches: min over rows of the
+    per-row inner product. The join is (i, bucket) on two O(d·w) frames —
+    nothing corpus-sized moves."""
+    prod = (
+        a.select("i", "bucket", F.col("cnt").alias("ca"))
+        .join(
+            b.select("i", "bucket", F.col("cnt").alias("cb")),
+            ["i", "bucket"],
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    return prod.agg(F.min("dot").cast("bigint").alias("est_join_size"))
+
+
+def _js_side_ctes(name: str, table: str, key: str) -> str:
+    """Per-key counts then buckets (linearity: O(|keys|) hashes), unioned
+    across the d rows — the oracle half for one join side."""
+    probes = " UNION ALL ".join(
+        f"SELECT {i} AS i, {_js_bucket_sql(i, 'h')} AS bucket, c"
+        f" FROM {name}_k"
+        for i in range(CMS_JS_D)
+    )
+    return f"""{name}_k AS (
+        SELECT md5(CAST({key} AS STRING)) AS h, COUNT(*) AS c
+        FROM {table} GROUP BY {key}
+    ),
+    {name}_s AS (
+        SELECT i, bucket, SUM(c) AS cnt FROM ({probes}) GROUP BY i, bucket
+    )"""
+
+
+_CMS_JOIN_ORACLE = f"""
+    WITH {_js_side_ctes('oa', 'orders', 'o_orderkey')},
+    {_js_side_ctes('lb', 'lineitem', 'l_orderkey')}
+    SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM (
+        SELECT a.i, SUM(a.cnt * b.cnt) AS dot
+        FROM oa_s a JOIN lb_s b ON a.i = b.i AND a.bucket = b.bucket
+        GROUP BY a.i
+    )
+    """
+
+
+@query("q_cms_join_size", oracle=_CMS_JOIN_ORACLE)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|orders ⋈ lineitem ON orderkey| estimated from two Count-Min key
+    sketches — the inner-product member of the sketch algebra (point
+    query = min, merge = sum, join size = inner product), and the number
+    a 100 TB planner consults before choosing a join strategy. The
+    oracle rebuilds both sketches and the inner product, so the gate
+    proves the estimator; the never-undershoot and error-bound
+    properties are pinned in tests/test_skew_approx.py."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return cms_join_size(
+        cms_key_sketch(o, "o_orderkey"),
+        cms_key_sketch(li, "l_orderkey"),
+    )

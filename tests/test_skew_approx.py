@@ -429,3 +429,22 @@ def test_cms_unseen_term_estimates_zero_or_low(spark):
     assert est["join"] >= exact_join
     # the unseen term's estimate is bounded by its least-polluted cell
     assert est["zzzz-never-in-corpus"] >= 0
+
+
+def test_cms_join_size_never_undershoots_and_is_bounded(spark):
+    """Inner-product law: est >= |A join B| always (buckets only merge
+    keys, never split them), and the overshoot stays within 5x the
+    expected ||a||1*||b||1/w collision mass (min over d=4 rows makes a
+    5x excursion astronomically unlikely)."""
+    from projet_data_engineering_spark.operators import sampling as sm
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    est = sm.cms_join_size(
+        sm.cms_key_sketch(o, "o_orderkey"),
+        sm.cms_key_sketch(li, "l_orderkey"),
+    ).collect()[0]["est_join_size"]
+    assert est >= exact
+    slack = 5.0 * o.count() * li.count() / sm.CMS_JS_W
+    assert est - exact <= slack, (est, exact, slack)
