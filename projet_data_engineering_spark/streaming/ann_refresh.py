@@ -42,6 +42,7 @@ from projet_data_engineering_spark.operators.similarity import (
     as_double,
 )
 from projet_data_engineering_spark.registry import query
+from projet_data_engineering_spark.streaming.fixtures import stamp_batch_mtime
 
 
 def assign_to_stored_centroids(
@@ -147,7 +148,6 @@ def q_stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
     import tempfile
-    import time
 
     from projet_data_engineering_spark.io import load_table
     from projet_data_engineering_spark.operators.similarity import (
@@ -164,7 +164,7 @@ def q_stream_ann_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
                 f"{src}/b{k}"
             )
-            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+            stamp_batch_mtime(f"{src}/b{k}", k)
         idx = f"{root}/idx"
         train_ann_quantizer(e, idx)
         stream = (

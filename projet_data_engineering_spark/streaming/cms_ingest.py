@@ -46,6 +46,7 @@ from projet_data_engineering_spark.operators.textanalysis import (
     cms_sketch,
 )
 from projet_data_engineering_spark.registry import query
+from projet_data_engineering_spark.streaming.fixtures import stamp_batch_mtime
 
 
 def cms_ingest_batch(batch: DataFrame, state_path: str, batch_id: int) -> None:
@@ -105,7 +106,6 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold), not a relaxed variant of it."""
     import shutil
     import tempfile
-    import time
 
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "text"
@@ -117,7 +117,7 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
                 f"{src}/b{k}"
             )
-            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+            stamp_batch_mtime(f"{src}/b{k}", k)
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
@@ -215,7 +215,6 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     not a relaxed variant."""
     import shutil
     import tempfile
-    import time
 
     from projet_data_engineering_spark.operators.sampling import kmv_estimate
 
@@ -229,7 +228,7 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.filter(F.col("o_orderkey") % 3 == k).coalesce(1).write.parquet(
                 f"{src}/b{k}"
             )
-            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+            stamp_batch_mtime(f"{src}/b{k}", k)
         stream = (
             spark.readStream.schema(o.schema)
             .option("maxFilesPerTrigger", 1)

@@ -48,6 +48,7 @@ from projet_data_engineering_spark.operators.datapipe import (
     PSI_THRESHOLD,
 )
 from projet_data_engineering_spark.registry import query
+from projet_data_engineering_spark.streaming.fixtures import stamp_batch_mtime
 
 
 def _grid_bin(value, vmin, vmax, bins: int):
@@ -261,7 +262,6 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     state's content and the monitor's batch math, not just a batch twin."""
     import shutil
     import tempfile
-    import time
 
     e = spread(load_table(spark, sf_dir, "events"), "event_id").select(
         "event_id", "ts", "event_type", "value"
@@ -276,7 +276,7 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.filter(F.col("event_id") % 3 == k).coalesce(1).write.parquet(
                 f"{src}/b{k}"
             )
-            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+            stamp_batch_mtime(f"{src}/b{k}", k)
         stream = (
             spark.readStream.schema(cur.schema)
             .option("maxFilesPerTrigger", 1)

@@ -41,6 +41,7 @@ from projet_data_engineering_spark.operators.pq import (
     load_pq_books,
 )
 from projet_data_engineering_spark.registry import query
+from projet_data_engineering_spark.streaming.fixtures import stamp_batch_mtime
 
 
 def pq_refresh_batch(batch: DataFrame, index_path: str) -> None:
@@ -112,7 +113,6 @@ def q_stream_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
     import tempfile
-    import time
 
     from projet_data_engineering_spark.io import load_table
     from projet_data_engineering_spark.operators.pq import (
@@ -130,7 +130,7 @@ def q_stream_pq_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
                 f"{src}/b{k}"
             )
-            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+            stamp_batch_mtime(f"{src}/b{k}", k)
         idx = f"{root}/idx"
         train_pq_quantizer(e, idx)
         stream = (

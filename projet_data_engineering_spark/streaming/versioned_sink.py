@@ -33,6 +33,7 @@ from projet_data_engineering_spark.operators.versioned import (
     table_versions,
 )
 from projet_data_engineering_spark.registry import query
+from projet_data_engineering_spark.streaming.fixtures import stamp_batch_mtime
 
 
 def versioned_sink_batch(
@@ -88,7 +89,6 @@ def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py."""
     import shutil
     import tempfile
-    import time
 
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "lang", "n_chars"
@@ -100,7 +100,7 @@ def q_stream_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
                 f"{src}/b{k}"
             )
-            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+            stamp_batch_mtime(f"{src}/b{k}", k)
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
