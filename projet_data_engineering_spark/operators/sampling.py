@@ -353,8 +353,19 @@ def cms_key_sketch(df: DataFrame, key: str) -> DataFrame:
 def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
     """1-row (est_join_size) from two key sketches: min over rows of the
     per-row inner product. The join is (i, bucket) on two O(d·w) frames —
-    nothing corpus-sized moves."""
-    prod = (
+    nothing corpus-sized moves.
+
+    The per-row dot products are stacked on a generated ``0..d-1`` spine
+    (left join + COALESCE 0): a hash row with zero overlapping buckets has
+    a true inner product of 0 and must drag the min to 0, and two sketches
+    with no overlap at all must estimate 0 rather than NULL. Without the
+    spine those rows vanish from the aggregate and the min only ranges
+    over rows that happened to collide — overstating (or nulling) the
+    disjoint-key case, the one regime where CMS's never-underestimate
+    guarantee needs all d rows evaluated. (ADVICE r8.)"""
+    spark = a.sparkSession
+    spine = spark.range(CMS_JS_D).select(F.col("id").cast("int").alias("i"))
+    dots = (
         a.select("i", "bucket", F.col("cnt").alias("ca"))
         .join(
             b.select("i", "bucket", F.col("cnt").alias("cb")),
@@ -362,6 +373,9 @@ def cms_join_size(a: DataFrame, b: DataFrame) -> DataFrame:
         )
         .groupBy("i")
         .agg(F.sum(F.col("ca") * F.col("cb")).alias("dot"))
+    )
+    prod = spine.join(dots, "i", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
     )
     return prod.agg(F.min("dot").cast("bigint").alias("est_join_size"))
 
@@ -385,12 +399,14 @@ def _js_side_ctes(name: str, table: str, key: str) -> str:
 
 _CMS_JOIN_ORACLE = f"""
     WITH {_js_side_ctes('oa', 'orders', 'o_orderkey')},
-    {_js_side_ctes('lb', 'lineitem', 'l_orderkey')}
-    SELECT CAST(MIN(dot) AS BIGINT) AS est_join_size FROM (
+    {_js_side_ctes('lb', 'lineitem', 'l_orderkey')},
+    dots AS (
         SELECT a.i, SUM(a.cnt * b.cnt) AS dot
         FROM oa_s a JOIN lb_s b ON a.i = b.i AND a.bucket = b.bucket
         GROUP BY a.i
     )
+    SELECT CAST(MIN(COALESCE(d.dot, 0)) AS BIGINT) AS est_join_size
+    FROM range({CMS_JS_D}) s(i) LEFT JOIN dots d ON d.i = s.i
     """
 
 
