@@ -89,8 +89,14 @@ def _train_books(emb: DataFrame) -> BooksLocal:
     localCheckpoints cost ~20 s per trained model at sf0.1 (2 000 rows!)
     — pure plan/compile overhead, paid by every PQ query. The Arrow round
     trains the identical lattice in <2 s (raw-d2 argmin, first-min =
-    lowest cid since books are cid-sorted; subdim=4 numpy sums are
-    sequential, matching the JVM fold bit-for-bit), and the earlier
+    lowest cid since books are cid-sorted). Mean-agreement contract with
+    the oracle's AVG-based retraining: the per-batch numpy partial sums
+    and the F.sum over them accumulate in a different (and run-dependent)
+    order than DuckDB's AVG, so agreement is at the 6-dp ROUNDING of the
+    means, tolerance-backed by the hash gate — not a bit-for-bit fold
+    guarantee. A mean sitting exactly on a rounding boundary could flip a
+    Lloyd round; the gate would catch it loudly (every downstream code
+    changes), and it has never fired. The earlier
     measured losers stand: per-subspace DataFrame trainings were
     stage-count-bound, a 1-row broadcast codebook artifact was copy-bound
     (BroadcastNestedLoopJoin appends the build row to EVERY stream row)."""
