@@ -57,14 +57,45 @@ def _fs_list(spark: SparkSession, path: str) -> list[str]:
     return [s.getPath().getName() for s in fs.listStatus(hpath)]
 
 
-def _version_dirs(spark: SparkSession, path: str) -> dict[int, str]:
+class InterruptedCompactionError(RuntimeError):
+    """A completed-but-unpublished compaction tmp exists: the version
+    prefix may be half-deleted, so any listing-based read would silently
+    return a PARTIAL table. Run :func:`recover_compaction` first."""
+
+
+def _version_dirs(
+    spark: SparkSession, path: str, check_compaction: bool = True
+) -> dict[int, str]:
     """{version: dir name} for every committed version. Only
     fully-published ``v{N}`` / ``v{N}_b{batch}`` dirs count — in-flight
     ``_tmp`` writes are invisible by prefix. The optional ``_b`` suffix is
     the streaming sink's exactly-once marker: one rename commits the
-    version AND its micro-batch id."""
+    version AND its micro-batch id.
+
+    Crash awareness (ADVICE r8): a ``_tmp_compact_v{N}`` dir WITH a
+    ``_SUCCESS`` marker means a compactor finished its durable fold but
+    crashed somewhere in the delete/rename window — the listing may be
+    missing deleted prefix versions while ``v{N}`` does not exist yet, and
+    the ``vs[0]`` pre-horizon guard would shift upward, so a read here
+    would silently return wrong data. Every listing-based entry point
+    (reads AND writers) therefore raises :class:`InterruptedCompactionError`
+    until :func:`recover_compaction` rolls the table forward. A tmp
+    WITHOUT ``_SUCCESS`` is harmless (crash — or a live compactor —
+    mid-step-1: the prefix is untouched) and is ignored. Recovery itself
+    passes ``check_compaction=False``."""
+    names = _fs_list(spark, path)
+    if check_compaction:
+        for name in names:
+            m = _COMPACT_TMP.match(name)
+            if m and path_exists(spark, f"{path}/{name}/_SUCCESS"):
+                raise InterruptedCompactionError(
+                    f"interrupted compaction at {path}/{name}: the folded "
+                    f"base is durable but unpublished and the version "
+                    f"prefix may be half-deleted — run recover_compaction "
+                    f"before reading or writing this table"
+                )
     out = {}
-    for name in _fs_list(spark, path):
+    for name in names:
         m = _VDIR.match(name)
         if m:
             out[int(m.group(1))] = name
@@ -105,10 +136,29 @@ def _publish(
         raise RuntimeError(f"version publish failed: {path}/{name}")
 
 
-def versioned_upsert(df: DataFrame, path: str, key: str) -> int:
+def versioned_upsert(
+    df: DataFrame, path: str, key: str, assert_unique: bool = True
+) -> int:
     """Commit ``df``'s rows as the next version's upsert change set;
-    returns the new version number. O(|df|) regardless of table size."""
+    returns the new version number. O(|df|) regardless of table size.
+
+    Precondition: ``df`` has at most one row per ``key``. Duplicate keys
+    within a single change set share the same ``_v``, so the latest-op
+    window's survivor would be whichever row the engine happened to order
+    first — nondeterministic across runs and engines (ADVICE r8).
+    ``assert_unique`` enforces this with one O(|df|) aggregation per
+    commit; callers with an upstream uniqueness guarantee (e.g. a keyed
+    dropDuplicates already in the plan) may pass ``False`` to skip the
+    extra job."""
     spark = df.sparkSession
+    if assert_unique:
+        dup = df.groupBy(key).count().filter(F.col("count") > 1)
+        if not dup.isEmpty():
+            raise ValueError(
+                f"versioned_upsert change set has duplicate '{key}' rows "
+                f"— the latest-op-per-key read would be nondeterministic; "
+                f"dedup the change set before committing"
+            )
     v = (table_versions(spark, path) or [0])[-1] + 1
     _publish(df.withColumn("_op", F.lit("u")), path, v)
     return v
@@ -135,7 +185,17 @@ def read_version(
 ) -> DataFrame:
     """The table AS OF ``version`` (default: latest): latest op per key
     over the change sets ≤ version, tombstones dropped. One window over
-    the unioned scans — the keyed-MERGE shuffle, not a per-version cost."""
+    the unioned scans — the keyed-MERGE shuffle, not a per-version cost.
+
+    Schema evolution (VERDICT r8 item 6): the result schema is the UNION
+    of the columns present in the change sets ≤ ``version`` — a column
+    added in version e simply isn't in any scan ≤ v for v < e (backward
+    read sees v's schema), and for v ≥ e the pre-evolution rows carry it
+    NULL-filled (``unionByName(allowMissingColumns=True)``), the
+    Delta/Iceberg add-column semantics. Compaction preserves this: the
+    folded base's schema is the union over the folded prefix, so any
+    still-readable AS-OF version sees the same columns pre- and
+    post-compaction (the equivalence law is pytest-pinned)."""
     dirs = _version_dirs(spark, path)
     if not dirs:
         raise ValueError(f"no versioned table at {path}")
@@ -153,7 +213,11 @@ def read_version(
         s = spark.read.parquet(f"{path}/{dirs[v]}").withColumn(
             "_v", F.lit(v)
         )
-        scans = s if scans is None else scans.unionByName(s)
+        scans = (
+            s
+            if scans is None
+            else scans.unionByName(s, allowMissingColumns=True)
+        )
     w = Window.partitionBy(key).orderBy(F.col("_v").desc())
     return (
         scans.withColumn("_rn", F.row_number().over(w))
@@ -194,7 +258,11 @@ def read_changes(
     scans = None
     for v in vs:
         s = spark.read.parquet(f"{path}/{dirs[v]}").withColumn("_v", F.lit(v))
-        scans = s if scans is None else scans.unionByName(s)
+        scans = (
+            s
+            if scans is None
+            else scans.unionByName(s, allowMissingColumns=True)
+        )
     w = Window.partitionBy(key).orderBy(F.col("_v").desc())
     return (
         scans.withColumn("_rn", F.row_number().over(w))
@@ -227,7 +295,7 @@ def recover_compaction(spark: SparkSession, path: str) -> None:
         upto = int(m.group(1))
         tmp = f"{path}/{name}"
         if path_exists(spark, f"{tmp}/_SUCCESS"):
-            dirs = _version_dirs(spark, path)
+            dirs = _version_dirs(spark, path, check_compaction=False)
             for v in [v for v in dirs if v <= upto]:
                 fs.delete(_hpath(jvm, f"{path}/{dirs[v]}"), True)
             if not fs.rename(_hpath(jvm, tmp), _hpath(jvm, f"{path}/v{upto}")):
@@ -265,7 +333,11 @@ def compact_versions(
     scans = None
     for v in vs:
         s = spark.read.parquet(f"{path}/{dirs[v]}").withColumn("_v", F.lit(v))
-        scans = s if scans is None else scans.unionByName(s)
+        scans = (
+            s
+            if scans is None
+            else scans.unionByName(s, allowMissingColumns=True)
+        )
     w = Window.partitionBy(key).orderBy(F.col("_v").desc())
     base = (
         scans.withColumn("_rn", F.row_number().over(w))
@@ -279,6 +351,42 @@ def compact_versions(
         fs.delete(_hpath(jvm, f"{path}/{dirs[v]}"), True)
     if not fs.rename(_hpath(jvm, tmp), _hpath(jvm, f"{path}/v{upto}")):
         raise RuntimeError(f"compaction publish failed: {path}/v{upto}")
+
+
+def auto_compact(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    max_versions: int = 16,
+    protect_last: int = 2,
+) -> int | None:
+    """Compaction POLICY (VERDICT r8 item 3): when the live change-set
+    count exceeds ``max_versions``, fold everything except the newest
+    ``protect_last`` versions into the base; returns the compacted-to
+    version, or None when under threshold.
+
+    Why a threshold at all: ``read_version`` unions one scan per live
+    change set, and the measured read-latency curve
+    (``evidence/bench_versioned_r09.json``; SCALING.md "Versioned reads
+    vs history length") grows linearly in version count — plan/scan
+    overhead per extra directory — until compaction folds the prefix back
+    to O(live keys). ``protect_last`` keeps a tail of recent versions
+    readable AS-OF (and, for streaming sinks, keeps their ``_b`` batch
+    markers: only compact below the stream's checkpoint horizon — see
+    ``compact_versions``'s caveat; with availableNow micro-batches,
+    ``protect_last >= 1`` past the last committed checkpoint satisfies
+    it). Call it after every commit: it is a cheap listing when under
+    threshold, and the compaction itself is crash-safe at any kill point
+    via :func:`recover_compaction` — which this entry (like
+    ``compact_versions``) runs first, so the policy call is also how an
+    interrupted compaction heals."""
+    recover_compaction(spark, path)
+    vs = table_versions(spark, path)
+    if len(vs) <= max_versions or len(vs) <= protect_last + 1:
+        return None
+    upto = vs[-1 - protect_last] if protect_last else vs[-1]
+    compact_versions(spark, path, key, upto)
+    return upto
 
 
 @query(
@@ -349,6 +457,73 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_time_travel_evolve",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 4 = 0
+    ),
+    v2 AS (
+        SELECT doc_id, lang, CAST(n_chars + 1 AS BIGINT) AS n_chars,
+               CAST((n_chars + 1) % 7 AS BIGINT) AS quality
+        FROM documents WHERE doc_id % 8 = 0
+    )
+    SELECT 1 AS as_of, doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS quality
+    FROM v1
+    UNION ALL
+    SELECT 2 AS as_of,
+           COALESCE(u.doc_id, b.doc_id) AS doc_id,
+           COALESCE(u.lang, b.lang) AS lang,
+           COALESCE(u.n_chars, b.n_chars) AS n_chars,
+           u.quality AS quality
+    FROM v1 b FULL OUTER JOIN v2 u ON b.doc_id = u.doc_id
+    """,
+)
+def q_time_travel_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across versions (VERDICT r8 item 6): version 1
+    commits (doc_id, lang, n_chars); version 2's change set ADDS a
+    ``quality`` column. The AS-OF 1 read comes back in v1's schema (the
+    added column genuinely absent — asserted here, then appended as a
+    typed NULL only to stack the two reads), while the AS-OF 2 read
+    carries the evolved schema with pre-evolution rows NULL-filled. The
+    oracle reconstructs both states relationally, so the hash proves the
+    NULL-filled union semantics, not just that the read didn't crash."""
+    import shutil
+    import tempfile
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="tt_evolve_")
+    try:
+        t = f"{root}/docs"
+        versioned_upsert(d.filter(F.col("doc_id") % 4 == 0), t, "doc_id")
+        up = d.filter(F.col("doc_id") % 8 == 0).select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") + F.lit(1)).alias("n_chars"),
+            ((F.col("n_chars") + F.lit(1)) % F.lit(7)).alias("quality"),
+        )
+        versioned_upsert(up, t, "doc_id")
+        r1 = read_version(spark, t, "doc_id", version=1)
+        assert "quality" not in r1.columns, "backward read leaked a column"
+        asof1 = r1.select(
+            F.lit(1).alias("as_of"),
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.lit(None).cast("long").alias("quality"),
+        )
+        asof2 = read_version(spark, t, "doc_id", version=2).select(
+            F.lit(2).alias("as_of"), "doc_id", "lang", "n_chars", "quality"
+        )
+        out = asof1.unionByName(asof2)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@query(
     "q_table_cdc",
     oracle="""
     WITH ups AS (
@@ -404,6 +579,7 @@ def q_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 __all__ = [
+    "InterruptedCompactionError",
     "table_versions",
     "applied_batch_ids",
     "versioned_upsert",
@@ -412,6 +588,8 @@ __all__ = [
     "read_changes",
     "recover_compaction",
     "compact_versions",
+    "auto_compact",
     "q_time_travel",
+    "q_time_travel_evolve",
     "q_table_cdc",
 ]

@@ -998,3 +998,154 @@ def test_versioned_pre_horizon_read_raises(spark, tmp_path):
         vt.read_version(spark, path, "k", 1)
     with _pytest.raises(ValueError, match="no versioned table"):
         vt.read_version(spark, str(tmp_path / "missing"), "k")
+
+def test_versioned_interrupted_compaction_blocks_reads(spark, tmp_path):
+    """ADVICE r8 (medium): a completed-but-unpublished compaction tmp
+    (durable fold, crash inside the delete/rename window) must make every
+    listing-based entry raise rather than silently serve a partial,
+    horizon-shifted table; recover_compaction restores service."""
+    import pytest as _pytest
+    import shutil
+
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    mk = lambda rows: spark.createDataFrame(rows, "k int, s string")
+    path = str(tmp_path / "vt")
+    vt.versioned_upsert(mk([(1, "a"), (2, "b")]), path, "k")
+    vt.versioned_upsert(mk([(2, "B")]), path, "k")
+    vt.versioned_upsert(mk([(3, "c")]), path, "k")
+    want = sorted(tuple(r) for r in vt.read_version(spark, path, "k").collect())
+
+    # stage the fold exactly as compact_versions does, then crash after
+    # one prefix delete: v1 is gone, v2-the-base is unpublished
+    base = vt.read_changes(spark, path, "k", from_version=0, to_version=2).drop("_v")
+    base.write.parquet(f"{path}/_tmp_compact_v2")
+    shutil.rmtree(f"{path}/v1")
+
+    for op in (
+        lambda: vt.read_version(spark, path, "k"),
+        lambda: vt.read_changes(spark, path, "k", from_version=0),
+        lambda: vt.table_versions(spark, path),
+        lambda: vt.versioned_upsert(mk([(9, "z")]), path, "k"),
+        lambda: vt.versioned_delete(
+            spark.createDataFrame([(3,)], "k int"), path, "k"
+        ),
+    ):
+        with _pytest.raises(vt.InterruptedCompactionError):
+            op()
+
+    vt.recover_compaction(spark, path)
+    assert vt.table_versions(spark, path) == [2, 3]
+    assert sorted(
+        tuple(r) for r in vt.read_version(spark, path, "k").collect()
+    ) == want
+
+
+def test_versioned_upsert_rejects_duplicate_keys(spark, tmp_path):
+    """ADVICE r8: duplicate keys inside one change set would make the
+    latest-op window's survivor engine/run-dependent; the default commit
+    path rejects them, and assert_unique=False is the documented opt-out
+    for callers with an upstream uniqueness guarantee."""
+    import pytest as _pytest
+
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    path = str(tmp_path / "vt")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "k int, s string")
+    with _pytest.raises(ValueError, match="duplicate"):
+        vt.versioned_upsert(dup, path, "k")
+    assert vt.table_versions(spark, path) == []  # nothing was committed
+    assert vt.versioned_upsert(dup, path, "k", assert_unique=False) == 1
+
+
+def test_versioned_schema_evolution_reads(spark, tmp_path):
+    """VERDICT r8 item 6: after a column is added in version 2, AS-OF 1
+    reads in v1's schema (no leaked column), AS-OF 2 NULL-fills the
+    pre-evolution rows, and compacting across the evolution boundary
+    leaves every surviving read identical (schema AND values)."""
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    path = str(tmp_path / "vt")
+    vt.versioned_upsert(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, s string"),
+        path,
+        "k",
+    )
+    vt.versioned_upsert(
+        spark.createDataFrame([(2, "B", 7), (3, "c", 9)], "k int, s string, q int"),
+        path,
+        "k",
+    )
+    vt.versioned_upsert(
+        spark.createDataFrame([(4, "d", 1)], "k int, s string, q int"),
+        path,
+        "k",
+    )
+
+    r1 = vt.read_version(spark, path, "k", 1)
+    assert sorted(r1.columns) == ["k", "s"]
+    assert sorted(tuple(r) for r in r1.collect()) == [(1, "a"), (2, "b")]
+
+    r2 = vt.read_version(spark, path, "k", 2)
+    assert sorted(r2.columns) == ["k", "q", "s"]
+    by_k = {r["k"]: (r["s"], r["q"]) for r in r2.collect()}
+    assert by_k == {1: ("a", None), 2: ("B", 7), 3: ("c", 9)}
+
+    # CDC across the boundary NULL-fills too
+    net = {
+        r["k"]: (r["_op"], r["q"])
+        for r in vt.read_changes(spark, path, "k", from_version=1).collect()
+    }
+    assert net == {2: ("u", 7), 3: ("u", 9), 4: ("u", 1)}
+
+    # compact across the evolution boundary: surviving reads unchanged
+    want2 = sorted(tuple(r) for r in r2.select("k", "q", "s").collect())
+    want_latest = sorted(
+        tuple(r)
+        for r in vt.read_version(spark, path, "k").select("k", "q", "s").collect()
+    )
+    vt.compact_versions(spark, path, "k", 2)
+    assert vt.table_versions(spark, path) == [2, 3]
+    assert sorted(
+        tuple(r)
+        for r in vt.read_version(spark, path, "k", 2).select("k", "q", "s").collect()
+    ) == want2
+    assert sorted(
+        tuple(r)
+        for r in vt.read_version(spark, path, "k").select("k", "q", "s").collect()
+    ) == want_latest
+
+
+def test_versioned_auto_compact_policy(spark, tmp_path):
+    """auto_compact folds only when the live change-set count exceeds
+    max_versions, protects the newest protect_last versions, leaves reads
+    identical, and inherits compact_versions' crash safety (a staged
+    crash recovers on the next policy run)."""
+    import shutil
+
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    mk = lambda rows: spark.createDataFrame(rows, "k int, s string")
+    path = str(tmp_path / "vt")
+    for i in range(1, 5):
+        vt.versioned_upsert(mk([(i, f"s{i}")]), path, "k")
+    # under threshold: no-op
+    assert vt.auto_compact(spark, path, "k", max_versions=4, protect_last=2) is None
+    assert vt.table_versions(spark, path) == [1, 2, 3, 4]
+
+    vt.versioned_upsert(mk([(5, "s5")]), path, "k")
+    want = sorted(tuple(r) for r in vt.read_version(spark, path, "k").collect())
+    want3 = sorted(tuple(r) for r in vt.read_version(spark, path, "k", 3).collect())
+    assert vt.auto_compact(spark, path, "k", max_versions=4, protect_last=2) == 3
+    assert vt.table_versions(spark, path) == [3, 4, 5]
+    assert sorted(tuple(r) for r in vt.read_version(spark, path, "k").collect()) == want
+    assert sorted(tuple(r) for r in vt.read_version(spark, path, "k", 3).collect()) == want3
+
+    # crash window: stage a completed fold of v3..v4 and a half-deleted
+    # prefix; the next auto_compact entry rolls it forward before folding
+    base = vt.read_changes(spark, path, "k", from_version=0, to_version=4).drop("_v")
+    base.write.parquet(f"{path}/_tmp_compact_v4")
+    shutil.rmtree(f"{path}/v3")
+    assert vt.auto_compact(spark, path, "k", max_versions=1, protect_last=0) == 5
+    assert vt.table_versions(spark, path) == [5]
+    assert sorted(tuple(r) for r in vt.read_version(spark, path, "k").collect()) == want
