@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from projet_data_engineering_spark.io import load_table, spread
 from projet_data_engineering_spark.operators.dedup import _simhash_bit
+from projet_data_engineering_spark.plans.hints import merge_if_large
 from projet_data_engineering_spark.registry import query
 
 SIM_BITS = 32
@@ -913,10 +914,14 @@ def ngram_jaccard_join(
 
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (
-        # merge hint: both sides are the corpus-derived prefix table —
-        # never broadcastable at scale (see containment_join's measured
-        # sf10 AQE-broadcast driver OOM; same join shape)
-        a.hint("merge").join(b, F.col("a.term") == F.col("b.term"))
+        # size-gated merge hint: both sides are the corpus-derived
+        # prefix table — never broadcastable at scale (see
+        # containment_join's measured sf10 AQE-broadcast driver OOM; same
+        # join shape), but hint-free below the source-bytes gate so small
+        # corpora keep the measured-fast broadcast (plans/hints.py)
+        merge_if_large(a, size_from=docs).join(
+            b, F.col("a.term") == F.col("b.term")
+        )
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .where(
             F.expr(f"{q} * least(a.n, b.n) >= {p} * greatest(a.n, b.n)")
@@ -929,32 +934,34 @@ def ngram_jaccard_join(
         .distinct()
     )
 
-    # verify + size joins carry the same merge hint as the candidate
-    # join: shingle table and per-doc sizes are corpus-derived (one/many
-    # rows per doc — billions at 100 TB), but Spark's STATIC size
-    # estimate propagates the compressed parquet file size through the
-    # explode, so at sf10 it plans all of them as broadcasts and the
+    # verify + size joins carry the same size-gated merge hint as the
+    # candidate join: shingle table and per-doc sizes are corpus-derived
+    # (one/many rows per doc — billions at 100 TB), and Spark's STATIC
+    # size estimate propagates the compressed parquet file size through
+    # the explode, so at sf10 it plans all of them as broadcasts and the
     # stacked hash relations OOM the driver (measured via q_dedup_recall)
     sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = sh.select(F.col("doc_id").alias("i"), "term")
     sb = sh.select(F.col("doc_id").alias("j"), "term")
     inter = (
-        cand.join(sa.hint("merge"), "i")
-        .join(sb.hint("merge"), ["j", "term"])
+        cand.join(merge_if_large(sa, size_from=docs), "i")
+        .join(merge_if_large(sb, size_from=docs), ["j", "term"])
         .groupBy("i", "j")
         .agg(F.count("*").alias("c"))
     )
     union = F.col("na") + F.col("nb") - F.col("c")
     return (
         inter.join(
-            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")).hint(
-                "merge"
+            merge_if_large(
+                sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")),
+                size_from=docs,
             ),
             "i",
         )
         .join(
-            sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")).hint(
-                "merge"
+            merge_if_large(
+                sz.select(F.col("doc_id").alias("j"), F.col("n").alias("nb")),
+                size_from=docs,
             ),
             "j",
         )
@@ -1289,12 +1296,12 @@ def containment_join(
         F.col("n").alias("nb"),
     )
     cand = (
-        # merge hint: BOTH sides are corpus-derived (prefix table and the
-        # full shingle index) — broadcasting either is wrong at any real
-        # scale, and AQE's compressed-bytes estimate was measured doing
-        # exactly that at sf10 (driver OOM building the hash relation)
-        prefix.alias("a")
-        .hint("merge")
+        # size-gated merge hint: BOTH sides are corpus-derived (prefix
+        # table and the full shingle index) — broadcasting either is wrong
+        # at large scale, and AQE's compressed-bytes estimate was measured
+        # doing exactly that at sf10 (driver OOM building the hash
+        # relation); below the gate the planner keeps broadcast
+        merge_if_large(prefix.alias("a"), size_from=docs)
         .join(full.alias("b"), "term")
         .where(F.col("a.doc_id") != F.col("b.j"))
         # length: the containing side must hold at least ceil(tau*|A|)
@@ -1313,20 +1320,21 @@ def containment_join(
         .distinct()
     )
 
-    # corpus-derived verify/size sides merge-hinted — see the Jaccard
-    # sibling: static estimates plan them as broadcasts at sf10
+    # corpus-derived verify/size sides size-gated-merge-hinted — see the
+    # Jaccard sibling: static estimates plan them as broadcasts at sf10
     sa = sh.select(F.col("doc_id").alias("i"), "term")
     sb = sh.select(F.col("doc_id").alias("j"), "term")
     inter = (
-        cand.join(sa.hint("merge"), "i")
-        .join(sb.hint("merge"), ["j", "term"])
+        cand.join(merge_if_large(sa, size_from=docs), "i")
+        .join(merge_if_large(sb, size_from=docs), ["j", "term"])
         .groupBy("i", "j")
         .agg(F.count("*").alias("c"))
     )
     return (
         inter.join(
-            sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")).hint(
-                "merge"
+            merge_if_large(
+                sz.select(F.col("doc_id").alias("i"), F.col("n").alias("na")),
+                size_from=docs,
             ),
             "i",
         )
@@ -1835,11 +1843,11 @@ def q_dedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("i").alias("doc1"), F.col("j").alias("doc2")
     )
     lsh = minhash_candidate_pairs(d, "doc_id", "text")
-    # merge hint: truth and the LSH candidate list are BOTH O(dup-pairs),
-    # i.e. corpus-sized on any real web corpus — at sf10 AQE broadcast-
-    # converted this probe join (4.1M-pair side compresses under the
-    # 64 MB threshold) and OOMed the driver building the hash relation
-    probed = truth.hint("merge").join(
+    # size-gated merge hint: truth and the LSH candidate list are BOTH
+    # O(dup-pairs), i.e. corpus-sized on any real web corpus — at sf10 AQE
+    # broadcast-converted this probe join (4.1M-pair side compresses under
+    # the 64 MB threshold) and OOMed the driver building the hash relation
+    probed = merge_if_large(truth, size_from=d).join(
         lsh.withColumn("f", F.lit(1)), ["doc1", "doc2"], "left"
     ).agg(
         F.count("*").alias("n_true"),

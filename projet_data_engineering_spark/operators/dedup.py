@@ -24,6 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_data_engineering_spark.io import load_table, spread
+from projet_data_engineering_spark.plans.hints import merge_if_large
 from projet_data_engineering_spark.registry import query
 
 N_HASHES = 8
@@ -115,12 +116,13 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
     a = bands.alias("a")
     b = bands.alias("b")
     return (
-        # merge hint: both sides are the corpus-derived band table — the
-        # same never-broadcastable invariant as the PPJoin candidate joins
-        # (SCALING.md "Exact pair joins vs corpus entropy"); AQE's
-        # compressed-bytes estimate sits under the 64 MB threshold at sf10
-        # while the in-heap hash relation does not
-        a.hint("merge").join(
+        # size-gated merge hint: both sides are the corpus-derived band
+        # table — never broadcastable at scale (AQE's compressed-bytes
+        # estimate sits under the 64 MB threshold at sf10 while the
+        # in-heap hash relation does not), but pinning sort-merge at
+        # small corpus sizes cost 1.7x the anchor (r8 verdict), so the
+        # hint attaches only past the source-bytes gate (plans/hints.py)
+        merge_if_large(a, size_from=docs).join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
