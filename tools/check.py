@@ -71,11 +71,8 @@ def table_hash(lines: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-
-    import __spark_entry__ as entrymod
+def make_duckdb(sf_dir: str):
+    """DuckDB connection with the driver's table views registered."""
     from projet_data_engineering_spark import TABLES
 
     con = duckdb.connect()
@@ -87,10 +84,14 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
+    return con
 
+
+def make_vanilla_spark():
+    """The driver-shaped vanilla session (see module docstring)."""
     from pyspark.sql import SparkSession
 
-    spark = (
+    return (
         # CHECK_MASTER lets a sharded sweep give each process a core slice
         # (e.g. local[8] x4); the default stays the driver-shaped local[*]
         SparkSession.builder.master(os.environ.get("CHECK_MASTER", "local[*]"))
@@ -104,6 +105,16 @@ def main() -> int:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .getOrCreate()
     )
+
+
+def run_check(
+    spark, con, sf_dir: str, only: set[str] | None = None
+) -> tuple[int, int, int]:
+    """The oracle sweep itself: (n_pass, n_rows_only, n_fail). Extracted
+    so tools/gate.py can run it in the SAME process (and over the same
+    registry snapshot) as the plan audit."""
+    import __spark_entry__ as entrymod
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -182,6 +193,15 @@ def main() -> int:
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAILED")
+    return n_pass, n_rows_only, n_fail
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    con = make_duckdb(sf_dir)
+    spark = make_vanilla_spark()
+    _, _, n_fail = run_check(spark, con, sf_dir, only)
     return 1 if n_fail else 0
 
 
