@@ -256,6 +256,7 @@ def _load_all() -> None:
         dedup_ingest,
         drift,
         pq_refresh,
+        stack,
         versioned_sink,
         windows,
     )

@@ -63,6 +63,7 @@ from projet_data_engineering_spark.operators.dedup import (
     minhash_signatures,
 )
 from projet_data_engineering_spark.registry import query
+from projet_data_engineering_spark.streaming.fixtures import stamp_batch_mtime
 
 
 def _wordset(text_col: str):
@@ -234,13 +235,16 @@ def run_stream_dedup_ingest(
     )
 
 
-def _stream_dedup_oracle() -> str:
-    # Unrolled 3-batch greedy ingest: batch k = doc_id % 3 = k, processed in
-    # order. `sym` is the symmetric verified near-dup relation R; acc_k drops
-    # docs with a lower-id batch-mate in R or any R-match among earlier
-    # batches' ACCEPTED docs — exactly the streaming operator's semantics.
-    return f"""
-    WITH allpairs AS ({_minhash_oracle()}),
+def stream_accept_ctes() -> str:
+    """The CTE chain (for a WITH clause) transcribing the 3-batch greedy
+    streaming ingest, ending in ``accepted(doc_id)``. Batch k = doc_id %
+    3 = k, processed in order; `sym` is the symmetric verified near-dup
+    relation R; acc_k drops docs with a lower-id batch-mate in R or any
+    R-match among earlier batches' ACCEPTED docs — exactly the streaming
+    operator's semantics. Shared by ``q_stream_dedup_ingest`` and the
+    composed-stack oracle (``q_stream_stack``), whose downstream index/
+    drift transcriptions all hang off the same accepted set."""
+    return f"""allpairs AS ({_minhash_oracle()}),
     ws AS (
         SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS ws
         FROM documents
@@ -287,9 +291,16 @@ def _stream_dedup_oracle() -> str:
           AND NOT EXISTS (
               SELECT 1 FROM sym s JOIN acc01 p ON s.a = p.doc_id
               WHERE s.b = d.doc_id)
-    )
-    SELECT doc_id, doc_id % 3 AS src_batch
-    FROM (SELECT doc_id FROM acc01 UNION ALL SELECT doc_id FROM acc2)
+    ),
+    accepted AS (
+        SELECT doc_id FROM acc01 UNION ALL SELECT doc_id FROM acc2
+    )"""
+
+
+def _stream_dedup_oracle() -> str:
+    return f"""
+    WITH {stream_accept_ctes()}
+    SELECT doc_id, doc_id % 3 AS src_batch FROM accepted
     """
 
 
@@ -304,7 +315,6 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming operator's state transitions, not just a batch twin."""
     import shutil
     import tempfile
-    import time
 
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", "text"
@@ -316,7 +326,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             d.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
                 f"{src}/b{k}"
             )
-            time.sleep(0.05)  # distinct mtimes => deterministic batch order
+            stamp_batch_mtime(f"{src}/b{k}", k)
         stream = (
             spark.readStream.schema(d.schema)
             .option("maxFilesPerTrigger", 1)
@@ -338,5 +348,6 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 __all__ = [
     "dedup_ingest_batch",
     "run_stream_dedup_ingest",
+    "stream_accept_ctes",
     "q_stream_dedup_ingest",
 ]

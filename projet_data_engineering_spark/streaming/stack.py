@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from projet_data_engineering_spark.io import path_exists
 from projet_data_engineering_spark.operators.search import tokenize
+from projet_data_engineering_spark.registry import query
 from projet_data_engineering_spark.streaming.dedup_ingest import (
     dedup_ingest_batch,
 )
@@ -158,3 +159,169 @@ def run_stream_stack(
         .start()
         .awaitTermination()
     )
+
+
+def _stream_stack_oracle() -> str:
+    from projet_data_engineering_spark.operators.datapipe import PSI_BINS
+    from projet_data_engineering_spark.streaming.dedup_ingest import (
+        stream_accept_ctes,
+    )
+
+    b, s = PSI_BINS, PSI_BINS * 0.5
+    clamp = (
+        f"CAST(LEAST({b - 1}, GREATEST(0, "
+        f"FLOOR((value - vmin) / (vmax - vmin) * {b}))) AS INT)"
+    )
+    return f"""
+    WITH {stream_accept_ctes()},
+    adl AS (
+        SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS src_batch,
+               list_filter(str_split_regex(lower(d.text), '[^a-z0-9]+'),
+                           x -> x <> '') AS tokens
+        FROM documents d JOIN accepted a ON d.doc_id = a.doc_id
+    ),
+    adl2 AS (SELECT doc_id, src_batch, len(tokens) AS dl, tokens FROM adl),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM adl2),
+    tf AS (
+        SELECT d.doc_id, d.dl, u.term, COUNT(*) AS tf
+        FROM adl2 d, UNNEST(d.tokens) AS u(term)
+        WHERE u.term IN ('spark', 'join', 'stream')
+        GROUP BY d.doc_id, d.dl, u.term
+    ),
+    dfc AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    bm25 AS (
+        SELECT t.doc_id AS k,
+               ROUND(SUM(ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+                         * (t.tf * 2.2)
+                         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avg_dl))),
+                     4) AS v
+        FROM tf t JOIN dfc f ON t.term = f.term CROSS JOIN stats s
+        GROUP BY t.doc_id
+    ),
+    b0 AS (
+        SELECT CAST(dl AS DOUBLE) AS value FROM adl2 WHERE src_batch = 0
+    ),
+    rng AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM b0),
+    bcnt AS (
+        SELECT bin, COUNT(*) AS c_base
+        FROM (SELECT {clamp} AS bin FROM b0, rng) GROUP BY bin
+    ),
+    ccnt AS (
+        SELECT batch_id, bin, COUNT(*) AS c_batch
+        FROM (SELECT src_batch AS batch_id, {clamp} AS bin
+              FROM (SELECT src_batch, CAST(dl AS DOUBLE) AS value FROM adl2),
+                   rng)
+        GROUP BY batch_id, bin
+    ),
+    grid AS (
+        SELECT k.batch_id, g.bin
+        FROM (SELECT UNNEST(generate_series(0, {b - 1})) AS bin) g,
+             (SELECT UNNEST(generate_series(0, 2)) AS batch_id) k
+    ),
+    full_g AS (
+        SELECT g.batch_id, g.bin,
+               COALESCE(bc.c_base, 0) AS c_base,
+               COALESCE(cc.c_batch, 0) AS c_batch
+        FROM grid g
+        LEFT JOIN bcnt bc ON g.bin = bc.bin
+        LEFT JOIN ccnt cc ON g.batch_id = cc.batch_id AND g.bin = cc.bin
+    ),
+    tot AS (
+        SELECT batch_id, SUM(c_base) AS tot_base, SUM(c_batch) AS tot_batch
+        FROM full_g GROUP BY batch_id
+    ),
+    drift AS (
+        SELECT f.batch_id AS k,
+               ROUND(SUM(((c_base + 0.5) / (tot_base + {s})
+                          - (c_batch + 0.5) / (tot_batch + {s}))
+                         * LN(((c_base + 0.5) / (tot_base + {s}))
+                              / ((c_batch + 0.5) / (tot_batch + {s})))),
+                     5) AS v
+        FROM full_g f JOIN tot USING (batch_id)
+        GROUP BY f.batch_id
+    )
+    SELECT 'accepted' AS part, doc_id AS k, CAST(doc_id % 3 AS DOUBLE) AS v
+    FROM accepted
+    UNION ALL SELECT 'bm25' AS part, k, CAST(v AS DOUBLE) AS v FROM bm25
+    UNION ALL SELECT 'drift' AS part, k, CAST(v AS DOUBLE) AS v FROM drift
+    """
+
+
+@query("q_stream_stack", oracle=_stream_stack_oracle())
+def q_stream_stack(spark, sf_dir: str) -> DataFrame:
+    """The COMPOSED serving stack end-to-end as one driver row (VERDICT r8
+    item 5): documents+embeddings arrive as three micro-batch files
+    (doc_id % 3, explicit-mtime-ordered + maxFilesPerTrigger=1) through
+    ``run_stream_stack`` — dedup ingest, BM25 index refresh, IVF and PQ
+    refresh, drift monitor — and the FINAL SERVED STATE is returned in
+    three labeled sections: the accepted corpus, the BM25 scores served
+    from the stream-maintained index for 'spark join stream', and the
+    per-batch PSI drift report. The oracle recomputes all three from
+    scratch in SQL (greedy 3-batch acceptance via stream_accept_ctes, the
+    BM25 formula over ONLY the accepted docs — proving duplicates never
+    entered the index and the stream-merged stats equal a from-scratch
+    build — and the frozen-first-accepted-batch PSI grid), so one hash
+    pins the stage composition, not just each stage alone. The IVF/PQ
+    stages run in the same pipe (their own served-state parity is pinned
+    by q_stream_ann_refresh / q_stream_pq_refresh and the stack pytest's
+    byte-parity against a never-crashed control run)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from projet_data_engineering_spark.io import (
+        load_table,
+        read_merged_table,
+        spread,
+    )
+    from projet_data_engineering_spark.operators.search import bm25_serve
+    from projet_data_engineering_spark.streaming.fixtures import (
+        stamp_batch_mtime,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    src_df = d.join(e, "doc_id")
+    root = tempfile.mkdtemp(prefix="stream_stack_")
+    try:
+        src = f"{root}/src"
+        for k in range(3):
+            src_df.filter(F.col("doc_id") % 3 == k).coalesce(1).write.parquet(
+                f"{src}/b{k}"
+            )
+            stamp_batch_mtime(f"{src}/b{k}", k)
+        stream = (
+            spark.readStream.schema(src_df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(f"{src}/*")
+        )
+        base = f"{root}/stack"
+        run_stream_stack(stream, base, f"{root}/chk", n_buckets=16)
+        acc = read_merged_table(spark, f"{base}/accepted").select(
+            F.lit("accepted").alias("part"),
+            F.col("doc_id").alias("k"),
+            (F.col("doc_id") % 3).cast("double").alias("v"),
+        )
+        bm = bm25_serve(
+            spark, f"{base}/bm25", ["spark", "join", "stream"]
+        ).select(
+            F.lit("bm25").alias("part"),
+            F.col("doc_id").alias("k"),
+            F.col("score").cast("double").alias("v"),
+        )
+        dr = spark.read.parquet(f"{base}/drift_report").select(
+            F.lit("drift").alias("part"),
+            F.col("batch_id").cast("bigint").alias("k"),
+            F.col("psi").cast("double").alias("v"),
+        )
+        out = acc.unionByName(bm).unionByName(dr)
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
