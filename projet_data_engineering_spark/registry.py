@@ -171,22 +171,45 @@ _R7_GREEN = {
     "q_window_frame", "q_window_lag", "q_window_rank", "q_winsorized_mean",
 }
 
-# Queries whose code, oracle, or executed plan changed in round 8: the
-# scaled SemDeDup registration (k=32 + Arrow pair/assign stages, new
-# parameterized-k oracle), the PQ oracle's order-forced sums + dead-code/
-# docstring sweep, the DSIR null-safe target counts, q_bpe_encode's new
-# hash oracle (was rows-only), and the fuzzy-serving rework (SymSpell
-# delete-key artifact replaces the full-vocab theta-join, which also
-# touches the BM25 index build every served query bootstraps). Their older
-# driver evidence no longer describes the current code, so they walk FIRST.
-_R8_CHANGED = {
-    "q_semdedup", "q_bpe_encode", "q_bm25_fuzzy_served", "q_bm25_served",
-    "q_pq_encode", "q_ann_pq", "q_pq_recall", "q_ann_pq_rerank",
-    "q_pq_served", "q_stream_pq_refresh", "q_dsir_weights", "q_dsir_select",
-    "q_posting_lists", "q_pq_encode_arrow",
+# Names the driver checked in round 8 (CORRECTNESS_r08.json: 48 hash-green
+# + q_approx_distinct/q_sample rows-only by design — the r8 sketch/MVCC/
+# PQ-arrow additions plus the r8-changed cohort). Cumulatively r1-r8
+# covers all 222 queries registered through round 8.
+_R8_GREEN = {
+    "q_semdedup", "q_bpe_encode", "q_pq_encode", "q_pq_encode_arrow",
+    "q_ann_pq", "q_pq_recall", "q_ann_pq_rerank", "q_pq_served",
+    "q_stream_pq_refresh", "q_posting_lists", "q_bm25_served",
+    "q_bm25_fuzzy_served", "q_dsir_weights", "q_dsir_select", "q_cms_counts",
+    "q_stream_cms", "q_kmv_distinct", "q_percentile_sampled",
+    "q_cms_join_size", "q_stream_kmv", "q_time_travel", "q_table_cdc",
+    "q_stream_versioned", "q_sample_bottomk", "q_join_inner", "q_join_multi",
+    "q_join_left", "q_join_semi", "q_join_anti", "q_upsert_merge", "q_dedup",
+    "q_union", "q_intersect", "q_except", "q_except_all", "q_tpch_q3",
+    "q_tpch_q6", "q_rollup", "q_cube", "q_pivot", "q_percentile",
+    "q_approx_distinct", "q_join_asof", "q_join_range", "q_sql_correlated",
+    "q_try_cast", "q_string_agg", "q_histogram", "q_unpivot", "q_sample",
+}
+
+# Queries whose code, oracle, or executed plan changed in round 9: the
+# size-gated merge hints (whole pair-join dedup family + composed
+# curation), the versioned-table evolution/crash-aware rework, the CMS
+# join-size spine fix, the utime fixture swap in every 3-batch streaming
+# query, and the two new queries (q_time_travel_evolve, q_stream_stack).
+# Their older driver evidence no longer describes the current code, so
+# they walk FIRST.
+_R9_CHANGED = {
+    "q_stream_stack", "q_time_travel_evolve", "q_cms_join_size",
+    "q_time_travel", "q_table_cdc", "q_stream_versioned",
+    "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_apply", "q_dedup_recall",
+    "q_dedup_canonical", "q_containment_pairs", "q_ngram_jaccard_pairs",
+    "q_curate", "q_curation_funnel", "q_dedup_clusters",
+    "q_dedup_clusters_lss", "q_stream_dedup_ingest", "q_stream_cms",
+    "q_stream_kmv", "q_stream_drift", "q_stream_ann_refresh",
+    "q_stream_pq_refresh",
 }
 
 _TIERS = (
+    (8, _R8_GREEN),
     (7, _R7_GREEN),
     (6, _R6_GREEN),
     (5, _R5_GREEN),
@@ -208,14 +231,14 @@ def _latest_evidence(name: str) -> int:
 
 def _ordered(names: list[str]) -> list[str]:
     """Walk order for a budget-limited (50 queries/round) driver sweep —
-    VERDICT r7 item 7: round-8-changed names first (their old evidence
+    VERDICT r8 item 8: round-9-changed names first (their old evidence
     describes code that no longer runs), then everything else STALEST
-    driver evidence first (never-checked, then latest=r1, r2, ... r7), so
-    the r8 sample re-proves the r1/r2 cohort — the dedup/search/ETL
-    families whose last driver rows predate the most plan churn. Python's
-    stable sort preserves registration order within each tier."""
-    first = [n for n in names if n in _R8_CHANGED]
-    rest = [n for n in names if n not in _R8_CHANGED]
+    driver evidence first (never-checked, then latest=r1, r2, ... r8), so
+    the r9 sample re-proves the stalest cohort — 120+ queries were last
+    driver-sampled in r5/r6. Python's stable sort preserves registration
+    order within each tier."""
+    first = [n for n in names if n in _R9_CHANGED]
+    rest = [n for n in names if n not in _R9_CHANGED]
     rest.sort(key=_latest_evidence)
     return first + rest
 
