@@ -133,17 +133,55 @@ def kmv_sketch(df: DataFrame, grp: str, key: str, k: int = KMV_K) -> DataFrame:
     return kmv_from_hashes(hashed, k)
 
 
+N_SALT = 64  # phase-1 fan-out of the two-phase bottom-k
+
+
+def bottom_k_rows(
+    df: DataFrame,
+    grp_cols: list[str],
+    order_cols: list[str],
+    k: int,
+    salt: Column,
+) -> DataFrame:
+    """Deterministic bottom-k rows per group WITHOUT a single-task
+    per-group sort (r9, found by the four-point scale protocol): a window
+    partitioned only by a low-cardinality group serializes the whole
+    corpus into |groups| tasks and fully sorts each — q_percentile_sampled
+    measured 44 s at sf5 in exactly that shape. Phase 1 ranks within
+    (group, salt) — ``N_SALT``× the parallelism, each task sorting a
+    1/N_SALT slice — and keeps k rows per slice; phase 2 ranks the
+    ≤ N_SALT·k survivors per group (a BOUNDED intermediate, so its
+    per-group window is one small task by construction). Bottom-k of a
+    group equals bottom-k of the union of its per-salt bottom-ks, so the
+    result set is IDENTICAL to the single-window form — the oracle SQL
+    keeps the straightforward one-window transcription.
+
+    ``salt`` must be deterministic in the row (it only routes rows to
+    phase-1 partitions; any function works, but nondeterminism would
+    break replay). Emits ``rn``, the final per-group rank."""
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy(*grp_cols, "_salt").orderBy(*order_cols)
+    w2 = Window.partitionBy(*grp_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_salt", salt)
+        .withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .drop("_salt", "_rn1")
+    )
+
+
 def kmv_from_hashes(hashed: DataFrame, k: int = KMV_K) -> DataFrame:
     """Rank an already-hashed (grp, u) frame into the (grp, n_seen, ks)
     sketch — the half of :func:`kmv_sketch` the streaming server reuses to
-    fold batch partials (their union IS a hash frame)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("grp").orderBy("u")
+    fold batch partials (their union IS a hash frame). Two-phase bottom-k
+    (:func:`bottom_k_rows`): the per-group rank never sorts the full
+    distinct-hash set in one task."""
+    salt = F.pmod((F.col("u") * F.lit(1 << 20)).cast("long"), F.lit(N_SALT))
     return (
-        hashed.distinct()
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
+        bottom_k_rows(hashed.distinct(), ["grp"], ["u"], k, salt)
         .groupBy("grp")
         .agg(
             F.max("rn").alias("n_seen"),
@@ -267,12 +305,11 @@ def q_percentile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the md5-bottom-k sample are pure engine-neutral arithmetic, so
     the driver hash-checks the whole estimator. Statistically the sample
     is uniform per group (md5 on the (orderkey, linenumber) primary key),
-    error ~1/sqrt(k); at 100 TB the per-group window ranks rows by hash
-    without a full sort of values (rank-k cutoff), and the percentile
+    error ~1/sqrt(k); the bottom-k-by-hash cut runs as the two-phase
+    salted rank (:func:`bottom_k_rows` — the r9 fix for the measured
+    3-task whole-corpus sort this query shipped with), and the percentile
     aggregates k rows per group instead of the corpus. Closeness to the
     exact percentiles is pinned in tests/test_skew_approx.py."""
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     h = F.md5(
         F.concat_ws(
@@ -281,13 +318,17 @@ def q_percentile_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         )
     )
-    w = Window.partitionBy("l_returnflag").orderBy(
-        h, "l_orderkey", "l_linenumber"
-    )
+    salt = F.pmod(F.crc32(h), F.lit(N_SALT))
     return (
-        li.select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= PSAMPLE_K)
+        bottom_k_rows(
+            li.select(
+                "l_returnflag", "l_quantity", "l_orderkey", "l_linenumber"
+            ).withColumn("_h", h),
+            ["l_returnflag"],
+            ["_h", "l_orderkey", "l_linenumber"],
+            PSAMPLE_K,
+            salt,
+        )
         .groupBy("l_returnflag")
         .agg(
             F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_est"),
