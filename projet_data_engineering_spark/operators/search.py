@@ -46,63 +46,6 @@ def auto_fuzziness(term: str) -> int:
     return 0 if n <= 2 else (1 if n <= 5 else 2)
 
 
-FUZZY_MAX_D = 2  # AUTO fuzziness tops out at 2 — the delete index covers it
-
-
-def _delete_neighborhood_expr(col: str) -> str:
-    """SQL expression: every string obtainable from ``col`` by deleting up
-    to FUZZY_MAX_D characters, duplicates removed — the SymSpell delete
-    neighborhood (Garbe's symmetric-delete algorithm; the Levenshtein-
-    automaton analogue that's expressible as plain DataFrame algebra). The
-    guarantee the fuzzy index rests on: lev(a, b) <= d implies the d-delete
-    neighborhoods of a and b intersect, so matching on EQUAL delete keys
-    (then verifying with real levenshtein) is lossless for AUTO fuzziness.
-    Pure SQL higher-order functions — build-time only, never in a serving
-    scan."""
-    d1 = (
-        f"transform(sequence(1, length({col})), i -> "
-        f"concat(substring({col}, 1, i-1), substring({col}, i+1)))"
-    )
-    d2 = (
-        f"flatten(transform(filter({d1}, s -> length(s) > 0), s -> "
-        "transform(sequence(1, length(s)), j -> "
-        "concat(substring(s, 1, j-1), substring(s, j+1)))))"
-    )
-    return f"array_distinct(concat(array({col}), {d1}, {d2}))"
-
-
-def _py_delete_neighborhood(term: str, d: int) -> set[str]:
-    """Driver-side mirror of :func:`_delete_neighborhood_expr` for the
-    (bounded) query terms; parity with the SQL form is pinned in
-    tests/test_search.py."""
-    out = {term}
-    frontier = {term}
-    for _ in range(d):
-        frontier = {s[:i] + s[i + 1 :] for s in frontier for i in range(len(s))}
-        out |= frontier
-    return out
-
-
-def fuzzy_keys(vocab: DataFrame, n_buckets: int) -> DataFrame:
-    """(del_key, term, term_bucket, del_bucket, _pk) — the fuzzy-expansion
-    index over a (term, term_bucket) dictionary: each vocab term posted
-    under all its <=FUZZY_MAX_D delete keys, bucketed by crc32(del_key) so
-    a query probes only its own keys' partitions. Row count is
-    |V| x O(len^2) — the classic SymSpell space-for-time trade, paid at
-    build/merge time so serving never scans the dictionary."""
-    return (
-        vocab.select(
-            "term",
-            "term_bucket",
-            F.explode(F.expr(_delete_neighborhood_expr("term"))).alias(
-                "del_key"
-            ),
-        )
-        .withColumn("del_bucket", F.crc32("del_key") % n_buckets)
-        .withColumn("_pk", F.concat_ws("|", "del_key", "term"))
-    )
-
-
 def fuzzy_term_match(tokens: Column, term: str) -> Column:
     """T2 — does any token fuzzy-match ``term``? exists() keeps it JVM-side."""
     fuzz = auto_fuzziness(term)
@@ -684,7 +627,7 @@ def build_search_index(
     """T7 — write the full BM25 serving layout to ``path``: the ES
     re-index analogue (reference ``scraper/main.py:271-277``) made concrete.
 
-    Four artifacts:
+    Three artifacts:
 
     - ``{path}/postings`` — (term, doc_id, dl, tf, _pk), PARTITIONED by
       ``term_bucket = crc32(term) % n_buckets`` so a query's scan prunes to
@@ -695,18 +638,17 @@ def build_search_index(
       streaming refresher (``run_stream_index_refresh``) upserts on, so an
       index bootstrapped from this batch build streams on top seamlessly
       (same lesson as the dedup bands' ``_pk``, ADVICE r6).
-    - ``{path}/vocab`` — the term DICTIONARY (term, _pk, partitioned by
-      term_bucket): |V| rows, the Lucene-terms-file analogue. Exact serving
-      never reads it; it is the (mergeable, term-keyed) source the fuzzy
-      index derives from.
-    - ``{path}/fuzzy`` — the SymSpell delete-key index over the dictionary
-      (:func:`fuzzy_keys`; partitioned by ``del_bucket``): FUZZY serving
-      (``bm25_serve_fuzzy``) probes the query terms' own delete keys
-      through a literal PartitionFilter and verifies the surviving
-      candidates with levenshtein — a BOUNDED slice of the dictionary per
-      query, instead of the |V| x |q| theta-join scan (which is linear in
-      vocabulary: fine at sf10, the serving bottleneck on a web corpus's
-      billions of terms).
+    - ``{path}/vocab`` — the term DICTIONARY (term, term_len, _pk,
+      partitioned by term_bucket, each bucket file SORTED by term_len):
+      |V| rows, the Lucene-terms-file analogue. Exact serving never reads
+      it; FUZZY serving (``bm25_serve_fuzzy``) expands query terms against
+      it with a length-banded levenshtein join, and the materialized
+      ``term_len`` sort means the banded scan prunes to the query lengths'
+      row groups via a pushed range filter. (r8 carried a fourth artifact
+      here — a SymSpell delete-key index at 38× |V| rows; r9 retired it on
+      measurement: the probe beat this banded scan only 1.13× at a 1M-term
+      dictionary and LOST 0.66× at 4M/2.26M distinct terms, while tripling
+      build time — ``evidence/bench_fuzzy_vocab_r08.json`` / ``_r09.json``.)
     - ``{path}/stats`` — the 1-row corpus stats (n_docs, avg_dl) BM25 needs,
       plus the layout manifest (``n_buckets``): serving derives its bucket
       pruning from the stored value, so a build/serve bucket-count mismatch
@@ -739,52 +681,23 @@ def build_search_index(
         spark.read.parquet(f"{path}/postings")
         .select("term", "term_bucket")
         .distinct()
+        .withColumn("term_len", F.length("term"))
         .withColumn("_pk", F.col("term"))
-        .write.partitionBy("term_bucket")
+        # each bucket file SORTED by term_len in small row groups: the
+        # fuzzy serve's pushed [lo, hi] length-band range filter then
+        # prunes the dictionary scan to the query lengths' row groups —
+        # the zero-space replacement for the retired delete-key index
+        .repartition(F.col("term_bucket"))
+        .sortWithinPartitions("term_len", "term")
+        .write.option("parquet.block.size", 4 * 1024 * 1024)
+        .partitionBy("term_bucket")
         .mode("overwrite")
         .parquet(f"{path}/vocab")
-    )
-    # Fuzzy-expansion index: the dictionary re-posted under its SymSpell
-    # delete keys (crc32(del_key)-bucketed) so bm25_serve_fuzzy probes a
-    # partition-pruned slice instead of levenshtein-scanning all |V| terms
-    # — at web-corpus vocab sizes (billions of terms) the full dictionary
-    # scan per query is the bottleneck this removes.
-    vocab_df = spark.read.parquet(f"{path}/vocab").select(
-        "term", "term_bucket"
-    )
-    # Layout is what makes the probe bounded, and it was MEASURED at a
-    # 1M-term dictionary (tools/bench_fuzzy_vocab.py), not guessed:
-    # - bucket count stays n_buckets: a query's ~100 probe keys hash all
-    #   over the keyspace, so thousands of small partitions only multiply
-    #   directory listings + file-footer opens (a 3.8k-dir variant ran 4x
-    #   SLOWER than 64 dirs);
-    # - each bucket file is SORTED by del_key with small (4 MB) row
-    #   groups: the pruning unit is the parquet row-group stat, so the
-    #   probe reads ~|keys| row groups however large |V| grows — this,
-    #   not the partition filter, is the point-lookup mechanism
-    #   (partition filters bound directories, row-group stats bound
-    #   bytes);
-    # - the serve side must keep the per-key IN as or-of-eq for the stats
-    #   to apply — see bm25_serve_fuzzy's inFilterThreshold note.
-    n_fuzzy_buckets = n_buckets
-    (
-        fuzzy_keys(vocab_df, n_fuzzy_buckets)
-        # co-locate each bucket into one task before the partitioned write:
-        # without this every vocab-partition task writes into every delete
-        # bucket — O(n_buckets^2) tiny files (measured 2.4x the whole build
-        # at sf1)
-        .repartition(F.col("del_bucket"))
-        .sortWithinPartitions("del_key")
-        .write.option("parquet.block.size", 4 * 1024 * 1024)
-        .partitionBy("del_bucket")
-        .mode("overwrite")
-        .parquet(f"{path}/fuzzy")
     )
     toks.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
         F.lit(n_buckets).alias("n_buckets"),
-        F.lit(n_fuzzy_buckets).alias("n_fuzzy_buckets"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -864,85 +777,60 @@ def bm25_serve_fuzzy(
     """T1+T2 over T7 — AUTO-fuzziness BM25 FROM the materialized index:
     the typo-tolerant query path that never touches the document corpus.
 
-    Lucene's shape (term-dictionary expansion, automaton-pruned): each
-    query term's own SymSpell delete keys (bounded: |q| x O(len^2),
-    computed driver-side) probe the ``{index}/fuzzy`` artifact through a
-    literal ``del_bucket`` IN-list PartitionFilter and an EQUALITY join on
-    the key — candidates are the dictionary terms sharing a delete key,
-    verified with the length band + real levenshtein. The dictionary scan
-    is therefore a bounded slice per query, independent of |V|; the prior
-    form (levenshtein theta-join across the whole vocab artifact) was
-    linear in vocabulary — fine at sf10, the serving bottleneck on a web
-    corpus's billions of terms. Losslessness (lev <= d implies the
-    d-delete neighborhoods intersect) is pinned against the full-scan
-    expansion in tests/test_search.py. The matched term->qterm map is a
-    broadcast, and the postings scan is pruned to the matched variants'
-    buckets via a literal IN-list PartitionFilter (bucket ids collected
-    driver-side — bounded by ``n_buckets``, never corpus-sized). All fuzzy
-    variants of a query term score as THAT term (tf sums variants, df
-    counts docs with any variant), identical semantics to the scan-path
-    ``bm25_scores_fuzzy`` — asserted hash-identical by
-    ``q_bm25_fuzzy_served``'s shared oracle.
+    Lucene's shape (term-dictionary expansion): the query terms expand
+    against the ``{index}/vocab`` dictionary with a length-banded
+    levenshtein join — a broadcast of the |q| query terms against a
+    dictionary scan whose pushed ``term_len`` range filter prunes to the
+    query lengths' row groups (the build sorts each bucket file by
+    term_len in 4 MB row groups). The expansion work is map-only over the
+    banded dictionary slice: no shuffle, parallel in |V|'s partitioning.
+
+    r8 shipped a SymSpell delete-key index here instead; r9 retired it on
+    measurement (VERDICT r8 item 4): 38× |V| index rows and ~3× the build
+    time bought 1.13× at a 1M-term dictionary and LOST 0.66× at 4M terms
+    (``evidence/bench_fuzzy_vocab_r08.json`` / ``_r09.json``) — the
+    banded scan's sequential levenshtein over length-pruned row groups
+    beats probing ~100 scattered point lookups through an index 38× the
+    dictionary's size. At a web corpus's billions of terms the banded
+    scan is a parallel map over the (*term-bucketed, length-sorted*)
+    dictionary — cluster-sized like every other scan, with no 38× state
+    to maintain in the streaming refresher.
+
+    The matched term->qterm map is a broadcast, and the postings scan is
+    pruned to the matched variants' buckets via a literal IN-list
+    PartitionFilter (bucket ids collected driver-side — bounded by
+    ``n_buckets``, never corpus-sized). All fuzzy variants of a query
+    term score as THAT term (tf sums variants, df counts docs with any
+    variant), identical semantics to the scan-path ``bm25_scores_fuzzy``
+    — asserted hash-identical by ``q_bm25_fuzzy_served``'s shared oracle.
 
     Freshness contract: ``build_search_index`` writes stats (the serve
-    entry point) last, and ``run_stream_index_refresh`` merges vocab and
-    fuzzy keys BEFORE postings, so at every observable point the fuzzy
-    index covers ⊇ the stored postings' terms — a fuzzy query can never
-    miss a served posting; dictionary terms whose postings haven't landed
-    yet simply match nothing."""
-    import zlib
-
+    entry point) last, and ``run_stream_index_refresh`` merges vocab
+    BEFORE postings, so at every observable point the dictionary covers
+    ⊇ the stored postings' terms — a fuzzy query can never miss a served
+    posting; dictionary terms whose postings haven't landed yet simply
+    match nothing."""
     stats = spark.read.parquet(f"{index_path}/stats")
-    manifest = stats.select("n_buckets", "n_fuzzy_buckets").first()
-    n_fuzzy_buckets = int(manifest["n_fuzzy_buckets"])
     qt = []
     for t in (t.lower() for t in query_terms):
         if t not in {q for q, _ in qt}:
             qt.append((t, auto_fuzziness(t)))
-    probe = [
-        (k, qterm, fuzz)
-        for qterm, fuzz in qt
-        for k in sorted(_py_delete_neighborhood(qterm, fuzz))
-    ]
-    probe_df = spark.createDataFrame(probe, ["del_key", "qterm", "fuzz"])
-    # literal partition pruning from the query's OWN keys — no data read
-    # decides the filter, so the fuzzy scan never opens other buckets
-    key_buckets = sorted(
-        {zlib.crc32(k.encode("utf-8")) % n_fuzzy_buckets for k, _, _ in probe}
-    )
-    # Above ~10 IN values Spark collapses the parquet pushdown to a
-    # [min, max] RANGE — probe keys span the keyspace, so that range
-    # matches every row group and the sorted-file layout prunes NOTHING
-    # (measured 3.9s vs 1.2s at a 1M-term dictionary). Raising the
-    # threshold past the probe size keeps the pushdown as or-of-eq, which
-    # the build's sorted 4 MB row groups evaluate per group. Session-level
-    # conf (Spark has no per-query form); larger or-of-eq IN pushdowns are
-    # strictly more prunable, so it is safe to leave raised.
-    cur = int(
-        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold", "10")
-    )
-    if cur <= len(probe):
-        spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold", str(len(probe) + 1)
-        )
+    qterms = spark.createDataFrame(qt, ["qterm", "fuzz"])
+    # literal length band from the query's OWN terms — reaches the vocab
+    # reader as a pushed range filter over the term_len-sorted row groups
+    lo = min(len(q) - f for q, f in qt)
+    hi = max(len(q) + f for q, f in qt)
     vmatch = (
-        spark.read.parquet(f"{index_path}/fuzzy")
-        .filter(F.col("del_bucket").isin(key_buckets))
-        # literal IN on the key as well: reaches the reader as a
-        # PushedFilter, and the build sorts each bucket file by del_key,
-        # so row-group stats turn the probe into a point lookup instead of
-        # a bucket scan (a query's ~100 keys touch most buckets — the
-        # partition filter alone bounds directories, not bytes)
-        .filter(F.col("del_key").isin([k for k, _, _ in probe]))
-        .join(F.broadcast(probe_df), "del_key")
-        # verify BEFORE the dedup shuffle: levenshtein is per-row map work,
-        # so the distinct only shuffles true matches, not every shared key
-        .filter(
-            (F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz"))
-            & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("fuzz"))
+        spark.read.parquet(f"{index_path}/vocab")
+        .filter(F.col("term_len").between(F.lit(lo), F.lit(hi)))
+        .join(
+            F.broadcast(qterms),
+            (F.abs(F.col("term_len") - F.length("qterm")) <= F.col("fuzz"))
+            & (F.levenshtein(F.col("term"), F.col("qterm")) <= F.col("fuzz")),
         )
+        # vocab terms are unique and the broadcast join emits each
+        # (term, qterm) pair at most once — no dedup shuffle needed
         .select("term", "qterm", "term_bucket")
-        .distinct()
     )
     # literal bucket list -> PartitionFilter on the postings scan; bounded
     # by n_buckets regardless of how many variants matched

@@ -8,7 +8,7 @@ order a production ingest uses:
 
     batch (doc_id, text, embedding)
       1. dedup ingest        -> accepted corpus + signature state
-      2. BM25 index refresh  -> postings/vocab/fuzzy/stats over ACCEPTED
+      2. BM25 index refresh  -> postings/vocab/stats over ACCEPTED
                                 docs only (duplicates never enter search)
       3. IVF refresh         -> inverted lists over accepted embeddings
       4. PQ refresh          -> compressed codes over accepted embeddings

@@ -478,14 +478,10 @@ def index_refresh_batch(
         path_exists,
         recover_atomic_overwrite,
     )
-    from projet_data_engineering_spark.operators.search import (
-        fuzzy_keys,
-        tokenize,
-    )
+    from projet_data_engineering_spark.operators.search import tokenize
 
     postings_path = f"{index_path}/postings"
     vocab_path = f"{index_path}/vocab"
-    fuzzy_path = f"{index_path}/fuzzy"
     docstats_path = f"{index_path}/docstats"
     stats_path = f"{index_path}/stats"
     if batch.isEmpty():
@@ -511,9 +507,15 @@ def index_refresh_batch(
     # can never miss a served posting (a dictionary term whose postings
     # haven't landed yet matches nothing — harmless). Keyed on the term
     # itself, so replay is idempotent like every other merge here.
+    # term_len rides along for the fuzzy serve's pushed length-band
+    # filter; partition merges don't re-sort by it, so row-group stats
+    # loosen as batches accrue — a periodic build_search_index rebuild
+    # restores them, the standard compaction story (the serve stays
+    # CORRECT either way: the band filter is a plain pushed predicate).
     vocab = (
         postings.select("term", "term_bucket")
         .distinct()
+        .withColumn("term_len", F.length("term"))
         .withColumn("_pk", F.col("term"))
     )
     if path_exists(spark, vocab_path):
@@ -521,40 +523,12 @@ def index_refresh_batch(
             spark, vocab_path, vocab, "_pk", "term_bucket"
         )
     else:
-        vocab.write.partitionBy("term_bucket").mode("overwrite").parquet(
-            vocab_path
-        )
-    # Fuzzy delete-key index follows the same superset discipline:
-    # merged BEFORE postings (keyed on del_key|term, so replay is
-    # idempotent), derived from the batch's own distinct terms only. Its
-    # bucket count is LAYOUT: read from the stored manifest when the index
-    # exists (a mid-stream change would split a key across bucket dirs),
-    # bootstrap-defaulted to n_buckets otherwise — a stream-built index
-    # serves correctly at any count; the adaptive sizing for huge
-    # dictionaries comes from periodic build_search_index rebuilds.
-    if path_exists(spark, stats_path):
-        n_fuzzy_buckets = int(
-            spark.read.parquet(stats_path).first()["n_fuzzy_buckets"]
-        )
-    else:
-        n_fuzzy_buckets = n_buckets
-    fuzzy = fuzzy_keys(vocab.select("term", "term_bucket"), n_fuzzy_buckets)
-    if path_exists(spark, fuzzy_path):
-        merge_upsert_partitioned(
-            spark, fuzzy_path, fuzzy, "_pk", "del_bucket"
-        )
-    else:
-        # same sorted-by-key layout as the batch build (tight row-group
-        # stats for the serve path's pushed del_key IN-filter); partition
-        # merges don't re-sort, so stats loosen as batches accrue — a
-        # periodic rebuild (build_search_index) restores them, the
-        # standard compaction story
-        fuzzy.repartition(F.col("del_bucket")).sortWithinPartitions(
-            "del_key"
+        vocab.repartition(F.col("term_bucket")).sortWithinPartitions(
+            "term_len", "term"
         ).write.option(
             "parquet.block.size", 4 * 1024 * 1024
-        ).partitionBy("del_bucket").mode("overwrite").parquet(
-            fuzzy_path
+        ).partitionBy("term_bucket").mode("overwrite").parquet(
+            vocab_path
         )
     if path_exists(spark, postings_path):
         merge_upsert_partitioned(
@@ -579,7 +553,6 @@ def index_refresh_batch(
             F.count("*").alias("n_docs"),
             F.avg("dl").alias("avg_dl"),
             F.lit(n_buckets).alias("n_buckets"),
-            F.lit(n_fuzzy_buckets).alias("n_fuzzy_buckets"),
         ),
         stats_path,
     )

@@ -197,33 +197,12 @@ def test_bm25_fuzzy_served_no_match_is_empty(spark, tmp_path):
     assert bm25_serve_fuzzy(spark, idx, ["zzzzzzzzzz"]).count() == 0
 
 
-def test_delete_neighborhood_sql_matches_python(spark):
-    """The SQL delete-neighborhood (build side) and the driver-side python
-    mirror (query side) must generate the SAME key sets — the equality the
-    SymSpell intersection guarantee joins across."""
-    from projet_data_engineering_spark.operators.search import (
-        FUZZY_MAX_D,
-        _delete_neighborhood_expr,
-        _py_delete_neighborhood,
-    )
-
-    terms = ["a", "ab", "abc", "strem", "stream", "vector", "mississippi"]
-    rows = (
-        spark.createDataFrame([Row(term=t) for t in terms])
-        .selectExpr("term", f"{_delete_neighborhood_expr('term')} AS keys")
-        .collect()
-    )
-    for r in rows:
-        assert set(r["keys"]) == _py_delete_neighborhood(
-            r["term"], FUZZY_MAX_D
-        ), r["term"]
-
-
-def test_fuzzy_delete_key_expansion_is_lossless(spark, tmp_path):
-    """The delete-key probe (bounded slice of the dictionary) must recover
-    EXACTLY the term->qterm pairs the full |V| x |q| levenshtein theta-join
-    finds — the SymSpell intersection guarantee, checked on the real
-    fixture vocabulary with every AUTO fuzziness tier (0, 1, 2)."""
+def test_fuzzy_band_expansion_is_lossless(spark, tmp_path):
+    """The length-banded dictionary expansion (bm25_serve_fuzzy's vmatch
+    stage, incl. the pushed term_len row-group band) must recover EXACTLY
+    the term->qterm pairs an unbanded |V| x |q| levenshtein join over the
+    corpus tokens finds — checked on the real fixture vocabulary with
+    every AUTO fuzziness tier (0, 1, 2)."""
     from pyspark.sql import functions as F
 
     from projet_data_engineering_spark.io import load_table
@@ -253,46 +232,29 @@ def test_fuzzy_delete_key_expansion_is_lossless(spark, tmp_path):
             .collect()
         )
     }
-    # probe path: replicate bm25_serve_fuzzy's vmatch stage
-    import zlib
-
-    from projet_data_engineering_spark.operators.search import (
-        _py_delete_neighborhood,
-    )
-
-    probe = [
-        (k, qterm, fuzz)
-        for qterm, fuzz in qt
-        for k in sorted(_py_delete_neighborhood(qterm, fuzz))
-    ]
-    buckets = sorted({zlib.crc32(k.encode()) % 16 for k, _, _ in probe})
-    probed = {
+    lo = min(len(q) - f for q, f in qt)
+    hi = max(len(q) + f for q, f in qt)
+    banded = {
         (r["term"], r["qterm"])
         for r in (
-            spark.read.parquet(f"{idx}/fuzzy")
-            .filter(F.col("del_bucket").isin(buckets))
+            spark.read.parquet(f"{idx}/vocab")
+            .filter(F.col("term_len").between(F.lit(lo), F.lit(hi)))
             .join(
-                F.broadcast(
-                    spark.createDataFrame(probe, ["del_key", "qterm", "fuzz"])
-                ),
-                "del_key",
-            )
-            .select("term", "qterm", "fuzz")
-            .distinct()
-            .filter(
-                (F.abs(F.length("term") - F.length("qterm")) <= F.col("fuzz"))
-                & (F.levenshtein("term", "qterm") <= F.col("fuzz"))
+                F.broadcast(qdf),
+                (F.abs(F.col("term_len") - F.length("qterm")) <= F.col("fuzz"))
+                & (F.levenshtein("term", "qterm") <= F.col("fuzz")),
             )
             .collect()
         )
     }
-    assert probed == full and full  # lossless AND the fixture exercises it
+    assert banded == full and full  # lossless AND the fixture exercises it
 
 
 def test_bm25_fuzzy_served_prunes_the_dictionary_scan(spark, tmp_path):
-    """The fuzzy serve plan must probe the delete-key index through a
-    del_bucket PartitionFilter (the bounded-slice contract) — and never
-    full-scan the vocab artifact."""
+    """The fuzzy serve plan must read the vocab artifact through a pushed
+    term_len length-band range filter (the build sorts each bucket file by
+    term_len, so the band prunes row groups) and the postings artifact
+    through a term_bucket IN PartitionFilter — never an unpruned scan."""
     from projet_data_engineering_spark.operators.search import (
         bm25_serve_fuzzy,
         build_search_index,
@@ -310,48 +272,22 @@ def test_bm25_fuzzy_served_prunes_the_dictionary_scan(spark, tmp_path):
     served.collect()
     plan = served._jdf.queryExecution().executedPlan().toString()
     # scan locations are truncated in toString — identify scans by schema
-    scans = [seg for seg in plan.split("FileScan") if "del_key" in seg[:700]]
-    assert scans, plan
-    for seg in scans:
-        pf = seg.split("PartitionFilters", 1)[1][:200]
-        assert "del_bucket" in pf and " IN " in pf, seg[:900]
-        # the probe's own keys must ALSO reach the reader as a pushed
-        # In(del_key, ...) — that, with the build's sorted 4 MB row
-        # groups, is what bounds BYTES (the partition filter only bounds
-        # directories; a multi-term query's keys hit most buckets)
+    vocab_scans = [
+        seg for seg in plan.split("FileScan") if "term_len" in seg[:700]
+    ]
+    assert vocab_scans, plan
+    for seg in vocab_scans:
         pushed = seg.split("PushedFilters", 1)[1][:300]
-        assert "In(del_key" in pushed, seg[:900]
-    # the vocab artifact (term+term_bucket only) is not read on the serve
-    # path: every scan is postings (doc_id), fuzzy (del_key) or stats
-    for seg in plan.split("FileScan")[1:]:
-        head = seg[:700]
-        assert (
-            "doc_id" in head or "del_key" in head or "n_docs" in head
-        ), head
-
-
-def test_bm25_fuzzy_served_raises_in_filter_threshold(spark, tmp_path):
-    """Above ~10 IN values Spark's parquet pushdown degrades to a [min,max]
-    range that matches every sorted row group (probe keys span the
-    keyspace) — serve must raise the session threshold past the probe size
-    so the or-of-eq form survives to the reader (search.py measured this
-    3.3x at a 1M-term dictionary: tools/bench_fuzzy_vocab.py)."""
-    from projet_data_engineering_spark.operators.search import (
-        bm25_serve_fuzzy,
-        build_search_index,
-    )
-
-    docs = spark.createDataFrame(
-        [
-            Row(doc_id=1, text="spark joins streams vector tables"),
-            Row(doc_id=2, text="stream processing with spark queries"),
-        ]
-    )
-    idx = str(tmp_path / "idx")
-    build_search_index(docs, "doc_id", "text", idx, n_buckets=16)
-    # three typo'd terms ⇒ dozens of delete keys, far above the 10 default
-    bm25_serve_fuzzy(spark, idx, ["strem", "vectr", "queris"]).collect()
-    thresh = int(
-        spark.conf.get("spark.sql.parquet.pushdown.inFilterThreshold")
-    )
-    assert thresh > 10, thresh
+        assert "GreaterThanOrEqual(term_len" in pushed, seg[:900]
+        assert "LessThanOrEqual(term_len" in pushed, seg[:900]
+    post_scans = [
+        seg
+        for seg in plan.split("FileScan")[1:]
+        if "doc_id" in seg[:700] and "tf" in seg[:700]
+    ]
+    assert post_scans, plan
+    for seg in post_scans:
+        # a literal bucket predicate — IN for multi-bucket queries,
+        # collapsed to = when one bucket survives
+        pf = seg.split("PartitionFilters", 1)[1][:200]
+        assert "term_bucket" in pf and (" IN " in pf or " = " in pf), seg[:900]

@@ -1,20 +1,25 @@
-"""Large-vocabulary fuzzy-expansion bench (r8): the driver corpus has a
-31-word vocabulary, so the SymSpell delete-key index (``{index}/fuzzy``)
-can never show its point there. This bench builds a corpus with a
-1M-term dictionary, indexes it once, then serves the same typo'd queries
-two ways:
+"""Large-vocabulary fuzzy-expansion bench: the driver corpus has a
+31-word vocabulary, so dictionary-expansion designs can never show their
+point there. This bench builds a corpus with an N-term dictionary,
+indexes it once, then serves the same typo'd queries two ways:
 
-1. delete-key probe (``bm25_serve_fuzzy``): query's own delete keys →
-   del_bucket PartitionFilter → equality join → levenshtein verify on the
-   surviving candidates only;
-2. the pre-r8 path, reconstructed verbatim: levenshtein theta-join of the
-   query terms against the ENTIRE vocab artifact (linear in |V|).
+1. the shipped banded serve (``bm25_serve_fuzzy``): levenshtein join
+   against the vocab artifact behind a pushed ``term_len`` range filter
+   over length-sorted row groups;
+2. the unbanded baseline, reconstructed: the same levenshtein join with
+   the length predicate evaluated in-join only (no pushed band), i.e. a
+   full dictionary scan per query.
 
 Both feed the identical scoring tail; results are asserted equal before
-timings are trusted. The theta-join's cost grows with the dictionary
-(every query pays |V| x |q| edit distances); the probe's cost is bounded
-by the query's own key count regardless of |V| — the number this file
-exists to measure.
+timings are trusted.
+
+History (kept as evidence): r8 shipped a SymSpell delete-key index
+(38x |V| rows) on the theory that probing delete keys beats scanning the
+dictionary. This bench measured it at 1M terms (1.13x win,
+evidence/bench_fuzzy_vocab_r08.json) and 4M terms (0.66x - a LOSS,
+evidence/bench_fuzzy_vocab_r09.json), so r9 retired the index for the
+banded scan (VERDICT r8 item 4); those two JSONs are the record of the
+decision and were produced by this tool's previous revision.
 
 Usage: python tools/bench_fuzzy_vocab.py [n_terms] [n_docs] [reps] [out]
 """
@@ -58,10 +63,11 @@ def gen_docs(data_dir: str, n_terms: int, n_docs: int, tokens_per_doc: int = 30)
     return terms
 
 
-def theta_join_serve(spark, index_path, query_terms, id_col="doc_id",
-                     k1=1.2, b=0.75):
-    """The pre-r8 fuzzy serve, reconstructed: full-vocab levenshtein
-    theta-join expansion + the shared scoring tail."""
+def unbanded_serve(spark, index_path, query_terms, id_col="doc_id",
+                   k1=1.2, b=0.75):
+    """The unbanded baseline: same expansion join, but the length band is
+    evaluated in-join only — every query pays a full |V| dictionary scan
+    (no pushed term_len row-group pruning)."""
     from pyspark.sql import functions as F
 
     from projet_data_engineering_spark.operators.search import auto_fuzziness
@@ -93,7 +99,7 @@ def theta_join_serve(spark, index_path, query_terms, id_col="doc_id",
     )
     tf = hits.groupBy(id_col, "dl", "qterm").agg(F.sum("tf").alias("tf"))
     dfc = tf.groupBy("qterm").agg(F.countDistinct(id_col).alias("df"))
-    stats = stats.drop("n_buckets")
+    stats = stats.select("n_docs", "avg_dl")
     return (
         tf.join(F.broadcast(dfc), "qterm")
         .crossJoin(F.broadcast(stats))
@@ -139,7 +145,6 @@ def main() -> int:
         build_search_index(docs, "doc_id", "text", idx, n_buckets=64)
     build_s = round(time.time() - t0, 2)
     vocab_n = spark.read.parquet(f"{idx}/vocab").count()
-    fuzzy_n = spark.read.parquet(f"{idx}/fuzzy").count()
 
     # typo'd probes: corrupt real dictionary terms so matches exist
     import duckdb
@@ -166,24 +171,23 @@ def main() -> int:
     t_probe, r_probe = timed(
         lambda: bm25_serve_fuzzy(spark, idx, queries).collect()
     )
-    t_theta, r_theta = timed(
-        lambda: theta_join_serve(spark, idx, queries).collect()
+    t_full, r_full = timed(
+        lambda: unbanded_serve(spark, idx, queries).collect()
     )
     got = sorted((r["doc_id"], r["score"]) for r in r_probe)
-    want = sorted((r["doc_id"], r["score"]) for r in r_theta)
+    want = sorted((r["doc_id"], r["score"]) for r in r_full)
     assert got == want and got, (len(got), len(want))
 
     out = {
         "n_terms": n_terms,
         "n_docs": n_docs,
         "vocab_rows": vocab_n,
-        "fuzzy_index_rows": fuzzy_n,
         "build_s": build_s,
         "reps": reps,
         "queries": queries,
-        "delete_key_probe_s": round(t_probe, 2),
-        "full_vocab_theta_join_s": round(t_theta, 2),
-        "speedup": round(t_theta / t_probe, 2),
+        "banded_serve_s": round(t_probe, 2),
+        "unbanded_full_scan_s": round(t_full, 2),
+        "speedup": round(t_full / t_probe, 2),
         "matched_docs": len(got),
     }
     print(json.dumps(out))
