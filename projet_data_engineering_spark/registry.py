@@ -194,13 +194,15 @@ _R8_GREEN = {
 # size-gated merge hints (whole pair-join dedup family + composed
 # curation), the versioned-table evolution/crash-aware rework, the CMS
 # join-size spine fix, the two-phase salted bottom-k (sampled
-# percentiles + KMV family), the utime fixture swap in every 3-batch
-# streaming query, and the two new queries (q_time_travel_evolve,
-# q_stream_stack). Their older driver evidence no longer describes the
-# current code, so they walk FIRST.
+# percentiles + KMV family), the fuzzy-index retirement (vocab layout +
+# banded serve touch both served BM25 queries), the utime fixture swap
+# in every 3-batch streaming query, and the two new queries
+# (q_time_travel_evolve, q_stream_stack). Their older driver evidence no
+# longer describes the current code, so they walk FIRST.
 _R9_CHANGED = {
     "q_stream_stack", "q_time_travel_evolve", "q_cms_join_size",
     "q_kmv_distinct", "q_percentile_sampled",
+    "q_bm25_served", "q_bm25_fuzzy_served",
     "q_time_travel", "q_table_cdc", "q_stream_versioned",
     "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_apply", "q_dedup_recall",
     "q_dedup_canonical", "q_containment_pairs", "q_ngram_jaccard_pairs",
