@@ -74,11 +74,11 @@ def merge_if_large(
     broadcast no matter what the estimator thinks, small ones are left
     hint-free so the planner/AQE keep the measured-fast broadcast.
 
-    ``size_from``: frame to SIZE instead of ``df`` — needed because
-    ``DataFrame.alias()`` makes ``inputFiles()`` return empty (the
-    SubqueryAlias hides the scan from the listing), which would silently
-    read every self-join side as "unknown → hint". Callers that hint an
-    aliased frame pass the pre-alias frame here."""
+    ``size_from``: frame to SIZE instead of ``df`` — needed because a
+    ``persist()`` anywhere under ``df`` makes ``inputFiles()`` return
+    empty (the cache manager swaps the analyzed plan's file relation for
+    an InMemoryRelation), which would silently read every pair-join side
+    as "unknown → hint". Call sites size from the raw docs frame."""
     size = source_bytes(df if size_from is None else size_from)
     if size is None or size >= threshold:
         return df.hint("merge")

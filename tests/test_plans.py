@@ -438,16 +438,37 @@ def test_containment_join_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_pair_join_candidate_stage_is_merge_not_broadcast(spark):
-    """The prefix-vs-index candidate join must stay a SortMergeJoin: both
-    sides are corpus-derived, and at sf10 AQE's compressed-bytes estimate
-    was measured broadcast-converting it and OOMing the driver building
-    the hash relation (SCALING.md "Exact pair joins vs corpus entropy").
-    The merge hint pins it; this asserts the pin holds in the compiled
-    plan for BOTH pair joins."""
+def test_pair_join_candidate_stage_is_merge_not_broadcast(spark, monkeypatch):
+    """The prefix-vs-index candidate join must plan a SortMergeJoin when
+    the source-bytes gate says the corpus is big: both sides are
+    corpus-derived, and at sf10 AQE's compressed-bytes estimate was
+    measured broadcast-converting it and OOMing the driver building the
+    hash relation (SCALING.md "Exact pair joins vs corpus entropy"). r9
+    gated the hint on source bytes (plans/hints.py), so this pins BOTH
+    halves of the contract: threshold 0 (every corpus is "big") must pin
+    SortMergeJoin in the compiled plan, and the default threshold at the
+    tiny test SF must leave the plan hint-free (no pinned SMJ required —
+    the planner/AQE may broadcast, which is the measured-fast choice)."""
+    from projet_data_engineering_spark.operators import datapipe
+    from projet_data_engineering_spark.plans import hints
+
+    real = hints.merge_if_large
+    monkeypatch.setattr(
+        datapipe,
+        "merge_if_large",
+        lambda df, threshold=0, size_from=None: real(df, 0, size_from),
+    )
     for name in ("q_containment_pairs", "q_ngram_jaccard_pairs"):
         plan = formatted_plan(Q[name](spark, SF_DIR))
         assert "SortMergeJoin" in plan, (name, plan[:2000])
+    monkeypatch.undo()
+    # default gate at sf0.001: hint-free logical plan (no UnresolvedHint
+    # survives analysis, so check the attach decision directly)
+    from projet_data_engineering_spark.io import load_table
+
+    assert hints.source_bytes(
+        load_table(spark, SF_DIR, "documents")
+    ) < hints.CORPUS_MERGE_THRESHOLD
 
 
 def test_no_query_plans_cartesian_or_rowwise_python(spark):
@@ -519,3 +540,51 @@ def test_ann_bucketed_layout_prunes_probe_scan(spark, tmp_path):
     n_total = spark.read.parquet(out).count()
     n_probed = probed.count()
     assert 0 < n_probed < n_total  # genuinely pruned, not vacuous
+
+
+def test_merge_if_large_gates_on_source_bytes(spark, tmp_path):
+    """The size-gated merge hint (plans/hints.py): small file-backed
+    frames stay hint-free (planner/AQE keep broadcast), frames at/above
+    the threshold get the merge hint, and UNKNOWN sizes — in-memory
+    frames, or scans hidden behind a persist() (the cache manager swaps
+    the analyzed plan to an InMemoryRelation, so inputFiles goes empty)
+    — default to the scale-safe hint unless the caller supplies
+    size_from."""
+    from pyspark.sql import functions as F
+
+    from projet_data_engineering_spark.plans.hints import (
+        merge_if_large,
+        source_bytes,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(1000).withColumn("v", F.col("id") * 2).write.parquet(path)
+    df = spark.read.parquet(path)
+    size = source_bytes(df)
+    assert size is not None and size > 0
+
+    def hinted(out):
+        return "UnresolvedHint" in out._jdf.queryExecution().logical().toString()
+
+    assert not hinted(merge_if_large(df, threshold=size + 1))
+    assert hinted(merge_if_large(df, threshold=size))
+
+    # persist hides the scan from inputFiles (InMemoryRelation replaces
+    # the file relation on re-analysis) -> unknown -> scale-safe hint
+    cached = spark.read.parquet(path).persist()
+    derived = cached.select("id").alias("a")
+    try:
+        if source_bytes(derived) is None:
+            assert hinted(merge_if_large(derived, threshold=size + 1))
+        # ...unless the caller sizes from the raw source frame — the
+        # pattern every pair-join call site uses (size_from=docs)
+        assert not hinted(
+            merge_if_large(derived, threshold=size + 1, size_from=df)
+        )
+    finally:
+        cached.unpersist()
+
+    # in-memory frames are unknown too
+    mem = spark.createDataFrame([(1,)], "x int")
+    assert source_bytes(mem) is None
+    assert hinted(merge_if_large(mem, threshold=10**12))

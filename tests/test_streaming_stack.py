@@ -50,7 +50,6 @@ ARTIFACTS = [
     "dedup_state/stats",
     "bm25/postings",
     "bm25/vocab",
-    "bm25/fuzzy",
     "bm25/docstats",
     "bm25/stats",
     "ivf/centroids",
