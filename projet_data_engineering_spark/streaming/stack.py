@@ -172,13 +172,25 @@ def _stream_stack_oracle() -> str:
         f"CAST(LEAST({b - 1}, GREATEST(0, "
         f"FLOOR((value - vmin) / (vmax - vmin) * {b}))) AS INT)"
     )
+    # The stack streams documents INNER-JOINED with embeddings (the ANN/PQ
+    # stages need vectors), and the two tables only cover the same ids at
+    # some SFs (sf0.1: 2000 embeddings vs 6000 docs) — so the whole
+    # acceptance/index/drift transcription must run over that same joined
+    # source, not the full documents table. stream_accept_ctes scopes
+    # every corpus read with `FROM documents`; rebase them onto the
+    # joined src_docs CTE.
+    accept = stream_accept_ctes().replace("FROM documents", "FROM src_docs")
     return f"""
-    WITH {stream_accept_ctes()},
+    WITH src_docs AS (
+        SELECT d.* FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    {accept},
     adl AS (
         SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS src_batch,
                list_filter(str_split_regex(lower(d.text), '[^a-z0-9]+'),
                            x -> x <> '') AS tokens
-        FROM documents d JOIN accepted a ON d.doc_id = a.doc_id
+        FROM src_docs d JOIN accepted a ON d.doc_id = a.doc_id
     ),
     adl2 AS (SELECT doc_id, src_batch, len(tokens) AS dl, tokens FROM adl),
     stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avg_dl FROM adl2),
