@@ -52,14 +52,48 @@ def versioned_sink_batch(
 
 
 def run_stream_versioned(
-    stream_df: DataFrame, path: str, checkpoint: str, key: str
+    stream_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    key: str,
+    auto_compact_max_versions: int | None = None,
+    protect_last: int = 2,
 ) -> None:
     """Wire ``versioned_sink_batch`` into a Structured Streaming sink
     (foreachBatch, availableNow): at-least-once arrivals become an
-    exactly-once versioned, time-travelable table."""
+    exactly-once versioned, time-travelable table.
+
+    ``auto_compact_max_versions`` opts into in-stream maintenance: after
+    each commit, :func:`auto_compact` folds the version prefix once live
+    change sets exceed the threshold, so read cost stays bounded however
+    long the stream runs (the measured linear read-vs-versions curve is
+    SCALING.md "Versioned reads vs history length"). ``protect_last``
+    versions keep their ``_b`` batch markers — compaction discards folded
+    markers, and exactly-once only needs markers the source could still
+    redeliver, i.e. batches at/after the last committed checkpoint; keep
+    ``protect_last`` ≥ that redelivery window (2 covers availableNow's
+    one-in-flight batch with margin). A crash INSIDE the fold leaves the
+    crash-aware readers raising; the next micro-batch's
+    ``recover_compaction`` (run before the sink body when maintenance is
+    on) rolls the table forward, so the stream self-heals — pinned in
+    ``test_streaming.py``."""
+    from projet_data_engineering_spark.operators.versioned import (
+        auto_compact,
+        recover_compaction,
+    )
 
     def step(batch: DataFrame, batch_id: int) -> None:
+        if auto_compact_max_versions is not None:
+            recover_compaction(batch.sparkSession, path)
         versioned_sink_batch(batch, path, key, batch_id)
+        if auto_compact_max_versions is not None:
+            auto_compact(
+                batch.sparkSession,
+                path,
+                key,
+                max_versions=auto_compact_max_versions,
+                protect_last=protect_last,
+            )
 
     (
         stream_df.writeStream.foreachBatch(step)

@@ -720,3 +720,86 @@ def test_versioned_sink_replay_commits_one_version(spark, tmp_path):
         tuple(r) for r in vt.read_version(spark, path, "doc_id").collect()
     )
     assert before == after
+
+
+def test_versioned_sink_auto_compaction_bounds_history_and_self_heals(
+    spark, tmp_path
+):
+    """In-stream maintenance (r9): with auto_compact_max_versions set,
+    the sink folds the version prefix as batches accrue — reads identical
+    to an uncompacted run, live version count bounded, recent batch
+    markers preserved — and a crash INSIDE the fold (completed tmp,
+    half-deleted prefix) self-heals on the next micro-batch's
+    recover-first step."""
+    import shutil
+
+    from projet_data_engineering_spark.operators import versioned as vt
+    from projet_data_engineering_spark.streaming import versioned_sink as vs
+
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+    def drive(path, maintain):
+        for k in range(4):
+            batch = d.filter(F.col("doc_id") % 4 == k)
+            if maintain:
+                vt.recover_compaction(spark, path)
+            vs.versioned_sink_batch(batch, path, "doc_id", k)
+            if maintain:
+                vt.auto_compact(
+                    spark, path, "doc_id", max_versions=2, protect_last=1
+                )
+
+    plain = str(tmp_path / "plain")
+    maintained = str(tmp_path / "maintained")
+    drive(plain, maintain=False)
+    drive(maintained, maintain=True)
+
+    want = sorted(
+        tuple(r) for r in vt.read_version(spark, plain, "doc_id").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in vt.read_version(spark, maintained, "doc_id").collect()
+    )
+    assert got == want
+    assert len(vt.table_versions(spark, plain)) == 4
+    assert len(vt.table_versions(spark, maintained)) <= 3  # bounded
+    # the newest batch's marker survives (redelivery window intact):
+    # redelivering it is still a no-op
+    assert 3 in vt.applied_batch_ids(spark, maintained)
+    vs.versioned_sink_batch(
+        d.filter(F.col("doc_id") % 4 == 3), maintained, "doc_id", 3
+    )
+    assert sorted(
+        tuple(r)
+        for r in vt.read_version(spark, maintained, "doc_id").collect()
+    ) == want
+
+    # crash inside the fold: stage a completed tmp + half-deleted prefix,
+    # then drive the next batch through the maintained step — it must
+    # recover first, commit, and keep reads correct
+    vs_versions = vt.table_versions(spark, maintained)
+    base = vt.read_changes(
+        spark, maintained, "doc_id", from_version=0,
+        to_version=vs_versions[-1],
+    ).drop("_v")
+    base.write.parquet(f"{maintained}/_tmp_compact_v{vs_versions[-1]}")
+    shutil.rmtree(
+        f"{maintained}/{vt._version_dirs(spark, maintained, check_compaction=False)[vs_versions[0]]}"
+    )
+    extra = d.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(100)
+    )
+    vt.recover_compaction(spark, maintained)
+    vs.versioned_sink_batch(extra, maintained, "doc_id", 4)
+    vt.auto_compact(spark, maintained, "doc_id", max_versions=2, protect_last=1)
+    healed = {
+        r["doc_id"]: r["n_chars"]
+        for r in vt.read_version(spark, maintained, "doc_id").collect()
+    }
+    bumped = {r["doc_id"]: r["n_chars"] for r in extra.collect()}
+    expect = {doc_id: n_chars for doc_id, _lang, n_chars in want}
+    expect.update(bumped)
+    assert healed == expect
