@@ -36,6 +36,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from projet_data_engineering_spark.registry import query
+
 FETCH_SCHEMA = StructType(
     [
         StructField("url", StringType(), False),
@@ -340,6 +342,111 @@ def crawl_frontier(
         if frontier.isEmpty():
             break
     return visited
+
+
+# ---------------------------------------------------------------------------
+# Driver row: the real frontier crawl, oracle-checked (VERDICT r9 item 3)
+# ---------------------------------------------------------------------------
+
+_CRAWL_SITE_N = 400  # pages in the synthetic minisite (constant, never SF-sized)
+_CRAWL_MAX_DEPTH = 3
+
+
+def _crawl_edges(n: int, r: int) -> list[int]:
+    """Deterministic out-links of page rank ``r`` in an ``n``-page site:
+    a binary tree (2r+1, 2r+2) overlaid with two modular cross links —
+    min-depth from rank 0 is then a genuine BFS fixpoint, not a closed
+    form. MUST match the oracle's UNNEST list term for term."""
+    return [t for t in (2 * r + 1, 2 * r + 2, (3 * r + 2) % n, (7 * r + 5) % n) if t < n]
+
+
+_CRAWL_ORACLE = f"""
+WITH RECURSIVE base AS (
+    SELECT doc_id FROM documents ORDER BY doc_id LIMIT {_CRAWL_SITE_N}
+),
+ids AS (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS r
+    FROM base
+),
+nn AS (SELECT COUNT(*) AS n FROM ids),
+edges AS (
+    SELECT s.doc_id AS src, t.doc_id AS dst
+    FROM (
+        SELECT doc_id,
+               UNNEST([2*r+1, 2*r+2, (3*r+2) % nn.n, (7*r+5) % nn.n]) AS tr
+        FROM ids, nn
+    ) s
+    JOIN ids t ON t.r = s.tr
+),
+bfs AS (
+    SELECT doc_id, 0 AS depth FROM ids WHERE r = 0
+    UNION
+    SELECT e.dst AS doc_id, b.depth + 1 AS depth
+    FROM bfs b JOIN edges e ON e.src = b.doc_id
+    WHERE b.depth < {_CRAWL_MAX_DEPTH}
+)
+SELECT doc_id, CAST(MIN(depth) AS INT) AS depth FROM bfs GROUP BY doc_id
+"""
+
+
+@query("q_crawl_frontier", oracle=_CRAWL_ORACLE)
+def q_crawl_frontier(spark, sf_dir: str) -> DataFrame:
+    """S9 as a driver row (VERDICT r9 item 3 — the one shipped subsystem
+    that had only pytest coverage): run the REAL distributed frontier —
+    ``crawl_frontier`` with the stdlib ``urllib_fetch`` doing file://
+    fetches and html.parser link extraction inside ``mapInPandas`` — over
+    a deterministic minisite derived from the ``documents`` table, and
+    hash-check every page's BFS min-depth against a DuckDB recursive-CTE
+    transcription of the same link graph (reference
+    ``scraper/main.py:84-136``: its sequential Selenium loop, here a
+    per-round Arrow-parallel fetch).
+
+    The minisite: one page per the {n} smallest doc_ids; page rank r
+    links to ranks 2r+1, 2r+2, (3r+2)%n, (7r+5)%n (``_crawl_edges``).
+    Site generation is test harness (bounded: {n} constant-size pages,
+    one driver-side collect of {n} ids); the OPERATOR under test is the
+    distributed BFS itself — frontier anti-joined against the visited
+    set, per-depth localCheckpoint, exactly-once fetch per URL."""
+    import shutil
+    import tempfile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ids = sorted(
+        r[0]
+        for r in d.select("doc_id")
+        .orderBy("doc_id")
+        .limit(_CRAWL_SITE_N)
+        .collect()  # bounded: <= _CRAWL_SITE_N constant rows
+    )
+    n = len(ids)
+    root = tempfile.mkdtemp(prefix="crawl_site_")
+    try:
+        for r, doc in enumerate(ids):
+            hrefs = "".join(
+                f'<a href="p{ids[t]}.html">x</a>' for t in _crawl_edges(n, r)
+            )
+            with open(f"{root}/p{doc}.html", "w", encoding="utf-8") as f:
+                f.write(f"<html><body>doc {doc}{hrefs}</body></html>")
+        seeds = spark.createDataFrame(
+            [(f"file://{root}/p{ids[0]}.html",)], ["url"]
+        )
+        visited = crawl_frontier(
+            seeds, fetch_fn=urllib_fetch, max_depth=_CRAWL_MAX_DEPTH
+        )
+        out = visited.select(
+            F.regexp_extract("url", r"p(\d+)\.html$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("depth").cast("int").alias("depth"),
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, schema=out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+q_crawl_frontier.__doc__ = q_crawl_frontier.__doc__.format(n=_CRAWL_SITE_N)
 
 
 def with_retry(

@@ -174,7 +174,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(src: str = "documents") -> str:
     h_cols = ",\n               ".join(
         f"list_aggregate(list_transform(sh, x -> "
         f"substr(md5(concat('{k // 4}|', x)), {(k % 4) * 8 + 1}, 8)), 'min') AS h{k}"
@@ -187,7 +187,7 @@ def _minhash_oracle() -> str:
     )
     return f"""
     WITH toks AS (
-        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM {src}
     ),
     shingled AS (
         SELECT doc_id,

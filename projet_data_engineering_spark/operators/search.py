@@ -616,6 +616,29 @@ def q_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
 # T7 serving path: materialized BM25 index + index-served search
 # ---------------------------------------------------------------------------
 
+# On-disk index layout version, stamped into the stats manifest (ADVICE
+# r9). v2 = r9's layout: vocab carries term_len (length-banded fuzzy
+# serve), no SymSpell fuzzy artifact. A pre-r9 index (v1, no stamp) merged
+# or fuzzy-served under v2 code would null-fill term_len and silently
+# drop old terms from the banded BETWEEN filter — reject it instead.
+BM25_LAYOUT_VERSION = 2
+
+
+def _check_index_layout(stats: DataFrame, index_path: str, ctx: str) -> None:
+    """Raise unless the stats manifest carries the current layout stamp."""
+    v = (
+        int(stats.select("layout_version").first()[0])
+        if "layout_version" in stats.columns
+        else 1
+    )
+    if v != BM25_LAYOUT_VERSION:
+        raise ValueError(
+            f"{ctx}: index at {index_path} has layout_version={v}, this "
+            f"build reads/writes layout_version={BM25_LAYOUT_VERSION} — "
+            f"rebuild it with build_search_index (old vocab rows lack "
+            f"term_len and would silently vanish from fuzzy serving)"
+        )
+
 
 def build_search_index(
     docs: DataFrame,
@@ -698,6 +721,7 @@ def build_search_index(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
         F.lit(n_buckets).alias("n_buckets"),
+        F.lit(BM25_LAYOUT_VERSION).alias("layout_version"),
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
@@ -811,6 +835,7 @@ def bm25_serve_fuzzy(
     posting; dictionary terms whose postings haven't landed yet simply
     match nothing."""
     stats = spark.read.parquet(f"{index_path}/stats")
+    _check_index_layout(stats, index_path, "bm25_serve_fuzzy")
     qt = []
     for t in (t.lower() for t in query_terms):
         if t not in {q for q, _ in qt}:

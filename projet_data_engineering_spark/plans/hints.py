@@ -33,7 +33,7 @@ frames.
 from __future__ import annotations
 
 import os
-from urllib.parse import urlparse
+from urllib.parse import unquote, urlparse
 
 from pyspark.sql import DataFrame
 
@@ -58,7 +58,10 @@ def source_bytes(df: DataFrame) -> int | None:
         if parsed.scheme not in ("", "file"):
             return None
         try:
-            total += os.path.getsize(parsed.path)
+            # inputFiles() returns %-encoded URIs (spaces etc.); unquote
+            # before stat or a decodable path raises OSError and the gate
+            # wrongly pins merge on a broadcastable corpus.
+            total += os.path.getsize(unquote(parsed.path))
         except OSError:
             return None
     return total

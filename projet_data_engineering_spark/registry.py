@@ -276,6 +276,7 @@ def _load_all() -> None:
     global _LOADED
     if _LOADED:
         return
+    from projet_data_engineering_spark import crawl  # noqa: F401
     from projet_data_engineering_spark.recipes import curation  # noqa: F401
     from projet_data_engineering_spark.streaming import (  # noqa: F401
         ann_refresh,

@@ -235,7 +235,7 @@ def run_stream_dedup_ingest(
     )
 
 
-def stream_accept_ctes() -> str:
+def stream_accept_ctes(src: str = "documents") -> str:
     """The CTE chain (for a WITH clause) transcribing the 3-batch greedy
     streaming ingest, ending in ``accepted(doc_id)``. Batch k = doc_id %
     3 = k, processed in order; `sym` is the symmetric verified near-dup
@@ -243,11 +243,16 @@ def stream_accept_ctes() -> str:
     R-match among earlier batches' ACCEPTED docs — exactly the streaming
     operator's semantics. Shared by ``q_stream_dedup_ingest`` and the
     composed-stack oracle (``q_stream_stack``), whose downstream index/
-    drift transcriptions all hang off the same accepted set."""
-    return f"""allpairs AS ({_minhash_oracle()}),
+    drift transcriptions all hang off the same accepted set.
+
+    ``src`` names the corpus relation every CTE reads (ADVICE r9: a
+    composed oracle must scope acceptance to the SAME source-coverage
+    relation the engine consumes — the stack streams documents⋈embeddings,
+    so it passes its joined CTE here instead of post-hoc string surgery)."""
+    return f"""allpairs AS ({_minhash_oracle(src=src)}),
     ws AS (
         SELECT doc_id, list_distinct(str_split(lower(text), ' ')) AS ws
-        FROM documents
+        FROM {src}
     ),
     ver AS (
         SELECT doc1, doc2 FROM (
@@ -269,12 +274,12 @@ def stream_accept_ctes() -> str:
         SELECT DISTINCT b AS doc_id FROM sym WHERE a % 3 = b % 3 AND a < b
     ),
     acc0 AS (
-        SELECT doc_id FROM documents
+        SELECT doc_id FROM {src}
         WHERE doc_id % 3 = 0
           AND doc_id NOT IN (SELECT doc_id FROM within_drop)
     ),
     acc1 AS (
-        SELECT d.doc_id FROM documents d
+        SELECT d.doc_id FROM {src} d
         WHERE d.doc_id % 3 = 1
           AND d.doc_id NOT IN (SELECT doc_id FROM within_drop)
           AND NOT EXISTS (
@@ -285,7 +290,7 @@ def stream_accept_ctes() -> str:
         SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
     ),
     acc2 AS (
-        SELECT d.doc_id FROM documents d
+        SELECT d.doc_id FROM {src} d
         WHERE d.doc_id % 3 = 2
           AND d.doc_id NOT IN (SELECT doc_id FROM within_drop)
           AND NOT EXISTS (

@@ -176,10 +176,8 @@ def _stream_stack_oracle() -> str:
     # stages need vectors), and the two tables only cover the same ids at
     # some SFs (sf0.1: 2000 embeddings vs 6000 docs) — so the whole
     # acceptance/index/drift transcription must run over that same joined
-    # source, not the full documents table. stream_accept_ctes scopes
-    # every corpus read with `FROM documents`; rebase them onto the
-    # joined src_docs CTE.
-    accept = stream_accept_ctes().replace("FROM documents", "FROM src_docs")
+    # source, not the full documents table (ORACLE_NOTES.md rule).
+    accept = stream_accept_ctes(src="src_docs")
     return f"""
     WITH src_docs AS (
         SELECT d.* FROM documents d

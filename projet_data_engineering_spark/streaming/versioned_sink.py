@@ -45,6 +45,27 @@ def versioned_sink_batch(
     bid = int(batch_id)
     if bid in applied_batch_ids(spark, path):
         return
+    # Same hazard versioned_upsert's assert_unique guards: two rows for
+    # one key inside a change set share a _v, so the latest-op window's
+    # survivor is nondeterministic. Micro-batches CAN carry duplicates
+    # (at-least-once delivery, multiple updates per trigger), so dedup
+    # deterministically here instead of raising mid-stream: greatest
+    # full-row tuple per key (dropDuplicates would keep an arbitrary
+    # partition-order-dependent survivor).
+    others = [c for c in batch.columns if c != key]
+    if others:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(key).orderBy(
+            *[F.col(c).desc_nulls_last() for c in others]
+        )
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        batch = batch.dropDuplicates([key])
     v = (table_versions(spark, path) or [0])[-1] + 1
     _publish(
         batch.withColumn("_op", F.lit("u")), path, v, suffix=f"_b{bid}"
@@ -81,6 +102,16 @@ def run_stream_versioned(
         auto_compact,
         recover_compaction,
     )
+
+    if auto_compact_max_versions is not None and protect_last < 1:
+        # Folding the just-committed version's _b marker lets a batch
+        # redelivered after a crash-before-checkpoint re-commit as the
+        # NEWEST version — stale rows silently win the latest-op window.
+        raise ValueError(
+            "run_stream_versioned: protect_last must be >= 1 when "
+            "auto-compaction is enabled, or exactly-once is lost for "
+            "batches the source can still redeliver"
+        )
 
     def step(batch: DataFrame, batch_id: int) -> None:
         if auto_compact_max_versions is not None:

@@ -478,7 +478,11 @@ def index_refresh_batch(
         path_exists,
         recover_atomic_overwrite,
     )
-    from projet_data_engineering_spark.operators.search import tokenize
+    from projet_data_engineering_spark.operators.search import (
+        BM25_LAYOUT_VERSION,
+        _check_index_layout,
+        tokenize,
+    )
 
     postings_path = f"{index_path}/postings"
     vocab_path = f"{index_path}/vocab"
@@ -489,6 +493,13 @@ def index_refresh_batch(
     spark = batch.sparkSession
     recover_atomic_overwrite(spark, docstats_path)
     recover_atomic_overwrite(spark, stats_path)
+    # Refuse to merge onto an index written by an older on-disk layout
+    # (ADVICE r9): a pre-term_len vocab would null-fill and silently drop
+    # old terms from the fuzzy serve's length-band filter.
+    if path_exists(spark, stats_path):
+        _check_index_layout(
+            spark.read.parquet(stats_path), index_path, "index_refresh_batch"
+        )
     toks = batch.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("tokens")
     ).withColumn("dl", F.size("tokens"))
@@ -553,6 +564,7 @@ def index_refresh_batch(
             F.count("*").alias("n_docs"),
             F.avg("dl").alias("avg_dl"),
             F.lit(n_buckets).alias("n_buckets"),
+            F.lit(BM25_LAYOUT_VERSION).alias("layout_version"),
         ),
         stats_path,
     )

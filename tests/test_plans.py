@@ -588,3 +588,24 @@ def test_merge_if_large_gates_on_source_bytes(spark, tmp_path):
     mem = spark.createDataFrame([(1,)], "x int")
     assert source_bytes(mem) is None
     assert hinted(merge_if_large(mem, threshold=10**12))
+
+
+def test_source_bytes_unquotes_percent_encoded_paths(spark, tmp_path):
+    """ADVICE r9: inputFiles() %-encodes local paths (spaces etc.);
+    source_bytes must unquote before stat, or a decodable path reads as
+    unknown size and the gate wrongly pins the merge hint on a corpus
+    that should keep the measured-fast broadcast path."""
+    import os
+
+    from projet_data_engineering_spark.plans.hints import source_bytes
+
+    d = tmp_path / "dir with space"
+    spark.range(100).coalesce(1).write.parquet(str(d))
+    df = spark.read.parquet(str(d))
+    assert any("%20" in f for f in df.inputFiles())
+    want = sum(
+        os.path.getsize(d / f)
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    )
+    assert source_bytes(df) == want > 0

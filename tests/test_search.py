@@ -291,3 +291,54 @@ def test_bm25_fuzzy_served_prunes_the_dictionary_scan(spark, tmp_path):
         # collapsed to = when one bucket survives
         pf = seg.split("PartitionFilters", 1)[1][:200]
         assert "term_bucket" in pf and (" IN " in pf or " = " in pf), seg[:900]
+
+
+def test_index_layout_version_guard(spark, tmp_path):
+    """ADVICE r9: the on-disk index layout changed in r9 (vocab gained
+    term_len; the SymSpell artifact was retired) with no version marker.
+    build_search_index now stamps layout_version in the stats manifest;
+    fuzzy serving and the streaming refresher must REJECT an index
+    written by the old layout instead of silently null-filling term_len
+    (which would drop old terms from the banded BETWEEN filter)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from projet_data_engineering_spark.operators.search import (
+        BM25_LAYOUT_VERSION,
+        bm25_serve_fuzzy,
+        build_search_index,
+    )
+    from projet_data_engineering_spark.streaming.windows import (
+        index_refresh_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text="spark streams"), Row(doc_id=1, text="cake")]
+    )
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, "doc_id", "text", idx, n_buckets=4)
+    stats = spark.read.parquet(f"{idx}/stats")
+    assert stats.select("layout_version").first()[0] == BM25_LAYOUT_VERSION
+    # current layout: both paths work
+    assert bm25_serve_fuzzy(spark, idx, ["spark"]).count() == 1
+    index_refresh_batch(
+        spark.createDataFrame([Row(doc_id=2, text="spark joins")]),
+        idx, n_buckets=4,
+    )
+
+    # simulate a pre-r9 index: stats manifest without the stamp
+    # (re-read: the refresh above overwrote the stats files)
+    spark.catalog.refreshByPath(f"{idx}/stats")
+    stats = spark.read.parquet(f"{idx}/stats")
+    legacy = stats.drop("layout_version").collect()
+    spark.createDataFrame(
+        legacy, schema=stats.drop("layout_version").schema
+    ).write.mode("overwrite").parquet(f"{idx}/stats")
+    spark.catalog.refreshByPath(f"{idx}/stats")
+    with pytest.raises(ValueError, match="layout_version"):
+        bm25_serve_fuzzy(spark, idx, ["spark"])
+    with pytest.raises(ValueError, match="layout_version"):
+        index_refresh_batch(
+            spark.createDataFrame([Row(doc_id=3, text="more spark")]),
+            idx, n_buckets=4,
+        )

@@ -803,3 +803,49 @@ def test_versioned_sink_auto_compaction_bounds_history_and_self_heals(
     expect = {doc_id: n_chars for doc_id, _lang, n_chars in want}
     expect.update(bumped)
     assert healed == expect
+
+
+def test_versioned_sink_batch_dedups_duplicate_keys_deterministically(
+    spark, tmp_path
+):
+    """ADVICE r9 (medium): a micro-batch carrying two rows for the same
+    key (at-least-once delivery / multiple updates per trigger) must not
+    commit a change set whose latest-op survivor is partition-order
+    luck. The sink dedups to the greatest full-row tuple per key, so the
+    committed version is deterministic regardless of input layout."""
+    from projet_data_engineering_spark.operators import versioned as vt
+    from projet_data_engineering_spark.streaming import versioned_sink as vs
+
+    rows = [
+        (1, "en", 10),
+        (1, "en", 50),  # duplicate key, later payload — must win
+        (2, "fr", 7),
+        (2, "de", 7),   # duplicate key, greater lang tuple — must win
+    ]
+    want = {1: ("en", 50), 2: ("fr", 7)}
+    for shuffle_parts in (1, 7):
+        path = str(tmp_path / f"vtable_{shuffle_parts}")
+        batch = spark.createDataFrame(
+            rows, ["doc_id", "lang", "n_chars"]
+        ).repartition(shuffle_parts)
+        vs.versioned_sink_batch(batch, path, "doc_id", 0)
+        got = {
+            r["doc_id"]: (r["lang"], r["n_chars"])
+            for r in vt.read_version(spark, path, "doc_id").collect()
+        }
+        assert got == want, f"shuffle_parts={shuffle_parts}"
+
+
+def test_run_stream_versioned_rejects_unsafe_protect_last(spark):
+    """ADVICE r9: protect_last=0 with auto-compaction folds the
+    just-committed version's batch marker — a crash-before-checkpoint
+    redelivery then re-commits as the NEWEST version and stale rows win.
+    The sink must refuse the combination up front."""
+    from projet_data_engineering_spark.streaming import versioned_sink as vs
+
+    dummy = spark.range(1)
+    with pytest.raises(ValueError, match="protect_last"):
+        vs.run_stream_versioned(
+            dummy, "/nonexistent", "/nonexistent_chk", "id",
+            auto_compact_max_versions=2, protect_last=0,
+        )
