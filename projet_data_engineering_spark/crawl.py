@@ -3,7 +3,7 @@
 The reference acquires data with a Selenium crawl loop
 (``scraper/main.py:84-136``) and a service wait/retry loop
 (``scraper/main.py:48-65``). Neither HTTP nor a browser exists in this
-container, so — exactly like the multimodal decode stub — the NETWORK call is
+container, so — like the multimodal codec-library seam — the NETWORK call is
 a pluggable function and everything Spark-side is real and tested:
 
 - ``crawl_frontier``: distributed BFS over a link graph. The frontier is a

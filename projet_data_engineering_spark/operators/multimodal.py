@@ -8,11 +8,13 @@ stdlib-parsable container formats — BMP dimensions, RIFF/WAVE duration via
 ``struct``, FULL PNG pixel decode (chunk walk + ``zlib`` inflate +
 per-scanline unfiltering), JPEG dimensions/precision via the marker walk
 (SOI → SOFn), and MP4/ISO-BMFF duration + track dimensions via the box walk
-(``moov``/``mvhd``/``tkhd``) in ``decode_media`` — while PIXEL/SAMPLE decode
-for the compressed codecs (JPEG entropy stream, MP4 packet payloads) raises
-``NotImplementedError`` at the marked swap point (``_decode_stub``): no
-image/audio libraries in this container; swap in PIL/torchaudio/pyav in
-production.
+(``moov``/``mvhd``/``tkhd``) in ``decode_media`` — and, since r10, FULL
+baseline-JPEG PIXEL decode (``_jpeg_decode_pixels``: canonical Huffman,
+byte unstuffing, restart intervals, dequant + IDCT, chroma upsampling,
+YCbCr→RGB) on stdlib + numpy alone. The remaining honest boundaries:
+progressive/arithmetic JPEG and MP4 SAMPLE decode stay metadata-only
+(px_sum None) — those genuinely need a codec library (PIL/pyav), which
+swaps in behind the same ``extract_features`` seam.
 
 Scale notes:
 - payloads stay in executor memory exactly one Arrow batch at a time
@@ -68,8 +70,9 @@ FEATURE_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("duration_ms", LongType(), True),
         StructField("bit_depth", IntegerType(), True),
-        # PNG only: sum of the fully-decoded (inflated + unfiltered) pixel
-        # bytes — nonsense unless inflate AND every row filter were undone
+        # PNG + baseline JPEG: sum of the fully-decoded pixel bytes —
+        # nonsense unless inflate/entropy-decode and every reconstruction
+        # step (unfilter / IDCT / upsample / colorspace) were done right
         StructField("px_sum", LongType(), True),
     ]
 )
@@ -147,6 +150,283 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
         recon[r] = line
         prev = recon[r]
     return recon.tobytes()
+
+
+# JPEG zigzag scan order: natural (row-major) index of each zigzag position
+# (ITU-T T.81 Figure 5 — public spec, as is everything in the decoder below).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment, undoing the
+    0xFF00 byte stuffing. A non-stuffed marker (EOI, or an RSTn read
+    outside ``restart``) ends the stream: further reads yield zero bits,
+    the spec's padding behavior."""
+
+    def __init__(self, data: bytes) -> None:
+        self.d = data
+        self.i = 0
+        self.b = 0
+        self.n = 0
+        self.ended = False
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.ended or self.i >= len(self.d):
+                self.ended = True
+                return 0
+            byte = self.d[self.i]
+            self.i += 1
+            if byte == 0xFF:
+                nxt = self.d[self.i] if self.i < len(self.d) else 0xD9
+                if nxt == 0x00:
+                    self.i += 1  # stuffed data byte
+                else:  # a real marker: entropy data is over
+                    self.i -= 1
+                    self.ended = True
+                    return 0
+            self.b = byte
+            self.n = 8
+        self.n -= 1
+        return (self.b >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Byte-align and consume the RSTn marker at a DRI boundary."""
+        self.n = 0
+        if (
+            self.i + 2 <= len(self.d)
+            and self.d[self.i] == 0xFF
+            and 0xD0 <= self.d[self.i + 1] <= 0xD7
+        ):
+            self.i += 2
+            self.ended = False
+        else:
+            raise NotImplementedError("malformed JPEG: missing RST marker")
+
+
+def _jpeg_huff_table(bits: list[int], symbols: bytes) -> dict:
+    """Canonical Huffman code assignment (T.81 Annex C): codes of each
+    length count up from twice the previous length's last code + 1.
+    Returns {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(r: _JpegBits, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise NotImplementedError("malformed JPEG: invalid huffman code")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 EXTEND: map the s received magnitude bits to a signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_idct_mat():
+    import numpy as np
+
+    # A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); IDCT2(F) = A^T @ F @ A
+    x = np.arange(8)
+    u = np.arange(8).reshape(8, 1)
+    A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    A[0] *= 1 / np.sqrt(2)
+    return A
+
+
+def _jpeg_decode_pixels(b: bytes):
+    """Baseline (SOF0) JPEG pixel decode on stdlib + numpy alone — the
+    codec path that closes the r9-declared stub. Parses DQT/DHT/SOF0/DRI/
+    SOS, entropy-decodes the scan (canonical Huffman, 0xFF00 unstuffing,
+    RSTn restart intervals with DC-predictor reset), dequantizes,
+    dezigzags, applies the float 8x8 IDCT, replication-upsamples
+    subsampled chroma, converts YCbCr->RGB (ITU BT.601 constants, the
+    JFIF formula), and crops to the frame dimensions.
+
+    Returns (height, width, ncomp, pixels) with pixels a uint8 ndarray of
+    shape (h, w, ncomp). Raises NotImplementedError for anything beyond
+    baseline sequential 8-bit (progressive, arithmetic, 12-bit,
+    hierarchical) — callers treat those as metadata-only.
+
+    Scale note: this is a per-payload Python path behind the same
+    ``extract_features`` mapInPandas seam as every decoder here —
+    embarrassingly parallel across Arrow batches, no shuffle; a real
+    codec library swaps in for throughput without touching the plan."""
+    import numpy as np
+
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    scan = None
+    ri = 0
+    data = b""
+    off = 2
+    while off + 4 <= len(b):
+        if b[off] != 0xFF:
+            raise NotImplementedError("malformed JPEG: lost marker sync")
+        m = b[off + 1]
+        if m in (0x01, 0xD8) or 0xD0 <= m <= 0xD7:
+            off += 2
+            continue
+        if m == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", b, off + 2)[0]
+        seg = b[off + 4 : off + 2 + seglen]
+        if m == 0xDB:  # DQT (may carry several tables)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[tq] = np.frombuffer(seg[p + 1 : p + 65], np.uint8).astype(
+                    np.int32
+                )
+                p += 65
+        elif m == 0xC4:  # DHT (may carry several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                huff[(tc, th)] = _jpeg_huff_table(
+                    bits, seg[p + 17 : p + 17 + n]
+                )
+                p += 17 + n
+        elif m == 0xC0:  # SOF0 — baseline sequential
+            prec = seg[0]
+            h, w = struct.unpack_from(">HH", seg, 1)
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG")
+            comps = []
+            for c in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif 0xC1 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            raise NotImplementedError("non-baseline JPEG (progressive?)")
+        elif m == 0xDD:
+            ri = struct.unpack_from(">H", seg, 0)[0]
+        elif m == 0xDA:  # SOS: component->table map, then entropy data
+            ns = seg[0]
+            scan = [
+                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
+                for c in range(ns)
+            ]
+            data = b[off + 2 + seglen :]
+            break
+        off += 2 + seglen
+    if frame is None or scan is None:
+        raise NotImplementedError("malformed JPEG: missing SOF0/SOS")
+    h, w, comps = frame
+    if not (1 <= len(comps) <= 3) or len(scan) != len(comps):
+        raise NotImplementedError("unsupported JPEG component layout")
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcx = -(-w // (8 * max_h))
+    mcy = -(-h // (8 * max_v))
+    A = _jpeg_idct_mat()
+    zz = np.array(_JPEG_ZIGZAG)
+    planes = []
+    tabs = []
+    for cid, hf, vf, tq in comps:
+        sc = next((s for s in scan if s[0] == cid), None)
+        if sc is None or tq not in qt:
+            raise NotImplementedError("malformed JPEG: scan/table mismatch")
+        if (0, sc[1]) not in huff or (1, sc[2]) not in huff:
+            raise NotImplementedError("malformed JPEG: missing huffman table")
+        tabs.append((huff[(0, sc[1])], huff[(1, sc[2])], qt[tq]))
+        planes.append(np.zeros((mcy * vf * 8, mcx * hf * 8), np.float64))
+    r = _JpegBits(data)
+    preds = [0] * len(comps)
+    for my in range(mcy):
+        for mx in range(mcx):
+            mcu_idx = my * mcx + mx
+            if ri and mcu_idx and mcu_idx % ri == 0:
+                r.restart()
+                preds = [0] * len(comps)
+            for ci, (cid, hf, vf, tq) in enumerate(comps):
+                dctab, actab, q = tabs[ci]
+                for by in range(vf):
+                    for bx in range(hf):
+                        s = _jpeg_huff_decode(r, dctab)
+                        if s > 11:
+                            raise NotImplementedError(
+                                "malformed JPEG: DC category > 11"
+                            )
+                        preds[ci] += _jpeg_extend(r.bits(s), s)
+                        coef = np.zeros(64, np.int64)
+                        coef[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _jpeg_huff_decode(r, actab)
+                            run, size = rs >> 4, rs & 15
+                            if size == 0:
+                                if run == 15:  # ZRL: 16 zeros
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise NotImplementedError(
+                                    "malformed JPEG: AC index overflow"
+                                )
+                            coef[k] = _jpeg_extend(r.bits(size), size)
+                            k += 1
+                        blk = np.zeros(64, np.float64)
+                        blk[zz] = coef * q
+                        out = A.T @ blk.reshape(8, 8) @ A + 128.0
+                        y0 = (my * vf + by) * 8
+                        x0 = (mx * hf + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = out
+    full = []
+    for ci, (cid, hf, vf, tq) in enumerate(comps):
+        p = np.repeat(
+            np.repeat(planes[ci], max_v // vf, axis=0), max_h // hf, axis=1
+        )
+        full.append(p[:h, :w])
+    if len(full) == 3:
+        y, cb, cr = full
+        rgb = np.stack(
+            [
+                y + 1.402 * (cr - 128.0),
+                y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+                y + 1.772 * (cb - 128.0),
+            ],
+            axis=-1,
+        )
+        px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    else:
+        px = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)[..., None]
+    return h, w, len(comps), px
 
 
 def decode_media(payload: bytes) -> dict:
@@ -277,6 +557,16 @@ def _decode_media(payload: bytes) -> dict:
             "px_sum": int(np.frombuffer(recon, np.uint8).sum(dtype=np.int64)),
         }
     if b[:2] == b"\xff\xd8":
+        px_sum = None
+        try:  # full baseline pixel decode (r10: the former declared stub)
+            _h, _w, _nc, px = _jpeg_decode_pixels(b)
+            import numpy as np
+
+            px_sum = int(px.sum(dtype=np.int64))
+        except NotImplementedError:
+            # metadata-only fallback: header fixtures without a scan,
+            # progressive/extended frames — dimensions still decode below
+            pass
         off = 2
         while off + 4 <= len(b):
             if b[off] != 0xFF:
@@ -297,7 +587,7 @@ def _decode_media(payload: bytes) -> dict:
                     "height": h,
                     "duration_ms": None,
                     "bit_depth": precision,
-                    "px_sum": None,  # entropy decode needs a codec library
+                    "px_sum": px_sum,  # real for baseline; None beyond it
                 }
             off += 2 + seglen
         raise NotImplementedError("malformed JPEG: no SOF marker before SOS")
@@ -355,19 +645,6 @@ def _decode_media(payload: bytes) -> dict:
         "unrecognized container; only BMP/WAV/PNG/JPEG/MP4 headers decode "
         "without codec libs"
     )
-
-
-def _decode_stub(payload: bytes) -> list[float]:
-    """Deterministic fake 'decode + featurize'.
-
-    Production swap-in: PIL decode → resize → CNN embed (images),
-    torchaudio load → mel features (audio), pyav frame-sample (video).
-    The fake derives N_FEATURES floats from the payload digest so tests are
-    reproducible and the full Arrow round-trip is exercised."""
-    if payload is None:
-        raise NotImplementedError("real codecs unavailable in this container")
-    digest = hashlib.md5(payload).digest()
-    return [digest[i] / 255.0 for i in range(N_FEATURES)]
 
 
 def bound_arrow_batches_for_payloads(
@@ -469,7 +746,8 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 def resize_plan(media: DataFrame, max_px: int = 256) -> DataFrame:
     """Resize planning: JVM-side computation of target dims (aspect-preserving
-    clamp to ``max_px``); the pixel work itself belongs in the decode stub."""
+    clamp to ``max_px``); the pixel resampling itself runs in the decode
+    tier (codec-library swap point behind ``extract_features``)."""
     scale = F.least(
         F.lit(1.0),
         max_px / F.greatest(F.col("width"), F.col("height")).cast("double"),
@@ -501,7 +779,7 @@ from projet_data_engineering_spark.registry import query  # noqa: E402
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction end-to-end on driver data: documents'
     text bytes stand in for opaque media payloads (this container has no
-    codec libraries — ``_decode_stub`` marks the swap point), flowing through
+    codec libraries for real embeddings; digest features stand in), flowing through
     the real Arrow plumbing: column-pruned payload scan → mapInPandas
     batches → narrow (id, meta, features) output ready for similarity joins.
     Python-side math is per-batch vectorizable; no shuffle anywhere.
@@ -706,6 +984,105 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_media_pixels",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, bw, bh, t.k,
+               CASE WHEN t.k % 2 = 0
+                    THEN 64 + (doc_id*37 + t.k*53) % 64
+                    ELSE -(64 + (doc_id*37 + t.k*53) % 64) END AS d
+        FROM g, UNNEST(generate_series(0, bw*bh - 1)) AS t(k)
+    ),
+    dcs AS (
+        SELECT doc_id, bw, bh, k,
+               SUM(d) OVER (PARTITION BY doc_id ORDER BY k) AS dc
+        FROM blk
+    )
+    SELECT doc_id AS media_id,
+           'image/jpeg' AS mime,
+           CAST(140 + 2 * MAX(bw) * MAX(bh) AS BIGINT) AS n_bytes,
+           CAST(MAX(bw) * 8 AS INT) AS width,
+           CAST(MAX(bh) * 8 AS INT) AS height,
+           CAST(8 AS INT) AS bit_depth,
+           CAST(SUM(64 * LEAST(255, GREATEST(0, dc + 128))) AS BIGINT)
+               AS px_sum
+    FROM dcs GROUP BY doc_id
+    """,
+)
+def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG PIXEL decode end-to-end (r10: the capability
+    that closes the last declared codec stub). Complete baseline JPEGs —
+    SOI, DQT (flat q=8), SOF0, two DHTs (a 1-bit DC category-7 code and
+    an 8-bit AC EOB code), SOS, a genuine Huffman-coded entropy stream of
+    DC-only blocks, EOI — are assembled JVM-side byte-for-byte from
+    document columns (``unhex``), cross the Arrow boundary, and
+    ``_jpeg_decode_pixels`` entropy-decodes them inside ``mapInPandas``:
+    canonical Huffman table construction, bit-level scan decode, T.81
+    EXTEND sign recovery, DC prediction across blocks, dequantization,
+    zigzag→natural reorder, the 8x8 float IDCT, level shift and clamp.
+
+    The oracle recomputes every pixel analytically: a DC-only block
+    IDCTs to a flat 8x8 of exactly round(DC·q/8)+128 = DC+128 at q=8, so
+    px_sum = Σ_blocks 64·clamp(cumulative-DC+128), with the per-block DC
+    diffs derived from doc_id (alternating signs; the occasional running
+    DC past 127 exercises the decoder's output clamp, which the SQL
+    mirrors exactly with LEAST/GREATEST). Any bit-packing,
+    Huffman, EXTEND, predictor, dequant or IDCT bug breaks the hash.
+    AC coefficients, ZRL, byte stuffing, restart intervals and 4:2:0
+    chroma are pinned against an independent encoder + four-loop
+    reference IDCT in tests/test_multimodal.py.
+
+    Reference parity: the reference never decodes media at all
+    (scraper/main.py:150-164 stores image URLs as strings); this makes
+    the binary column a decodable first-class citizen with zero codec
+    libraries."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    bw = F.col("doc_id") % 3 + 1
+    bh = F.col("doc_id") % 2 + 1
+    n_blocks = bw * bh
+
+    def entropy_byte(k):
+        m = F.pmod(F.col("doc_id") * 37 + k * 53, F.lit(64))
+        return F.when(F.pmod(k, F.lit(2)) == 0, m + 64).otherwise(63 - m)
+
+    entropy_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_blocks - 1),
+            lambda k: F.concat(
+                F.lpad(F.hex(entropy_byte(k)), 2, "0"), F.lit("00")
+            ),
+        ),
+        "",
+    )
+    jpeg_hex = F.concat(
+        F.lit("FFD8"),                          # SOI
+        F.lit("FFDB004300" + "08" * 64),        # DQT: flat q=8, table 0
+        F.lit("FFC0000B08"),                    # SOF0, len 11, precision 8
+        _be_hex(bh * 8, 2), _be_hex(bw * 8, 2),
+        F.lit("01"), F.lit("011100"),           # 1 component, 1x1, qtable 0
+        F.lit("FFC40014" + "00" + "01" + "00" * 15 + "07"),  # DC DHT: cat 7 @ 1 bit
+        F.lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"),  # AC DHT: EOB @ 8 bits
+        F.lit("FFDA0008"), F.lit("01"),         # SOS, 1 component
+        F.lit("0100"), F.lit("003F00"),         # comp 1 tables 0/0, Ss/Se/AhAl
+        entropy_hex,
+        F.lit("FFD9"),                          # EOI
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.unhex(jpeg_hex).alias("payload"),
+    )
+    return extract_features(media).select(
+        "media_id", "mime", "n_bytes", "width", "height", "bit_depth",
+        "px_sum",
+    )
+
+
+@query(
     "q_media_container_meta",
     oracle="""
     SELECT doc_id AS media_id,
@@ -843,7 +1220,7 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize planning over typed media metadata: aspect-preserving clamp to
     a 256-px long edge, computed ENTIRELY from the metadata struct — the
     payload column is never read (parquet pruning), and the pixel work is
-    deferred to the decode stub on the already-planned dimensions. Synthetic
+    deferred to the decode tier on the already-planned dimensions. Synthetic
     width/height derive from document columns so the oracle is exact."""
     d = load_table(spark, sf_dir, "documents")
     media = d.select(
