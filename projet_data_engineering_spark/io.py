@@ -305,15 +305,21 @@ def acquire_merge_lock(
             "ts": time.time(),
         }
     )
-    for _ in range(2):  # second pass only after a stale-lock steal
+    last_err: Exception | None = None
+    for _ in range(3):  # extra passes: stale-lock steal / release race
         try:
             out = fs.create(_hpath(jvm, lockpath), False)
             out.write(bytearray(body, "utf-8"))
             out.close()
             return token
-        except Exception:
+        except Exception as e:
+            last_err = e
             if not fs.exists(_hpath(jvm, lockpath)):
-                raise  # create failed for a non-contention reason
+                # the holder released between our failed create and this
+                # probe (r10: a live compactor/writer race hits this window
+                # constantly) — retry the create rather than re-raising the
+                # raw contention error as if it were an IO failure
+                continue
             try:
                 holder = _json.loads(_read_small_file(spark, lockpath))
             except Exception:
@@ -322,9 +328,11 @@ def acquire_merge_lock(
                 raise ConcurrentWriteError(
                     f"{path}: writer lock held by pid {holder.get('pid')}"
                     f"@{holder.get('host')} (lease {lease_sec}s not expired)"
-                )
+                ) from None
             fs.delete(_hpath(jvm, lockpath), False)
-    raise ConcurrentWriteError(f"{path}: could not acquire writer lock")
+    raise ConcurrentWriteError(
+        f"{path}: could not acquire writer lock"
+    ) from last_err
 
 
 def release_merge_lock(spark: SparkSession, path: str, token: str) -> None:

@@ -156,14 +156,39 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per language — the budgeting query every
     training-data pipeline runs first. Whitespace tokenizer here; a BPE-ish
-    regex tokenizer drops in by swapping the split pattern."""
+    regex tokenizer drops in by swapping the token-count expression.
+
+    r10 rework (the query sat at 1.24x its r1 anchor for three rounds):
+    the token count is separators+1 via two length() calls — no regex, no
+    array materialization — which is EXACTLY the oracle's str_split
+    cardinality (every space adds one element, empty or not; Spark's
+    split() drops trailing empties, so the old size(split()) was the
+    looser transcription). And avg_tokens derives from sum/count in a
+    post-aggregation projection instead of a second avg(expr) aggregate:
+    aggregate children are evaluated per-function (no CSE across them),
+    so the old shape paid the tokenize twice per row."""
     d = load_table(spark, sf_dir, "documents")
-    ntok = F.size(F.split("text", " "))
-    return d.groupBy("lang").agg(
-        F.count("*").alias("n_docs"),
-        F.sum(ntok).alias("total_tokens"),
-        F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg(ntok), 4).alias("avg_tokens"),
+    ntok = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.round(
+                F.col("total_tokens") / F.col("n_docs"), 4
+            ).alias("avg_tokens"),
+        )
     )
 
 

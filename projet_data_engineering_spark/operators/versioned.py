@@ -31,6 +31,7 @@ this is the layout that makes every ingest reproducible forever.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -38,14 +39,36 @@ from pyspark.sql import functions as F
 from projet_data_engineering_spark.io import (
     _fs_for,
     _hpath,
+    acquire_merge_lock,
     load_table,
     path_exists,
+    release_merge_lock,
     spread,
 )
 from projet_data_engineering_spark.registry import query
 
 _VDIR = re.compile(r"^v(\d+)(?:_b(\d+))?$")
 _COMPACT_TMP = re.compile(r"^_tmp_compact_v(\d+)$")
+
+
+@contextmanager
+def _writer_lock(spark: SparkSession, path: str):
+    """Single-writer enforcement for every MUTATING entry point (r10,
+    VERDICT item 4): the version counter derives from a directory listing,
+    so two unserialized writers can both compute latest+1 and publish
+    COLLIDING version dirs (``v5`` and ``v5_b3`` both parse as version 5
+    — one silently shadows the other in every read), and a compactor
+    racing a committer can delete a prefix the committer just listed.
+    Reuses io.py's crash-aware lease lock (same-host dead owners stealable
+    immediately, remote owners by lease expiry); a second live writer
+    gets ``ConcurrentWriteError`` and retries — never a silent loss.
+    Readers stay lock-free (they retry on InterruptedCompactionError /
+    vanished-scan errors instead, the MVCC convention)."""
+    token = acquire_merge_lock(spark, path)
+    try:
+        yield
+    finally:
+        release_merge_lock(spark, path, token)
 
 
 def _fs_list(spark: SparkSession, path: str) -> list[str]:
@@ -98,7 +121,16 @@ def _version_dirs(
     for name in names:
         m = _VDIR.match(name)
         if m:
-            out[int(m.group(1))] = name
+            v = int(m.group(1))
+            if v in out:
+                # two dirs claiming one version = unserialized writers got
+                # past the lock (legacy table / external tampering); any
+                # read would silently shadow one change set — refuse.
+                raise RuntimeError(
+                    f"corrupt versioned table {path}: both '{out[v]}' and "
+                    f"'{name}' claim version {v}"
+                )
+            out[v] = name
     return out
 
 
@@ -159,8 +191,10 @@ def versioned_upsert(
                 f"— the latest-op-per-key read would be nondeterministic; "
                 f"dedup the change set before committing"
             )
-    v = (table_versions(spark, path) or [0])[-1] + 1
-    _publish(df.withColumn("_op", F.lit("u")), path, v)
+    with _writer_lock(spark, path):
+        _recover_locked(spark, path)  # heal a crashed fold before listing
+        v = (table_versions(spark, path) or [0])[-1] + 1
+        _publish(df.withColumn("_op", F.lit("u")), path, v)
     return v
 
 
@@ -168,15 +202,17 @@ def versioned_delete(keys: DataFrame, path: str, key: str) -> int:
     """Commit tombstones for ``keys`` (a 1-column frame of ``key``) as the
     next version; the payload columns ride as NULLs of the live schema."""
     spark = keys.sparkSession
-    dirs = _version_dirs(spark, path)
-    vs = sorted(dirs)
-    if not vs:
-        raise ValueError("cannot delete from an empty versioned table")
-    live = spark.read.parquet(f"{path}/{dirs[vs[-1]]}").drop("_op")
-    tomb = keys.join(live.limit(0), [key], "left").select(
-        *live.columns
-    ).withColumn("_op", F.lit("d"))
-    _publish(tomb, path, vs[-1] + 1)
+    with _writer_lock(spark, path):
+        _recover_locked(spark, path)  # heal a crashed fold before listing
+        dirs = _version_dirs(spark, path)
+        vs = sorted(dirs)
+        if not vs:
+            raise ValueError("cannot delete from an empty versioned table")
+        live = spark.read.parquet(f"{path}/{dirs[vs[-1]]}").drop("_op")
+        tomb = keys.join(live.limit(0), [key], "left").select(
+            *live.columns
+        ).withColumn("_op", F.lit("d"))
+        _publish(tomb, path, vs[-1] + 1)
     return vs[-1] + 1
 
 
@@ -285,8 +321,14 @@ def recover_compaction(spark: SparkSession, path: str) -> None:
     - tmp present WITHOUT ``_SUCCESS``: crash mid-step-1 — the prefix is
       untouched; roll BACK by deleting the partial tmp.
 
-    Single-writer assumption (same as io.py's merge protocol): recovery
-    must not race a live compactor."""
+    Serialized against live writers by the table's writer lock (r10):
+    recovery deletes and renames the same dirs a compactor mutates."""
+    with _writer_lock(spark, path):
+        _recover_locked(spark, path)
+
+
+def _recover_locked(spark: SparkSession, path: str) -> None:
+    """Recovery body — caller MUST hold the writer lock."""
     fs, jvm = _fs_for(spark, path)
     for name in _fs_list(spark, path):
         m = _COMPACT_TMP.match(name)
@@ -325,7 +367,15 @@ def compact_versions(
     markers, so under ``run_stream_versioned`` only compact versions
     older than the stream's checkpoint horizon — Structured Streaming
     never redelivers batches before the last committed checkpoint."""
-    recover_compaction(spark, path)
+    with _writer_lock(spark, path):
+        _recover_locked(spark, path)
+        _compact_locked(spark, path, key, upto)
+
+
+def _compact_locked(
+    spark: SparkSession, path: str, key: str, upto: int
+) -> None:
+    """Compaction body — caller MUST hold the writer lock."""
     dirs = _version_dirs(spark, path)
     vs = [v for v in sorted(dirs) if v <= upto]
     if len(vs) < 2:
@@ -380,12 +430,13 @@ def auto_compact(
     via :func:`recover_compaction` — which this entry (like
     ``compact_versions``) runs first, so the policy call is also how an
     interrupted compaction heals."""
-    recover_compaction(spark, path)
-    vs = table_versions(spark, path)
-    if len(vs) <= max_versions or len(vs) <= protect_last + 1:
-        return None
-    upto = vs[-1 - protect_last] if protect_last else vs[-1]
-    compact_versions(spark, path, key, upto)
+    with _writer_lock(spark, path):
+        _recover_locked(spark, path)
+        vs = table_versions(spark, path)
+        if len(vs) <= max_versions or len(vs) <= protect_last + 1:
+            return None
+        upto = vs[-1 - protect_last] if protect_last else vs[-1]
+        _compact_locked(spark, path, key, upto)
     return upto
 
 

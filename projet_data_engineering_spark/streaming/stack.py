@@ -66,6 +66,7 @@ def stack_ingest_batch(
     n_buckets: int = 16,
     threshold: float = 0.2,
     fail_after: str | None = None,
+    stage_seconds: dict | None = None,
 ) -> None:
     """One micro-batch through the whole serving stack (the foreachBatch
     body; callable directly so tests can drive kill-window scenarios).
@@ -80,9 +81,25 @@ def stack_ingest_batch(
     REPLAYED batch feeds downstream stages the same accepted rows the
     original attempt did (acceptance is keyed state, not an in-flight
     value — the property that makes the composition, not just the stages,
-    idempotent)."""
+    idempotent).
+
+    ``stage_seconds``: optional dict the call fills with per-stage wall
+    seconds ({stage: sec}) — the instrumentation hook tools/bench_stack.py
+    uses for the sf1/sf10 per-stage throughput evidence; None (the
+    production default) adds no timing work."""
+    import time as _time
+
     if batch.isEmpty():
         return
+    t0 = _time.perf_counter()
+
+    def _mark(stage: str) -> None:
+        nonlocal t0
+        if stage_seconds is not None:
+            now = _time.perf_counter()
+            stage_seconds[stage] = now - t0
+            t0 = now
+
     spark = batch.sparkSession
     state = f"{base_path}/dedup_state"
     accepted_path = f"{base_path}/accepted"
@@ -93,6 +110,7 @@ def stack_ingest_batch(
         threshold=threshold,
         n_buckets=n_buckets,
     )
+    _mark("dedup")
     if fail_after == "dedup":
         raise InjectedCrash("after dedup")
     acc_batch = batch.join(
@@ -103,15 +121,18 @@ def stack_ingest_batch(
         f"{base_path}/bm25",
         n_buckets=n_buckets,
     )
+    _mark("bm25")
     if fail_after == "bm25":
         raise InjectedCrash("after bm25")
     vecs = acc_batch.select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )
     ann_refresh_batch(vecs, f"{base_path}/ivf")
+    _mark("ann")
     if fail_after == "ann":
         raise InjectedCrash("after ann")
     pq_refresh_batch(vecs, f"{base_path}/pq")
+    _mark("pq")
     if fail_after == "pq":
         raise InjectedCrash("after pq")
     quality = acc_batch.select(
@@ -126,6 +147,7 @@ def stack_ingest_batch(
     drift_monitor_batch(
         quality, baseline, f"{base_path}/drift_report", batch_id
     )
+    _mark("drift")
     if fail_after == "drift":
         raise InjectedCrash("after drift")
 

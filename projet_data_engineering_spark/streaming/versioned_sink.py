@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from projet_data_engineering_spark.io import load_table, spread
 from projet_data_engineering_spark.operators.versioned import (
     _publish,
+    _writer_lock,
     applied_batch_ids,
     read_version,
     table_versions,
@@ -41,10 +42,21 @@ def versioned_sink_batch(
 ) -> None:
     """One micro-batch: commit the batch as the next version with its
     batch id in the directory name; a redelivery is a listing-check no-op."""
+    from projet_data_engineering_spark.operators.versioned import (
+        InterruptedCompactionError,
+        _recover_locked,
+    )
+
     spark = batch.sparkSession
     bid = int(batch_id)
-    if bid in applied_batch_ids(spark, path):
-        return
+    # cheap lock-free pre-check; re-checked under the writer lock below.
+    # A LIVE concurrent compactor mid-publish makes the listing raise
+    # transiently — fall through to the locked path, which recovers first.
+    try:
+        if bid in applied_batch_ids(spark, path):
+            return
+    except InterruptedCompactionError:
+        pass
     # Same hazard versioned_upsert's assert_unique guards: two rows for
     # one key inside a change set share a _v, so the latest-op window's
     # survivor is nondeterministic. Micro-batches CAN carry duplicates
@@ -66,10 +78,19 @@ def versioned_sink_batch(
         )
     else:
         batch = batch.dropDuplicates([key])
-    v = (table_versions(spark, path) or [0])[-1] + 1
-    _publish(
-        batch.withColumn("_op", F.lit("u")), path, v, suffix=f"_b{bid}"
-    )
+    # version assignment + publish under the table's writer lock (r10):
+    # an external compactor/second writer racing this listing would
+    # otherwise collide on the version number (see _writer_lock). Under
+    # the lock no compactor is live, so a leftover completed fold is a
+    # CRASH artifact — roll it forward before listing.
+    with _writer_lock(spark, path):
+        _recover_locked(spark, path)
+        if bid in applied_batch_ids(spark, path):
+            return
+        v = (table_versions(spark, path) or [0])[-1] + 1
+        _publish(
+            batch.withColumn("_op", F.lit("u")), path, v, suffix=f"_b{bid}"
+        )
 
 
 def run_stream_versioned(

@@ -1022,14 +1022,11 @@ def test_versioned_interrupted_compaction_blocks_reads(spark, tmp_path):
     base.write.parquet(f"{path}/_tmp_compact_v2")
     shutil.rmtree(f"{path}/v1")
 
+    # lock-free READS must refuse to serve the partial table
     for op in (
         lambda: vt.read_version(spark, path, "k"),
         lambda: vt.read_changes(spark, path, "k", from_version=0),
         lambda: vt.table_versions(spark, path),
-        lambda: vt.versioned_upsert(mk([(9, "z")]), path, "k"),
-        lambda: vt.versioned_delete(
-            spark.createDataFrame([(3,)], "k int"), path, "k"
-        ),
     ):
         with _pytest.raises(vt.InterruptedCompactionError):
             op()
@@ -1039,6 +1036,19 @@ def test_versioned_interrupted_compaction_blocks_reads(spark, tmp_path):
     assert sorted(
         tuple(r) for r in vt.read_version(spark, path, "k").collect()
     ) == want
+
+    # WRITERS hold the lock (r10), so on the same crash artifact they
+    # self-heal: roll the fold forward, then commit on top of it
+    base = vt.read_changes(spark, path, "k", from_version=0, to_version=3).drop("_v")
+    base.write.parquet(f"{path}/_tmp_compact_v3")
+    shutil.rmtree(f"{path}/{'v2'}")
+    v = vt.versioned_upsert(mk([(9, "z")]), path, "k")
+    assert v == 4
+    assert vt.table_versions(spark, path) == [3, 4]
+    healed = sorted(
+        tuple(r) for r in vt.read_version(spark, path, "k").collect()
+    )
+    assert healed == sorted(want + [(9, "z")])
 
 
 def test_versioned_upsert_rejects_duplicate_keys(spark, tmp_path):
