@@ -15,8 +15,13 @@ Elasticsearch index and a JSON backup file (reference ``scraper/main.py:246-280`
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# (path, mtime_ns, size, is_events) -> StructType; see load_table docstring
+_SCHEMA_CACHE: dict = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -30,10 +35,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same file (nanos→micros truncation; naive == UTC wall clock). The
     conf is runtime-settable SQL conf, so it is set HERE — not only in the
     session factory — to make the read work under any caller-supplied
-    SparkSession (e.g. a harness that builds its own vanilla session)."""
+    SparkSession (e.g. a harness that builds its own vanilla session).
+
+    Schema cache (r10): ``spark.read.parquet`` re-infers the schema from
+    the footer on EVERY call — a measured ~0.14 s constant per query
+    build on this box, i.e. most of the wall of any sub-second query
+    (the q_token_count anchor investigation). The inferred schema is
+    memoized per (resolved path, mtime, size) and replayed through
+    ``spark.read.schema(...)``, which skips footer inference; the mtime/
+    size key keeps an overwritten file from serving a stale schema."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = None
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_mtime_ns, st.st_size, name == "events")
+    except OSError:
+        pass  # non-local / multi-file source: fall through, no cache
+    if key is not None and key in _SCHEMA_CACHE:
+        df = spark.read.schema(_SCHEMA_CACHE[key]).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key is not None:
+            _SCHEMA_CACHE[key] = df.schema
     if name == "events":
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
