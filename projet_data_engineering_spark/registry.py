@@ -190,29 +190,46 @@ _R8_GREEN = {
     "q_try_cast", "q_string_agg", "q_histogram", "q_unpivot", "q_sample",
 }
 
-# Queries whose code, oracle, or executed plan changed in round 9: the
-# size-gated merge hints (whole pair-join dedup family + composed
-# curation), the versioned-table evolution/crash-aware rework, the CMS
-# join-size spine fix, the two-phase salted bottom-k (sampled
-# percentiles + KMV family), the fuzzy-index retirement (vocab layout +
-# banded serve touch both served BM25 queries), the utime fixture swap
-# in every 3-batch streaming query, and the two new queries
-# (q_time_travel_evolve, q_stream_stack). Their older driver evidence no
-# longer describes the current code, so they walk FIRST.
-_R9_CHANGED = {
-    "q_stream_stack", "q_time_travel_evolve", "q_cms_join_size",
-    "q_kmv_distinct", "q_percentile_sampled",
-    "q_bm25_served", "q_bm25_fuzzy_served",
-    "q_time_travel", "q_table_cdc", "q_stream_versioned",
-    "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_apply", "q_dedup_recall",
-    "q_dedup_canonical", "q_containment_pairs", "q_ngram_jaccard_pairs",
-    "q_curate", "q_curation_funnel", "q_dedup_clusters",
-    "q_dedup_clusters_lss", "q_stream_dedup_ingest", "q_stream_cms",
-    "q_stream_kmv", "q_stream_drift", "q_stream_ann_refresh",
-    "q_stream_pq_refresh",
+# Names the driver checked in round 9 (CORRECTNESS_r09.json: 49
+# hash-green + q_percentile_approx rows-only by design — the r9-changed
+# cohort plus the stalest TPC-H/stream names). Cumulatively r1-r9 covers
+# all 224 queries registered through round 9.
+_R9_GREEN = {
+    "q_dedup_minhash", "q_dedup_jaccard", "q_dedup_clusters",
+    "q_dedup_apply", "q_dedup_canonical", "q_ngram_jaccard_pairs",
+    "q_containment_pairs", "q_dedup_recall", "q_curate",
+    "q_curation_funnel", "q_stream_ann_refresh", "q_stream_cms",
+    "q_dedup_clusters_lss", "q_kmv_distinct", "q_percentile_sampled",
+    "q_cms_join_size", "q_stream_kmv", "q_stream_dedup_ingest",
+    "q_stream_drift", "q_stream_pq_refresh", "q_bm25_served",
+    "q_bm25_fuzzy_served", "q_stream_stack", "q_time_travel",
+    "q_time_travel_evolve", "q_table_cdc", "q_stream_versioned",
+    "q_stats", "q_percentile_approx", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_tpch_q15", "q_tpch_q19", "q_tpch_q22", "q_funnel",
+    "q_map_enrich", "q_media_resize", "q_media_frame_sample", "q_tpch_q5",
+    "q_tpch_q2", "q_tpch_q11", "q_tpch_q12", "q_tpch_q16", "q_tpch_q20",
+    "q_tpch_q21", "q_dup_spans", "q_dedup_incremental", "q_kmeans",
+    "q_simhash_pairs",
+}
+
+# Queries whose code, oracle, or executed plan changed in round 10: the
+# two NEW driver rows (q_crawl_frontier — the BFS frontier's first
+# oracle; q_media_pixels — the baseline-JPEG pixel decode), the
+# q_token_count rework (separator-count tokenize + derived avg), the
+# versioned-table writer-lock + deterministic sink dedup (every MVCC
+# query), the composed-oracle parameterization (stack + stream dedup),
+# and the BM25 layout_version stamp (both served queries rebuild their
+# index). Their older driver evidence no longer describes the current
+# code, so they walk FIRST.
+_R10_CHANGED = {
+    "q_crawl_frontier", "q_media_pixels", "q_token_count",
+    "q_stream_versioned", "q_time_travel", "q_time_travel_evolve",
+    "q_table_cdc", "q_stream_stack", "q_stream_dedup_ingest",
+    "q_bm25_served", "q_bm25_fuzzy_served", "q_upsert_merge",
 }
 
 _TIERS = (
+    (9, _R9_GREEN),
     (8, _R8_GREEN),
     (7, _R7_GREEN),
     (6, _R6_GREEN),
@@ -235,14 +252,14 @@ def _latest_evidence(name: str) -> int:
 
 def _ordered(names: list[str]) -> list[str]:
     """Walk order for a budget-limited (50 queries/round) driver sweep —
-    VERDICT r8 item 8: round-9-changed names first (their old evidence
-    describes code that no longer runs), then everything else STALEST
-    driver evidence first (never-checked, then latest=r1, r2, ... r8), so
-    the r9 sample re-proves the stalest cohort — 120+ queries were last
-    driver-sampled in r5/r6. Python's stable sort preserves registration
-    order within each tier."""
-    first = [n for n in names if n in _R9_CHANGED]
-    rest = [n for n in names if n not in _R9_CHANGED]
+    VERDICT r8 item 8 (continued each round): round-10-changed names
+    first (their old evidence describes code that no longer runs), then
+    everything else STALEST driver evidence first (never-checked, then
+    latest=r1, r2, ... r9) — 170+ queries were last driver-sampled
+    before r9, so the r10 sample re-proves the stalest cohort. Python's
+    stable sort preserves registration order within each tier."""
+    first = [n for n in names if n in _R10_CHANGED]
+    rest = [n for n in names if n not in _R10_CHANGED]
     rest.sort(key=_latest_evidence)
     return first + rest
 

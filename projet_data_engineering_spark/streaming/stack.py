@@ -198,7 +198,7 @@ def _stream_stack_oracle() -> str:
     # stages need vectors), and the two tables only cover the same ids at
     # some SFs (sf0.1: 2000 embeddings vs 6000 docs) — so the whole
     # acceptance/index/drift transcription must run over that same joined
-    # source, not the full documents table (ORACLE_NOTES.md rule).
+    # source, not the full documents table (docs/ORACLE_NOTES.md §5a).
     accept = stream_accept_ctes(src="src_docs")
     return f"""
     WITH src_docs AS (
