@@ -172,6 +172,15 @@ def dedup_ingest_batch(
             F.col(id_col), _wordset(text_col).alias("ws")
         ).withColumn("doc_bucket", doc_bucket)
 
+        # The three artifact writes are independent keyed-idempotent
+        # merges to DISTINCT paths and replay correctness is order-free —
+        # so thread-level concurrency WOULD be sound. Measured on
+        # local[32] it is a loss (evidence/bench_stack_sf1_conc_r10.json:
+        # parallel merges 0.92x, parallel downstream stages 0.62x — a
+        # single shared JVM's task slots just thrash across concurrent
+        # job DAGs), so the writes stay sequential; on a multi-executor
+        # cluster the same order-free property lets a scheduler pool
+        # overlap them if measurement there says otherwise.
         if path_exists(spark, accepted_path):
             merge_upsert_partitioned(
                 spark, accepted_path, acc_rows, id_col, "doc_bucket"

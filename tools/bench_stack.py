@@ -18,8 +18,12 @@ rests on:
   served artifacts updated (availableNow drains batches sequentially, so
   the lag IS the sum of stage walls for that batch).
 
-Usage: python tools/bench_stack.py [sf_dir] [n_batches] [out_json]
-Defaults: .localdata/sf1.0, 4 batches, print-only.
+Usage: python tools/bench_stack.py [sf_dir] [n_batches] [out_json] [--conc]
+Defaults: .localdata/sf1.0, 4 batches, print-only. ``--conc`` skips the
+per-stage instrumentation, which lets stack_ingest_batch take its
+PRODUCTION concurrent path (post-dedup stages in parallel + parallel
+dedup state merges) — the end-to-end lag is then the real serving number;
+without it, stages run sequentially so each one's wall is attributable.
 """
 
 from __future__ import annotations
@@ -66,9 +70,11 @@ def _state_rows(spark, base: str) -> dict:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".localdata/sf1.0"
-    n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    out_json = sys.argv[3] if len(sys.argv) > 3 else None
+    conc = "--conc" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else ".localdata/sf1.0"
+    n_batches = int(args[1]) if len(args) > 1 else 4
+    out_json = args[2] if len(args) > 2 else None
 
     import shutil
     import tempfile
@@ -93,6 +99,7 @@ def main() -> int:
     result = {
         "sf_dir": sf_dir,
         "n_batches": n_batches,
+        "mode": "concurrent" if conc else "sequential-stages",
         "batches": [],
     }
     try:
@@ -108,7 +115,10 @@ def main() -> int:
             n_rows = batch.count()
             stage_s: dict[str, float] = {}
             t0 = time.perf_counter()
-            stack_ingest_batch(batch, base, k, stage_seconds=stage_s)
+            stack_ingest_batch(
+                batch, base, k,
+                stage_seconds=None if conc else stage_s,
+            )
             lag = time.perf_counter() - t0
             rows = _state_rows(spark, base)
             rec = {
