@@ -9,12 +9,13 @@ stdlib-parsable container formats — BMP dimensions, RIFF/WAVE duration via
 per-scanline unfiltering), JPEG dimensions/precision via the marker walk
 (SOI → SOFn), and MP4/ISO-BMFF duration + track dimensions via the box walk
 (``moov``/``mvhd``/``tkhd``) in ``decode_media`` — and, since r10, FULL
-baseline-JPEG PIXEL decode (``_jpeg_decode_pixels``: canonical Huffman,
-byte unstuffing, restart intervals, dequant + IDCT, chroma upsampling,
-YCbCr→RGB) on stdlib + numpy alone. The remaining honest boundaries:
-progressive/arithmetic JPEG and MP4 SAMPLE decode stay metadata-only
-(px_sum None) — those genuinely need a codec library (PIL/pyav), which
-swaps in behind the same ``extract_features`` seam.
+JPEG PIXEL decode, baseline AND progressive (``_jpeg_decode_pixels``:
+canonical Huffman, byte unstuffing, restart intervals, multi-scan
+spectral selection + successive approximation, dequant + IDCT, chroma
+upsampling, YCbCr→RGB) on stdlib + numpy alone. The remaining honest
+boundaries: arithmetic-coded/12-bit/lossless JPEG and MP4 SAMPLE decode
+stay metadata-only (px_sum None) — those genuinely need a codec library
+(PIL/pyav), which swaps in behind the same ``extract_features`` seam.
 
 Scale notes:
 - payloads stay in executor memory exactly one Arrow batch at a time
@@ -263,19 +264,203 @@ def _jpeg_idct_mat():
     return A
 
 
+def _jpeg_scan_end(b: bytes, i: int) -> int:
+    """Index of the marker byte (0xFF) ending the entropy-coded segment
+    starting at ``i`` — skips stuffed 0xFF00 pairs and RSTn markers, which
+    belong to the scan."""
+    while i < len(b):
+        j = b.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(b):
+            return len(b)
+        nxt = b[j + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i = j + 2
+            continue
+        return j
+    return len(b)
+
+
+def _jpeg_decode_scan(
+    r: _JpegBits,
+    comps: list,
+    scomps: list,
+    coeffs: list,
+    huff: dict,
+    ri: int,
+    progressive: bool,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    geo: tuple,
+) -> None:
+    """Entropy-decode ONE scan into the persistent per-component
+    coefficient tensors (zigzag index space). Handles all four
+    progressive scan kinds (T.81 G.1.2: DC first/refine, AC first/refine
+    with EOB-run state) plus the baseline combined DC+AC scan; restart
+    intervals reset both the DC predictors and the EOB run."""
+    max_h, max_v, mcx, mcy, w, h = geo
+    interleaved = len(scomps) > 1
+    state = {"eob": 0}
+    preds = {ci: 0 for ci, _td, _ta in scomps}
+
+    def dc_decode(ci: int, row: int, col: int, dctab: dict) -> None:
+        blk = coeffs[ci][row][col]
+        if not progressive or ah == 0:  # first (or baseline) DC pass
+            s = _jpeg_huff_decode(r, dctab)
+            if s > 11:
+                raise NotImplementedError("malformed JPEG: DC category > 11")
+            preds[ci] += _jpeg_extend(r.bits(s), s)
+            blk[0] = preds[ci] << al
+        else:  # refinement: one bit
+            if r.bit():
+                blk[0] |= 1 << al
+
+    def ac_baseline(ci: int, row: int, col: int, actab: dict) -> None:
+        blk = coeffs[ci][row][col]
+        k = 1
+        while k < 64:
+            rs = _jpeg_huff_decode(r, actab)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise NotImplementedError("malformed JPEG: AC index overflow")
+            blk[k] = _jpeg_extend(r.bits(size), size)
+            k += 1
+
+    def ac_first(ci: int, row: int, col: int, actab: dict) -> None:
+        blk = coeffs[ci][row][col]
+        if state["eob"] > 0:
+            state["eob"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _jpeg_huff_decode(r, actab)
+            run, size = rs >> 4, rs & 15
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                state["eob"] = (1 << run) - 1
+                if run:
+                    state["eob"] += r.bits(run)
+                break
+            k += run
+            if k > se:
+                raise NotImplementedError("malformed JPEG: AC index overflow")
+            blk[k] = _jpeg_extend(r.bits(size), size) << al
+            k += 1
+
+    def ac_refine(ci: int, row: int, col: int, actab: dict) -> None:
+        # T.81 G.1.2.3: correction bits for known-nonzero coefficients,
+        # run-coded newly-nonzero insertions, EOB-run tail correction
+        blk = coeffs[ci][row][col]
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eob"] == 0:
+            while k <= se:
+                rs = _jpeg_huff_decode(r, actab)
+                run, size = rs >> 4, rs & 15
+                val = 0
+                if size:
+                    if size != 1:
+                        raise NotImplementedError(
+                            "malformed JPEG: refinement size > 1"
+                        )
+                    val = p1 if r.bit() else m1
+                elif run != 15:
+                    state["eob"] = 1 << run
+                    if run:
+                        state["eob"] += r.bits(run)
+                    break
+                # advance over `run` zero-history positions, emitting a
+                # correction bit at every nonzero-history one passed
+                while k <= se:
+                    if blk[k] != 0:
+                        if r.bit() and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eob"] > 0:
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bit() and (blk[k] & p1) == 0:
+                        blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            state["eob"] -= 1
+
+    def decode_block(ci: int, row: int, col: int, td: int, ta: int) -> None:
+        if not progressive:
+            dc_decode(ci, row, col, huff[(0, td)])
+            ac_baseline(ci, row, col, huff[(1, ta)])
+        elif ss == 0:
+            dc_decode(ci, row, col, huff[(0, td)])
+        else:
+            ac_refine(ci, row, col, huff[(1, ta)]) if ah else ac_first(
+                ci, row, col, huff[(1, ta)]
+            )
+
+    def restart_if_due(unit: int) -> None:
+        if ri and unit and unit % ri == 0:
+            r.restart()
+            for ci in preds:
+                preds[ci] = 0
+            state["eob"] = 0
+
+    if interleaved:
+        for my in range(mcy):
+            for mx in range(mcx):
+                restart_if_due(my * mcx + mx)
+                for ci, td, ta in scomps:
+                    _cid, hf, vf, _tq = comps[ci]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            decode_block(
+                                ci, my * vf + by, mx * hf + bx, td, ta
+                            )
+    else:
+        # non-interleaved: raster over the component's OWN (un-padded)
+        # block grid — ceil(comp_px / 8), not the MCU-padded grid
+        ci, td, ta = scomps[0]
+        _cid, hf, vf, _tq = comps[ci]
+        comp_w = -(-(w * hf) // max_h)  # ceil(w * hf / max_h) px
+        comp_h = -(-(h * vf) // max_v)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        for row in range(bh):
+            for col in range(bw):
+                restart_if_due(row * bw + col)
+                decode_block(ci, row, col, td, ta)
+
+
 def _jpeg_decode_pixels(b: bytes):
-    """Baseline (SOF0) JPEG pixel decode on stdlib + numpy alone — the
-    codec path that closes the r9-declared stub. Parses DQT/DHT/SOF0/DRI/
-    SOS, entropy-decodes the scan (canonical Huffman, 0xFF00 unstuffing,
-    RSTn restart intervals with DC-predictor reset), dequantizes,
-    dezigzags, applies the float 8x8 IDCT, replication-upsamples
-    subsampled chroma, converts YCbCr->RGB (ITU BT.601 constants, the
-    JFIF formula), and crops to the frame dimensions.
+    """JPEG pixel decode on stdlib + numpy alone — the codec path that
+    closed the r9-declared stub, extended in r10 from baseline-only to
+    FULL PROGRESSIVE (SOF2): the multi-scan marker walk segments every
+    entropy-coded scan, ``_jpeg_decode_scan`` accumulates coefficients
+    across scans (spectral selection bands, successive-approximation
+    first passes and refinement passes, EOB-run state, per-scan huffman
+    table redefinition), and one dequant + float 8x8 IDCT +
+    replication-upsample + BT.601 YCbCr->RGB pass renders the final
+    tensor. Canonical Huffman, 0xFF00 unstuffing, and RSTn restart
+    intervals (DC-predictor + EOB-run reset) are shared with the
+    baseline path, which is now just the one-scan special case.
 
     Returns (height, width, ncomp, pixels) with pixels a uint8 ndarray of
     shape (h, w, ncomp). Raises NotImplementedError for anything beyond
-    baseline sequential 8-bit (progressive, arithmetic, 12-bit,
-    hierarchical) — callers treat those as metadata-only.
+    8-bit huffman sequential/progressive (arithmetic coding, 12-bit,
+    hierarchical, >3 components) — callers treat those as metadata-only.
 
     Scale note: this is a per-payload Python path behind the same
     ``extract_features`` mapInPandas seam as every decoder here —
@@ -286,11 +471,14 @@ def _jpeg_decode_pixels(b: bytes):
     qt: dict[int, object] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
-    scan = None
+    progressive = False
     ri = 0
-    data = b""
+    coeffs = None
+    geo = None
+    comps: list = []
+    n_scans = 0
     off = 2
-    while off + 4 <= len(b):
+    while off + 2 <= len(b):
         if b[off] != 0xFF:
             raise NotImplementedError("malformed JPEG: lost marker sync")
         m = b[off + 1]
@@ -298,6 +486,8 @@ def _jpeg_decode_pixels(b: bytes):
             off += 2
             continue
         if m == 0xD9:
+            break
+        if off + 4 > len(b):
             break
         seglen = struct.unpack_from(">H", b, off + 2)[0]
         seg = b[off + 4 : off + 2 + seglen]
@@ -311,7 +501,7 @@ def _jpeg_decode_pixels(b: bytes):
                     np.int32
                 )
                 p += 65
-        elif m == 0xC4:  # DHT (may carry several tables)
+        elif m == 0xC4:  # DHT (may carry several tables, may follow scans)
             p = 0
             while p < len(seg):
                 tc, th = seg[p] >> 4, seg[p] & 15
@@ -321,7 +511,8 @@ def _jpeg_decode_pixels(b: bytes):
                     bits, seg[p + 17 : p + 17 + n]
                 )
                 p += 17 + n
-        elif m == 0xC0:  # SOF0 — baseline sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / prog.
+            progressive = m == 0xC2
             prec = seg[0]
             h, w = struct.unpack_from(">HH", seg, 1)
             if prec != 8:
@@ -330,87 +521,105 @@ def _jpeg_decode_pixels(b: bytes):
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
+            if not (1 <= len(comps) <= 3):
+                raise NotImplementedError("unsupported component count")
+            max_h = max(c[1] for c in comps)
+            max_v = max(c[2] for c in comps)
+            mcx = -(-w // (8 * max_h))
+            mcy = -(-h // (8 * max_v))
             frame = (h, w, comps)
-        elif 0xC1 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
-            raise NotImplementedError("non-baseline JPEG (progressive?)")
+            geo = (max_h, max_v, mcx, mcy, w, h)
+            coeffs = [
+                [
+                    [[0] * 64 for _ in range(mcx * hf)]
+                    for _ in range(mcy * vf)
+                ]
+                for _cid, hf, vf, _tq in comps
+            ]
+        elif 0xC3 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
+            raise NotImplementedError(
+                "JPEG beyond huffman sequential/progressive"
+            )
         elif m == 0xDD:
             ri = struct.unpack_from(">H", seg, 0)[0]
-        elif m == 0xDA:  # SOS: component->table map, then entropy data
+        elif m == 0xDA:  # one scan: header + entropy segment
+            if frame is None:
+                raise NotImplementedError("malformed JPEG: SOS before SOF")
             ns = seg[0]
-            scan = [
-                (seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15)
-                for c in range(ns)
-            ]
-            data = b[off + 2 + seglen :]
-            break
+            scomps = []
+            for c in range(ns):
+                cid = seg[1 + 2 * c]
+                td, ta = seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 15
+                ci = next(
+                    (i for i, cc in enumerate(comps) if cc[0] == cid), None
+                )
+                if ci is None:
+                    raise NotImplementedError(
+                        "malformed JPEG: scan names unknown component"
+                    )
+                scomps.append((ci, td, ta))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            elif ss == 0 and se != 0:
+                raise NotImplementedError("malformed JPEG: bad DC scan Se")
+            elif ss > 0 and len(scomps) != 1:
+                raise NotImplementedError(
+                    "malformed JPEG: interleaved AC scan"
+                )
+            for ci, td, ta in scomps:
+                need = [(0, td)] if (ss == 0 and ah == 0) or not progressive else []
+                if (not progressive) or ss > 0:
+                    need.append((1, ta))
+                for key in need:
+                    if key not in huff:
+                        raise NotImplementedError(
+                            "malformed JPEG: missing huffman table"
+                        )
+            start = off + 2 + seglen
+            end = _jpeg_scan_end(b, start)
+            _jpeg_decode_scan(
+                _JpegBits(b[start:end]),
+                comps,
+                scomps,
+                coeffs,
+                huff,
+                ri,
+                progressive,
+                ss,
+                se,
+                ah,
+                al,
+                geo,
+            )
+            n_scans += 1
+            off = end
+            continue
         off += 2 + seglen
-    if frame is None or scan is None:
-        raise NotImplementedError("malformed JPEG: missing SOF0/SOS")
+    if frame is None or n_scans == 0:
+        raise NotImplementedError("malformed JPEG: missing SOF/SOS")
     h, w, comps = frame
-    if not (1 <= len(comps) <= 3) or len(scan) != len(comps):
-        raise NotImplementedError("unsupported JPEG component layout")
-    max_h = max(c[1] for c in comps)
-    max_v = max(c[2] for c in comps)
-    mcx = -(-w // (8 * max_h))
-    mcy = -(-h // (8 * max_v))
+    max_h, max_v, mcx, mcy, _w, _h = geo
     A = _jpeg_idct_mat()
     zz = np.array(_JPEG_ZIGZAG)
-    planes = []
-    tabs = []
-    for cid, hf, vf, tq in comps:
-        sc = next((s for s in scan if s[0] == cid), None)
-        if sc is None or tq not in qt:
-            raise NotImplementedError("malformed JPEG: scan/table mismatch")
-        if (0, sc[1]) not in huff or (1, sc[2]) not in huff:
-            raise NotImplementedError("malformed JPEG: missing huffman table")
-        tabs.append((huff[(0, sc[1])], huff[(1, sc[2])], qt[tq]))
-        planes.append(np.zeros((mcy * vf * 8, mcx * hf * 8), np.float64))
-    r = _JpegBits(data)
-    preds = [0] * len(comps)
-    for my in range(mcy):
-        for mx in range(mcx):
-            mcu_idx = my * mcx + mx
-            if ri and mcu_idx and mcu_idx % ri == 0:
-                r.restart()
-                preds = [0] * len(comps)
-            for ci, (cid, hf, vf, tq) in enumerate(comps):
-                dctab, actab, q = tabs[ci]
-                for by in range(vf):
-                    for bx in range(hf):
-                        s = _jpeg_huff_decode(r, dctab)
-                        if s > 11:
-                            raise NotImplementedError(
-                                "malformed JPEG: DC category > 11"
-                            )
-                        preds[ci] += _jpeg_extend(r.bits(s), s)
-                        coef = np.zeros(64, np.int64)
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = _jpeg_huff_decode(r, actab)
-                            run, size = rs >> 4, rs & 15
-                            if size == 0:
-                                if run == 15:  # ZRL: 16 zeros
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += run
-                            if k > 63:
-                                raise NotImplementedError(
-                                    "malformed JPEG: AC index overflow"
-                                )
-                            coef[k] = _jpeg_extend(r.bits(size), size)
-                            k += 1
-                        blk = np.zeros(64, np.float64)
-                        blk[zz] = coef * q
-                        out = A.T @ blk.reshape(8, 8) @ A + 128.0
-                        y0 = (my * vf + by) * 8
-                        x0 = (mx * hf + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = out
     full = []
     for ci, (cid, hf, vf, tq) in enumerate(comps):
+        if tq not in qt:
+            raise NotImplementedError("malformed JPEG: missing quant table")
+        q = qt[tq]
+        plane = np.zeros((mcy * vf * 8, mcx * hf * 8), np.float64)
+        for row in range(mcy * vf):
+            for col in range(mcx * hf):
+                coef = np.array(coeffs[ci][row][col], np.int64)
+                blk = np.zeros(64, np.float64)
+                blk[zz] = coef * q
+                plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
+                    A.T @ blk.reshape(8, 8) @ A + 128.0
+                )
         p = np.repeat(
-            np.repeat(planes[ci], max_v // vf, axis=0), max_h // hf, axis=1
+            np.repeat(plane, max_v // vf, axis=0), max_h // hf, axis=1
         )
         full.append(p[:h, :w])
     if len(full) == 3:
@@ -1004,7 +1213,8 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS media_id,
            'image/jpeg' AS mime,
-           CAST(140 + 2 * MAX(bw) * MAX(bh) AS BIGINT) AS n_bytes,
+           CAST(140 + (2 - doc_id % 2) * MAX(bw) * MAX(bh) AS BIGINT)
+               AS n_bytes,
            CAST(MAX(bw) * 8 AS INT) AS width,
            CAST(MAX(bh) * 8 AS INT) AS height,
            CAST(8 AS INT) AS bit_depth,
@@ -1014,12 +1224,14 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL baseline-JPEG PIXEL decode end-to-end (r10: the capability
-    that closes the last declared codec stub). Complete baseline JPEGs —
-    SOI, DQT (flat q=8), SOF0, two DHTs (a 1-bit DC category-7 code and
-    an 8-bit AC EOB code), SOS, a genuine Huffman-coded entropy stream of
-    DC-only blocks, EOI — are assembled JVM-side byte-for-byte from
-    document columns (``unhex``), cross the Arrow boundary, and
+    """REAL JPEG PIXEL decode end-to-end (r10: the capability that closes
+    the last declared codec stub). Complete JPEGs — SOI, DQT (flat q=8),
+    SOF0 for even doc_ids / SOF2 PROGRESSIVE for odd (a DC-only first
+    scan, so one driver row exercises both entropy-coding modes through
+    the same multi-scan decoder), two DHTs (a 1-bit DC category-7 code
+    and an 8-bit AC EOB code), SOS, a genuine Huffman-coded entropy
+    stream of DC-only blocks, EOI — are assembled JVM-side byte-for-byte
+    from document columns (``unhex``), cross the Arrow boundary, and
     ``_jpeg_decode_pixels`` entropy-decodes them inside ``mapInPandas``:
     canonical Huffman table construction, bit-level scan decode, T.81
     EXTEND sign recovery, DC prediction across blocks, dequantization,
@@ -1032,9 +1244,13 @@ def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     DC past 127 exercises the decoder's output clamp, which the SQL
     mirrors exactly with LEAST/GREATEST). Any bit-packing,
     Huffman, EXTEND, predictor, dequant or IDCT bug breaks the hash.
-    AC coefficients, ZRL, byte stuffing, restart intervals and 4:2:0
-    chroma are pinned against an independent encoder + four-loop
-    reference IDCT in tests/test_multimodal.py.
+    AC coefficients, ZRL, byte stuffing, restart intervals, 4:2:0
+    chroma, and the full progressive machinery (spectral-selection
+    bands, successive-approximation first + refinement passes on DC and
+    AC, EOB runs) are pinned against an independent encoder + four-loop
+    reference IDCT in tests/test_multimodal.py — progressive is verified
+    equal, pixel for pixel, to the baseline encoding of the same
+    coefficients.
 
     Reference parity: the reference never decodes media at all
     (scraper/main.py:150-164 stores image URLs as strings); this makes
@@ -1045,6 +1261,8 @@ def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     bh = F.col("doc_id") % 2 + 1
     n_blocks = bw * bh
 
+    prog = F.pmod(F.col("doc_id"), F.lit(2)) == 1  # odd ids: SOF2 variant
+
     def entropy_byte(k):
         m = F.pmod(F.col("doc_id") * 37 + k * 53, F.lit(64))
         return F.when(F.pmod(k, F.lit(2)) == 0, m + 64).otherwise(63 - m)
@@ -1052,8 +1270,11 @@ def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy_hex = F.array_join(
         F.transform(
             F.sequence(F.lit(0), n_blocks - 1),
+            # baseline blocks append the 8-bit EOB; a progressive DC scan
+            # (Ss=Se=0) carries no AC symbols at all — 1 byte per block
             lambda k: F.concat(
-                F.lpad(F.hex(entropy_byte(k)), 2, "0"), F.lit("00")
+                F.lpad(F.hex(entropy_byte(k)), 2, "0"),
+                F.when(prog, F.lit("")).otherwise(F.lit("00")),
             ),
         ),
         "",
@@ -1061,13 +1282,17 @@ def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     jpeg_hex = F.concat(
         F.lit("FFD8"),                          # SOI
         F.lit("FFDB004300" + "08" * 64),        # DQT: flat q=8, table 0
-        F.lit("FFC0000B08"),                    # SOF0, len 11, precision 8
+        # SOF0 (baseline) for even ids, SOF2 (progressive) for odd —
+        # one driver row exercises BOTH entropy-coding modes
+        F.when(prog, F.lit("FFC2000B08")).otherwise(F.lit("FFC0000B08")),
         _be_hex(bh * 8, 2), _be_hex(bw * 8, 2),
         F.lit("01"), F.lit("011100"),           # 1 component, 1x1, qtable 0
         F.lit("FFC40014" + "00" + "01" + "00" * 15 + "07"),  # DC DHT: cat 7 @ 1 bit
         F.lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"),  # AC DHT: EOB @ 8 bits
         F.lit("FFDA0008"), F.lit("01"),         # SOS, 1 component
-        F.lit("0100"), F.lit("003F00"),         # comp 1 tables 0/0, Ss/Se/AhAl
+        F.lit("0100"),                          # comp 1, tables 0/0
+        # baseline full-band scan header vs progressive DC-only scan
+        F.when(prog, F.lit("000000")).otherwise(F.lit("003F00")),
         entropy_hex,
         F.lit("FFD9"),                          # EOI
     )

@@ -677,12 +677,21 @@ def test_jpeg_restart_markers_and_byte_stuffing():
 def test_jpeg_nonbaseline_and_scanless_keep_metadata_only():
     from projet_data_engineering_spark.operators.multimodal import decode_media
 
-    # progressive: dimensions decode, px_sum honestly None
+    # scanless progressive header (no DQT/DHT/SOS): dimensions decode,
+    # px_sum honestly None (r10: progressive WITH a scan pixel-decodes —
+    # see the _ProgEncoder round-trip tests)
     meta = decode_media(_jpeg(33, 7, progressive=True))
     assert meta["width"] == 33 and meta["px_sum"] is None
-    # header-only fixture (no DQT/DHT/SOS): same metadata-only contract
+    # header-only baseline fixture: same metadata-only contract
     meta = decode_media(_jpeg(1024, 768))
     assert meta["px_sum"] is None and meta["width"] == 1024
+    # arithmetic-coded frames (SOF9) are a real codec boundary: the
+    # pixel path refuses, the marker walk still yields dimensions
+    b = bytearray(_jpeg(12, 9))
+    i = b.find(bytes.fromhex("FFC0"))
+    b[i + 1] = 0xC9
+    meta = decode_media(bytes(b))
+    assert meta["px_sum"] is None and meta["width"] == 12
     # a corrupt entropy-adjacent payload still never raises raw errors
     b = bytearray(_encode_jpeg(8, 8, [(1, 1, 1, 0)], {0: _q64(1)}, _coefs))
     truncated = bytes(b[: len(b) // 2])
@@ -690,3 +699,269 @@ def test_jpeg_nonbaseline_and_scanless_keep_metadata_only():
         decode_media(truncated)
     except NotImplementedError:
         pass  # acceptable: malformed
+
+
+# --- progressive JPEG (r10): test-side multi-scan encoder -------------------
+
+def _p_sign_trunc(c, al):
+    t = (c if c >= 0 else -c) >> al
+    return t if c >= 0 else -t
+
+
+class _ProgEncoder:
+    """Baseline-table progressive encoder: DC first + successive DC
+    refinements, per-component spectral-band AC first passes + successive
+    AC refinements (the libjpeg-style scan script), per-block EOB runs of
+    1, optional restart intervals."""
+
+    def __init__(self, w, h, comps, qts, coef_fn, dc_al=1, ac_al=1,
+                 bands=((1, 5), (6, 63)), ri=0):
+        self.w, self.h, self.comps, self.qts = w, h, comps, qts
+        self.coef_fn, self.dc_al, self.ac_al = coef_fn, dc_al, ac_al
+        self.bands, self.ri = bands, ri
+        self.maxh = max(c[1] for c in comps)
+        self.maxv = max(c[2] for c in comps)
+        self.mcx = -(-w // (8 * self.maxh))
+        self.mcy = -(-h // (8 * self.maxv))
+
+    def _sos(self, scomps, ss, se, ah, al):
+        import struct
+
+        out = bytearray(b"\xff\xda")
+        out += struct.pack(">H", 6 + 2 * len(scomps))
+        out += bytes([len(scomps)])
+        for cid in scomps:
+            out += bytes([cid, 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        return out
+
+    def _comp_grid(self, ci):
+        _cid, hf, vf, _tq = self.comps[ci]
+        return (-(-(-(-(self.w * hf) // self.maxh)) // 8),
+                -(-(-(-(self.h * vf) // self.maxv)) // 8))
+
+    def _scan_dc_first(self, out):
+        import struct
+
+        out += self._sos([c[0] for c in self.comps], 0, 0, 0, self.dc_al)
+        bw_ = _BitW()
+        preds = [0] * len(self.comps)
+        rst = 0
+        for my in range(self.mcy):
+            for mx in range(self.mcx):
+                idx = my * self.mcx + mx
+                if self.ri and idx and idx % self.ri == 0:
+                    bw_.align(); out += bw_.out; bw_ = _BitW()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)]); rst += 1
+                    preds = [0] * len(self.comps)
+                for ci, (cid, hf, vf, tq) in enumerate(self.comps):
+                    for by in range(vf):
+                        for bx in range(hf):
+                            z = self.coef_fn(ci, my * vf + by, mx * hf + bx)
+                            dc = z[0] >> self.dc_al
+                            diff = dc - preds[ci]
+                            preds[ci] = dc
+                            s = _cat(diff)
+                            ln, c = _DCTAB[s]
+                            bw_.put(c, ln)
+                            if s:
+                                bw_.put(
+                                    diff if diff >= 0
+                                    else diff + (1 << s) - 1, s)
+        bw_.align(); out += bw_.out
+
+    def _scan_dc_refine(self, out, al):
+        out += self._sos([c[0] for c in self.comps], 0, 0, al + 1, al)
+        bw_ = _BitW()
+        rst = 0
+        for my in range(self.mcy):
+            for mx in range(self.mcx):
+                idx = my * self.mcx + mx
+                if self.ri and idx and idx % self.ri == 0:
+                    bw_.align(); out += bw_.out; bw_ = _BitW()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)]); rst += 1
+                for ci, (cid, hf, vf, tq) in enumerate(self.comps):
+                    for by in range(vf):
+                        for bx in range(hf):
+                            z = self.coef_fn(ci, my * vf + by, mx * hf + bx)
+                            bw_.put((z[0] >> al) & 1, 1)
+        bw_.align(); out += bw_.out
+
+    def _scan_ac_first(self, out, ci, ss, se):
+        out += self._sos([self.comps[ci][0]], ss, se, 0, self.ac_al)
+        bw_ = _BitW()
+        gw, gh = self._comp_grid(ci)
+        rst = 0
+        for row in range(gh):
+            for col in range(gw):
+                idx = row * gw + col
+                if self.ri and idx and idx % self.ri == 0:
+                    bw_.align(); out += bw_.out; bw_ = _BitW()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)]); rst += 1
+                z = self.coef_fn(ci, row, col)
+                vals = [_p_sign_trunc(z[k], self.ac_al) for k in range(64)]
+                k, r = ss, 0
+                while k <= se:
+                    v = vals[k]
+                    if v == 0:
+                        r += 1; k += 1; continue
+                    while r > 15:
+                        ln, c = _ACTAB[0xF0]; bw_.put(c, ln); r -= 16
+                    s = _cat(v)
+                    ln, c = _ACTAB[(r << 4) | s]; bw_.put(c, ln)
+                    bw_.put(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0; k += 1
+                if r > 0:
+                    ln, c = _ACTAB[0x00]; bw_.put(c, ln)  # EOB run of 1
+        bw_.align(); out += bw_.out
+
+    def _scan_ac_refine(self, out, ci, ss, se, al):
+        out += self._sos([self.comps[ci][0]], ss, se, al + 1, al)
+        bw_ = _BitW()
+        gw, gh = self._comp_grid(ci)
+        rst = 0
+        for row in range(gh):
+            for col in range(gw):
+                idx = row * gw + col
+                if self.ri and idx and idx % self.ri == 0:
+                    bw_.align(); out += bw_.out; bw_ = _BitW()
+                    out += bytes([0xFF, 0xD0 + (rst % 8)]); rst += 1
+                z = self.coef_fn(ci, row, col)
+                absv = [(z[k] if z[k] >= 0 else -z[k]) >> al
+                        for k in range(64)]
+                eobpos = ss - 1
+                for k in range(ss, se + 1):
+                    if absv[k] == 1:
+                        eobpos = k
+                r, br = 0, []
+                for k in range(ss, se + 1):
+                    t = absv[k]
+                    if t == 0:
+                        r += 1; continue
+                    while r > 15 and k <= eobpos:
+                        ln, c = _ACTAB[0xF0]; bw_.put(c, ln); r -= 16
+                        for bit in br:
+                            bw_.put(bit, 1)
+                        br = []
+                    if t > 1:  # history-nonzero: buffer a correction bit
+                        br.append(t & 1); continue
+                    ln, c = _ACTAB[(r << 4) | 1]; bw_.put(c, ln)
+                    bw_.put(1 if z[k] > 0 else 0, 1)  # sign of new coef
+                    for bit in br:
+                        bw_.put(bit, 1)
+                    br, r = [], 0
+                if r > 0 or br:
+                    ln, c = _ACTAB[0x00]; bw_.put(c, ln)  # EOB run of 1
+                    for bit in br:
+                        bw_.put(bit, 1)
+        bw_.align(); out += bw_.out
+
+    def encode(self):
+        import struct
+
+        out = bytearray(b"\xff\xd8")
+        for tq, q in self.qts.items():
+            out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+                    + bytes(q))
+        out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * len(self.comps))
+        out += b"\x08" + struct.pack(">HH", self.h, self.w)
+        out += bytes([len(self.comps)])
+        for cid, hf, vf, tq in self.comps:
+            out += bytes([cid, (hf << 4) | vf, tq])
+
+        def dht(tc, syms):
+            bits = [0] * 16
+            bits[7] = len(syms)
+            return (b"\xff\xc4" + struct.pack(">H", 19 + len(syms))
+                    + bytes([tc << 4]) + bytes(bits) + bytes(syms))
+
+        out += dht(0, _DC_SYMS) + dht(1, _AC_SYMS)
+        if self.ri:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, self.ri)
+        self._scan_dc_first(out)
+        for al in range(self.dc_al - 1, -1, -1):
+            self._scan_dc_refine(out, al)
+        for ci in range(len(self.comps)):
+            for ss, se in self.bands:
+                self._scan_ac_first(out, ci, ss, se)
+        for al in range(self.ac_al - 1, -1, -1):
+            for ci in range(len(self.comps)):
+                for ss, se in self.bands:
+                    self._scan_ac_refine(out, ci, ss, se, al)
+        out += b"\xff\xd9"
+        return bytes(out)
+
+
+def test_jpeg_progressive_gray_equals_baseline():
+    """Full progressive decode (spectral selection + successive
+    approximation): the same coefficients encoded as SOF2 multi-scan
+    (DC first Al=2 + two refinements; two AC bands, first pass Al=1 +
+    refinement) must decode to EXACTLY the pixels of the baseline
+    encoding — the baseline path is pinned against the reference IDCT,
+    so progressive is verified transitively."""
+    from projet_data_engineering_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+        decode_media,
+    )
+
+    w, h = 20, 13
+    comps = [(1, 1, 1, 0)]
+    qts = {0: _q64(1)}
+    base = _encode_jpeg(w, h, comps, qts, _coefs)
+    prog = _ProgEncoder(
+        w, h, comps, qts, _coefs, dc_al=2, ac_al=1
+    ).encode()
+    hb, wb, nb, pxb = _jpeg_decode_pixels(base)
+    hp, wp, np_, pxp = _jpeg_decode_pixels(prog)
+    assert (hp, wp, np_) == (hb, wb, nb) == (h, w, 1)
+    assert (pxp == pxb).all()
+    meta = decode_media(prog)
+    assert meta["px_sum"] == int(pxb.astype("int64").sum())
+
+
+def test_jpeg_progressive_color_420_equals_baseline():
+    from projet_data_engineering_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+    )
+
+    w, h = 20, 13
+    comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    qts = {0: _q64(1), 1: _q64(2)}
+
+    def coefs(ci, brow, bcol):
+        # zero the padding blocks outside each component's own grid so the
+        # baseline (which encodes the full MCU-padded grid) and progressive
+        # (whose AC scans cover only the real grid) agree bit-for-bit even
+        # in the cropped-away margin
+        maxh = max(c[1] for c in comps)
+        maxv = max(c[2] for c in comps)
+        _cid, hf, vf, _tq = comps[ci]
+        gw = -(-(-(-(w * hf) // maxh)) // 8)
+        gh = -(-(-(-(h * vf) // maxv)) // 8)
+        if brow >= gh or bcol >= gw:
+            return [0] * 64
+        return _coefs(ci, brow, bcol)
+
+    base = _encode_jpeg(w, h, comps, qts, coefs)
+    prog = _ProgEncoder(w, h, comps, qts, coefs, dc_al=1, ac_al=1).encode()
+    _, _, _, pxb = _jpeg_decode_pixels(base)
+    _, _, _, pxp = _jpeg_decode_pixels(prog)
+    assert (pxp == pxb).all()
+
+
+def test_jpeg_progressive_restart_intervals():
+    from projet_data_engineering_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+    )
+
+    w, h = 48, 16
+    comps = [(1, 1, 1, 0)]
+    qts = {0: _q64(1)}
+    base = _encode_jpeg(w, h, comps, qts, _coefs)
+    prog = _ProgEncoder(
+        w, h, comps, qts, _coefs, dc_al=1, ac_al=1, ri=3
+    ).encode()
+    assert any(bytes([0xFF, 0xD0 + i]) in prog for i in range(8))
+    _, _, _, pxb = _jpeg_decode_pixels(base)
+    _, _, _, pxp = _jpeg_decode_pixels(prog)
+    assert (pxp == pxb).all()
