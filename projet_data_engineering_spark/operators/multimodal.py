@@ -71,10 +71,15 @@ FEATURE_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
         StructField("duration_ms", LongType(), True),
         StructField("bit_depth", IntegerType(), True),
-        # PNG + baseline JPEG: sum of the fully-decoded pixel bytes —
-        # nonsense unless inflate/entropy-decode and every reconstruction
-        # step (unfilter / IDCT / upsample / colorspace) were done right
+        # PNG + JPEG (baseline AND progressive): sum of the fully-decoded
+        # pixel bytes — nonsense unless inflate/entropy-decode and every
+        # reconstruction step (unfilter / IDCT / upsample / colorspace)
+        # were done right
         StructField("px_sum", LongType(), True),
+        # WAV PCM-16 (r10): sum of the decoded signed samples when the
+        # data chunk's payload is actually present — the uncompressed
+        # audio analogue of px_sum; None for header-only/compressed audio
+        StructField("sample_sum", LongType(), True),
     ]
 )
 
@@ -708,17 +713,39 @@ def _decode_media(payload: bytes) -> dict:
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         byte_rate = None
         bits = None
+        fmt_code = None
         data_size = None
+        data_off = None
         off = 12
         while off + 8 <= len(b):
             cid, sz = struct.unpack_from("<4sI", b, off)
             if cid == b"fmt " and off + 24 <= len(b):
+                fmt_code = struct.unpack_from("<H", b, off + 8)[0]
                 byte_rate = struct.unpack_from("<I", b, off + 16)[0]
                 bits = struct.unpack_from("<H", b, off + 22)[0]
             elif cid == b"data":
                 data_size = sz
+                data_off = off + 8
             off += 8 + sz + (sz & 1)  # chunks are word-aligned
         if byte_rate and data_size is not None:
+            sample_sum = None
+            # REAL PCM-16 sample decode (r10) when the data payload is
+            # actually present — header-only fixtures declare a size
+            # without carrying samples and honestly stay None
+            if (
+                fmt_code == 1
+                and bits == 16
+                and data_off is not None
+                and data_off + data_size <= len(b)
+                and data_size >= 2
+            ):
+                import numpy as np
+
+                sample_sum = int(
+                    np.frombuffer(
+                        b, "<i2", count=data_size // 2, offset=data_off
+                    ).sum(dtype=np.int64)
+                )
             return {
                 "mime": "audio/wav",
                 "width": None,
@@ -726,6 +753,7 @@ def _decode_media(payload: bytes) -> dict:
                 "duration_ms": data_size * 1000 // byte_rate,
                 "bit_depth": bits,
                 "px_sum": None,
+                "sample_sum": sample_sum,
             }
         raise NotImplementedError("malformed WAV: missing fmt/data chunk")
     if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -889,7 +917,7 @@ def extract_features(media: DataFrame) -> DataFrame:
         for pdf in it:
             n_bytes, checksums, features = [], [], []
             mimes, widths, heights, durations = [], [], [], []
-            depths, px_sums = [], []
+            depths, px_sums, sample_sums = [], [], []
             # one pass, one digest per payload (checksum + features share it)
             for b in pdf["payload"]:
                 try:
@@ -902,6 +930,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                 durations.append(meta.get("duration_ms"))
                 depths.append(meta.get("bit_depth"))
                 px_sums.append(meta.get("px_sum"))
+                sample_sums.append(meta.get("sample_sum"))
                 if b is None:
                     n_bytes.append(0)
                     checksums.append(hashlib.md5(b"").hexdigest()[:8])
@@ -925,6 +954,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "duration_ms": pd.array(durations, dtype="Int64"),
                     "bit_depth": pd.array(depths, dtype="Int32"),
                     "px_sum": pd.array(px_sums, dtype="Int64"),
+                    "sample_sum": pd.array(sample_sums, dtype="Int64"),
                 }
             )
 
@@ -1304,6 +1334,78 @@ def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).select(
         "media_id", "mime", "n_bytes", "width", "height", "bit_depth",
         "px_sum",
+    )
+
+
+@query(
+    "q_media_audio",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id, n_chars % 64 + 16 AS n FROM documents
+    ),
+    s AS (
+        SELECT doc_id, n,
+               ((doc_id * 73 + t.k * 129) % 65536) - 32768 AS v
+        FROM g, UNNEST(generate_series(0, n - 1)) AS t(k)
+    )
+    SELECT doc_id AS media_id,
+           'audio/wav' AS mime,
+           CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+           CAST(MAX(n) // 8 AS BIGINT) AS duration_ms,
+           CAST(16 AS INT) AS bit_depth,
+           CAST(SUM(v) AS BIGINT) AS sample_sum
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM SAMPLE decode end-to-end (r10): complete mono 16-bit
+    8 kHz WAV files — RIFF/fmt/data chunks AND the actual little-endian
+    signed sample payload — are assembled JVM-side byte-for-byte from
+    document columns (``unhex``), cross the Arrow boundary, and
+    ``decode_media`` walks the chunks and sums the decoded int16 samples
+    inside ``mapInPandas``. The oracle recomputes the signed sample sum
+    (and the duration the byte_rate math implies) from the generating
+    formula, so a chunk-offset, endianness, or sign-extension bug breaks
+    the hash. This is the uncompressed-audio analogue of
+    ``q_media_pixels``: with PNG + baseline/progressive JPEG pixels and
+    PCM samples all genuinely decoded, the remaining codec boundary is
+    exactly the formats that need external codec libraries."""
+    d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
+    n = F.col("n_chars") % 64 + 16
+    data_size = n * 2
+
+    def sample_hex(k):
+        u = F.pmod(F.col("doc_id") * 73 + k * 129, F.lit(65536))
+        # two's-complement-16 of (u - 32768) is (u + 32768) % 65536
+        return _le_hex(F.pmod(u + 32768, F.lit(65536)), 2)
+
+    samples_hex = F.array_join(
+        F.transform(F.sequence(F.lit(0), n - 1), sample_hex), ""
+    )
+    wav_hex = F.concat(
+        F.lit("52494646"),              # 'RIFF'
+        _le_hex(data_size + 36, 4),     # riff size
+        F.lit("57415645"),              # 'WAVE'
+        F.lit("666D7420"),              # 'fmt '
+        _le_hex(F.lit(16), 4),          # fmt chunk size
+        F.lit("0100"),                  # PCM
+        F.lit("0100"),                  # mono
+        _le_hex(F.lit(8000), 4),        # sample rate
+        _le_hex(F.lit(16000), 4),       # byte rate
+        F.lit("0200"),                  # block align
+        F.lit("1000"),                  # 16 bits/sample
+        F.lit("64617461"),              # 'data'
+        _le_hex(data_size, 4),
+        samples_hex,                    # the REAL payload
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.unhex(wav_hex).alias("payload"),
+    )
+    return extract_features(media).select(
+        "media_id", "mime", "n_bytes", "duration_ms", "bit_depth",
+        "sample_sum",
     )
 
 

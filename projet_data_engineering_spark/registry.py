@@ -222,7 +222,8 @@ _R9_GREEN = {
 # index). Their older driver evidence no longer describes the current
 # code, so they walk FIRST.
 _R10_CHANGED = {
-    "q_crawl_frontier", "q_media_pixels", "q_token_count",
+    "q_crawl_frontier", "q_media_pixels", "q_media_audio",
+    "q_token_count",
     "q_stream_versioned", "q_time_travel", "q_time_travel_evolve",
     "q_table_cdc", "q_stream_stack", "q_stream_dedup_ingest",
     "q_bm25_served", "q_bm25_fuzzy_served", "q_upsert_merge",

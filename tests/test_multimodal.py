@@ -965,3 +965,32 @@ def test_jpeg_progressive_restart_intervals():
     _, _, _, pxb = _jpeg_decode_pixels(base)
     _, _, _, pxp = _jpeg_decode_pixels(prog)
     assert (pxp == pxb).all()
+
+
+def test_decode_media_wav_pcm_sample_sum():
+    """r10: when the data chunk's payload is actually present, decode_media
+    sums the decoded signed 16-bit samples (LE, two's complement) — the
+    uncompressed-audio analogue of the pixel sums. Header-only fixtures
+    (declared size, no payload) and non-PCM16 formats stay None."""
+    import struct
+
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    payload = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    data = b"data" + struct.pack("<I", len(payload)) + payload
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = decode_media(wav)
+    assert meta["sample_sum"] == sum(samples)
+    assert meta["duration_ms"] == len(payload) * 1000 // 16000
+    # header-only (size declared, samples absent): honest None
+    assert decode_media(_wav(2, 8000, 48000))["sample_sum"] is None
+    # 8-bit PCM is outside the PCM-16 decode path: None, not garbage
+    fmt8 = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    data8 = b"data" + struct.pack("<I", 4) + bytes([1, 2, 3, 4])
+    body8 = b"WAVE" + fmt8 + data8
+    assert decode_media(
+        b"RIFF" + struct.pack("<I", len(body8)) + body8
+    )["sample_sum"] is None
