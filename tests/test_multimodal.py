@@ -994,3 +994,30 @@ def test_decode_media_wav_pcm_sample_sum():
     assert decode_media(
         b"RIFF" + struct.pack("<I", len(body8)) + body8
     )["sample_sum"] is None
+
+
+def test_jpeg_progressive_scan_script_sweep():
+    """Sweep the progressive scan-script space (DC/AC successive-
+    approximation depths, band splits, restart intervals): every variant
+    must decode pixel-identical to the baseline encoding of the same
+    coefficients."""
+    from projet_data_engineering_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+    )
+
+    w, h = 24, 11
+    comps = [(1, 1, 1, 0)]
+    qts = {0: _q64(1)}
+    _, _, _, pxb = _jpeg_decode_pixels(_encode_jpeg(w, h, comps, qts, _coefs))
+    scripts = [
+        dict(dc_al=0, ac_al=0, bands=((1, 63),)),           # pure spectral
+        dict(dc_al=1, ac_al=0, bands=((1, 63),)),           # DC SA only
+        dict(dc_al=0, ac_al=2, bands=((1, 63),)),           # deep AC SA
+        dict(dc_al=3, ac_al=1, bands=((1, 2), (3, 9), (10, 63))),
+        dict(dc_al=1, ac_al=1, bands=((1, 63),), ri=2),     # restarts
+        dict(dc_al=2, ac_al=2, bands=((1, 5), (6, 63)), ri=5),
+    ]
+    for script in scripts:
+        prog = _ProgEncoder(w, h, comps, qts, _coefs, **script).encode()
+        _, _, _, pxp = _jpeg_decode_pixels(prog)
+        assert (pxp == pxb).all(), script
