@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "q_cms_counts",     # Count-Min frequency sketch, one-digest buckets (r8)
     "q_time_travel",    # MVCC versioned table: AS-OF + latest reads (r8)
     "q_stream_versioned",  # exactly-once versioned streaming sink (r8)
+    "q_crawl_frontier", # distributed BFS crawl over a file:// minisite (r10)
+    "q_media_pixels",   # baseline+progressive JPEG entropy decode (r10)
+    "q_media_audio",    # WAV PCM-16 sample decode (r10)
 ]
 
 # The 24-query set benched in round 1 (BENCH_r01/BASELINE.md anchor). The
