@@ -331,6 +331,7 @@ def acquire_merge_lock(
         }
     )
     last_err: Exception | None = None
+    saw_contention = False
     for _ in range(3):  # extra passes: stale-lock steal / release race
         try:
             out = fs.create(_hpath(jvm, lockpath), False)
@@ -345,6 +346,7 @@ def acquire_merge_lock(
                 # constantly) — retry the create rather than re-raising the
                 # raw contention error as if it were an IO failure
                 continue
+            saw_contention = True
             try:
                 holder = _json.loads(_read_small_file(spark, lockpath))
             except Exception:
@@ -355,6 +357,12 @@ def acquire_merge_lock(
                     f"@{holder.get('host')} (lease {lease_sec}s not expired)"
                 ) from None
             fs.delete(_hpath(jvm, lockpath), False)
+    if not saw_contention and last_err is not None:
+        # the lock file never existed and create still failed every pass:
+        # a PERMANENT IO problem (permissions, read-only mount), not
+        # contention — re-raise it rather than teaching callers to retry
+        # a failure that can never succeed (review r10)
+        raise last_err
     raise ConcurrentWriteError(
         f"{path}: could not acquire writer lock"
     ) from last_err

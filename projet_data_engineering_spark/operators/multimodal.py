@@ -258,15 +258,23 @@ def _jpeg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+_JPEG_CONST = {}  # lazy per-process cache: IDCT matrix + zigzag index array
+
+
 def _jpeg_idct_mat():
     import numpy as np
 
-    # A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); IDCT2(F) = A^T @ F @ A
-    x = np.arange(8)
-    u = np.arange(8).reshape(8, 1)
-    A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
-    A[0] *= 1 / np.sqrt(2)
-    return A
+    if "A" not in _JPEG_CONST:
+        # A[u, x] = c(u)/2 * cos((2x+1) u pi / 16); IDCT2(F) = A^T @ F @ A
+        x = np.arange(8)
+        u = np.arange(8).reshape(8, 1)
+        A = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+        A[0] *= 1 / np.sqrt(2)
+        # cached: the sf10 q_media_pixels run decodes 500k payloads per
+        # pass — rebuilding constants per payload was measurable waste
+        _JPEG_CONST["A"] = A
+        _JPEG_CONST["zz"] = np.array(_JPEG_ZIGZAG)
+    return _JPEG_CONST["A"]
 
 
 def _jpeg_scan_end(b: bytes, i: int) -> int:
@@ -410,7 +418,11 @@ def _jpeg_decode_scan(
             dc_decode(ci, row, col, huff[(0, td)])
             ac_baseline(ci, row, col, huff[(1, ta)])
         elif ss == 0:
-            dc_decode(ci, row, col, huff[(0, td)])
+            # refinement reads raw bits — T.81 ignores the DC table
+            # selector there, and the table need not exist (review r10)
+            dc_decode(
+                ci, row, col, huff[(0, td)] if ah == 0 else None
+            )
         else:
             ac_refine(ci, row, col, huff[(1, ta)]) if ah else ac_first(
                 ci, row, col, huff[(1, ta)]
@@ -526,10 +538,17 @@ def _jpeg_decode_pixels(b: bytes):
             for c in range(seg[5]):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            if not (1 <= len(comps) <= 3):
+            if len(comps) not in (1, 3):
+                # 2-component frames have no defined colorspace here and
+                # the render path would silently sum one plane (review r10)
                 raise NotImplementedError("unsupported component count")
             max_h = max(c[1] for c in comps)
             max_v = max(c[2] for c in comps)
+            for _cid, hf, vf, _tq in comps:
+                if hf < 1 or vf < 1 or max_h % hf or max_v % vf:
+                    raise NotImplementedError(
+                        "non-integer chroma sampling ratio"
+                    )
             mcx = -(-w // (8 * max_h))
             mcy = -(-h // (8 * max_v))
             frame = (h, w, comps)
@@ -608,7 +627,7 @@ def _jpeg_decode_pixels(b: bytes):
     h, w, comps = frame
     max_h, max_v, mcx, mcy, _w, _h = geo
     A = _jpeg_idct_mat()
-    zz = np.array(_JPEG_ZIGZAG)
+    zz = _JPEG_CONST["zz"]  # populated by the _jpeg_idct_mat() call above
     full = []
     for ci, (cid, hf, vf, tq) in enumerate(comps):
         if tq not in qt:
@@ -795,14 +814,18 @@ def _decode_media(payload: bytes) -> dict:
         }
     if b[:2] == b"\xff\xd8":
         px_sum = None
-        try:  # full baseline pixel decode (r10: the former declared stub)
+        try:  # full pixel decode (r10: the former declared stub)
             _h, _w, _nc, px = _jpeg_decode_pixels(b)
             import numpy as np
 
             px_sum = int(px.sum(dtype=np.int64))
-        except NotImplementedError:
-            # metadata-only fallback: header fixtures without a scan,
-            # progressive/extended frames — dimensions still decode below
+        except Exception:
+            # Pixel decode is OPPORTUNISTIC: any failure — declared
+            # boundary (NotImplementedError) OR a raw parser error from a
+            # corrupt scan (review r10: truncated DHT/DQT raised
+            # IndexError/ValueError here and destroyed the metadata that
+            # r9 decoded fine) — falls back to the marker-walk metadata
+            # below, which independently decides malformed-ness.
             pass
         off = 2
         while off + 4 <= len(b):

@@ -116,6 +116,10 @@ def stack_ingest_batch(
     acc_batch = batch.join(
         spark.read.parquet(accepted_path).select("doc_id"), "doc_id", "semi"
     ).localCheckpoint(eager=True)
+    # own timing bucket: this semi-join + eager checkpoint is a real job
+    # (re-reads the growing accepted store) that previously landed in the
+    # bm25 stage's number and skewed the per-stage evidence (review r10)
+    _mark("accept")
     vecs = acc_batch.select(
         F.col("doc_id").alias("vec_id"), "embedding"
     )

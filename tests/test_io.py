@@ -1159,3 +1159,22 @@ def test_versioned_auto_compact_policy(spark, tmp_path):
     assert vt.auto_compact(spark, path, "k", max_versions=1, protect_last=0) == 5
     assert vt.table_versions(spark, path) == [5]
     assert sorted(tuple(r) for r in vt.read_version(spark, path, "k").collect()) == want
+
+
+def test_merge_lock_permanent_io_failure_is_not_contention(spark, tmp_path):
+    """Review r10: a create that fails every pass while the lock file
+    NEVER exists is a permanent IO problem (here: a path component is a
+    plain file), not contention — the raw error must surface instead of
+    ConcurrentWriteError teaching callers to retry forever."""
+    import pytest as _pytest
+
+    from projet_data_engineering_spark.io import (
+        ConcurrentWriteError,
+        acquire_merge_lock,
+    )
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file, not a table dir")
+    with _pytest.raises(Exception) as exc:
+        acquire_merge_lock(spark, str(blocker / "table"))
+    assert not isinstance(exc.value, ConcurrentWriteError), exc.value

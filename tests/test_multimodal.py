@@ -1021,3 +1021,70 @@ def test_jpeg_progressive_scan_script_sweep():
         prog = _ProgEncoder(w, h, comps, qts, _coefs, **script).encode()
         _, _, _, pxp = _jpeg_decode_pixels(prog)
         assert (pxp == pxb).all(), script
+
+
+def test_jpeg_corrupt_scan_falls_back_to_metadata():
+    """Review r10: pixel decode is opportunistic — a corrupt scan
+    (truncated DHT, short DQT, 2-component frame, non-integer sampling
+    ratios, refinement scan naming an undefined DC table) must fall back
+    to the marker-walk metadata, never destroy it with a raw error."""
+    import struct
+
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    # (a) truncated DHT: bits counts exceed the symbol bytes present
+    b = bytearray(_encode_jpeg(8, 8, [(1, 1, 1, 0)], {0: _q64(1)}, _coefs))
+    i = b.find(b"\xff\xc4")
+    seglen = struct.unpack_from(">H", b, i + 2)[0]
+    mutated = bytes(b[: i + 4]) + bytes([0] * 7 + [99] + [0] * 8) + bytes(
+        b[i + 20 : ]
+    )
+    meta = decode_media(mutated)
+    assert meta["width"] == 8 and meta["px_sum"] is None
+
+    # (b) 2-component frame: would silently sum one plane — metadata only
+    two = _encode_jpeg(8, 8, [(1, 1, 1, 0), (2, 1, 1, 0)], {0: _q64(1)},
+                       lambda ci, r, c: [0] * 64)
+    meta = decode_media(two)
+    assert meta["width"] == 8 and meta["px_sum"] is None
+
+    # (c) non-integer sampling ratio (3x1 luma over 2x1 chroma)
+    odd = _encode_jpeg(24, 8, [(1, 3, 1, 0), (2, 2, 1, 0), (3, 1, 1, 0)],
+                       {0: _q64(1)}, lambda ci, r, c: [0] * 64)
+    meta = decode_media(odd)
+    assert meta["width"] == 24 and meta["px_sum"] is None
+
+
+def test_jpeg_dc_refinement_ignores_dc_table_selector():
+    """T.81 ignores the DC table selector in refinement passes; a scan
+    header carrying an undefined Td there must still decode (review r10:
+    the table lookup was unconditional and raised KeyError)."""
+    import struct
+
+    from projet_data_engineering_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+        decode_media,
+    )
+
+    w, h = 16, 8
+    comps = [(1, 1, 1, 0)]
+    qts = {0: _q64(1)}
+    prog = bytearray(
+        _ProgEncoder(w, h, comps, qts, _coefs, dc_al=1, ac_al=0,
+                     bands=((1, 63),)).encode()
+    )
+    # find the SECOND SOS (the DC refinement scan) and point Td at table 9
+    first = prog.find(b"\xff\xda")
+    second = prog.find(b"\xff\xda", first + 2)
+    assert second > 0
+    # SOS layout: FFDA len(2) ns cid tdta ...: tdta at second+6
+    assert prog[second + 5] == 1  # component id
+    prog[second + 6] = 0x90       # Td=9 (undefined), Ta=0
+    _, _, _, pxp = _jpeg_decode_pixels(bytes(prog))
+    _, _, _, pxb = _jpeg_decode_pixels(
+        _encode_jpeg(w, h, comps, qts, _coefs)
+    )
+    assert (pxp == pxb).all()
+    assert decode_media(bytes(prog))["px_sum"] == int(
+        pxb.astype("int64").sum()
+    )

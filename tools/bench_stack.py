@@ -20,10 +20,11 @@ rests on:
 
 Usage: python tools/bench_stack.py [sf_dir] [n_batches] [out_json] [--conc]
 Defaults: .localdata/sf1.0, 4 batches, print-only. ``--conc`` skips the
-per-stage instrumentation, which lets stack_ingest_batch take its
-PRODUCTION concurrent path (post-dedup stages in parallel + parallel
-dedup state merges) — the end-to-end lag is then the real serving number;
-without it, stages run sequentially so each one's wall is attributable.
+per-stage instrumentation and reports end-to-end lag only. (It existed to
+measure a thread-concurrent stage path that r10 tried and REMOVED after
+it measured 0.62x on local[32] — `evidence/bench_stack_sf1_conc_r10.json`
+captures that run from the commit where the path existed; today both
+modes execute the same sequential stages.)
 """
 
 from __future__ import annotations
@@ -99,7 +100,7 @@ def main() -> int:
     result = {
         "sf_dir": sf_dir,
         "n_batches": n_batches,
-        "mode": "concurrent" if conc else "sequential-stages",
+        "mode": "lag-only" if conc else "sequential-stages",
         "batches": [],
     }
     try:
