@@ -86,14 +86,25 @@ FEATURE_SCHEMA = StructType(
 N_FEATURES = 8
 
 
-# PNG color type -> samples per pixel (8-bit depths; palette needs PLTE)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type -> samples per pixel (3 = palette: one index per pixel)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
+def _png_unfilter(
+    raw: bytes, height: int, stride: int, bpp: int, offset: int = 0
+) -> bytes:
     """Undo the per-scanline PNG filters (types 0-4: None/Sub/Up/Average/
-    Paeth, bpp = channels at 8-bit depth) over the inflated byte stream.
-    Returns the reconstructed pixel bytes, row-major.
+    Paeth) over ``height`` filtered rows of ``stride`` bytes starting at
+    ``offset`` in the inflated stream (r10: generalized from the 8-bit
+    whole-image case so sub-byte/16-bit rows and Adam7 interlace passes
+    share it — ``bpp`` is the filter's pixel byte-width, 1 for sub-byte
+    depths). Returns the reconstructed bytes, row-major.
 
     This is the engine's only per-byte Python hot path, so the filters with
     no left-neighbor data dependency are numpy-vectorized (uint8 arithmetic
@@ -107,13 +118,11 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
     a real image library behind the same ``extract_features`` seam."""
     import numpy as np
 
-    bpp = channels
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
+    if len(raw) < offset + height * (stride + 1):
         raise NotImplementedError("malformed PNG: truncated pixel data")
-    rows = np.frombuffer(raw, np.uint8, count=height * (stride + 1)).reshape(
-        height, stride + 1
-    )
+    rows = np.frombuffer(
+        raw, np.uint8, count=height * (stride + 1), offset=offset
+    ).reshape(height, stride + 1)
     ftypes = rows[:, 0]
     if (ftypes > 4).any():
         bad = int(ftypes[ftypes > 4][0])
@@ -126,7 +135,8 @@ def _png_unfilter(raw: bytes, width: int, height: int, channels: int) -> bytes:
             line = rows[r, 1:]
         elif ftype == 1:  # Sub: modular prefix-sum with stride bpp
             line = np.add.accumulate(
-                rows[r, 1:].reshape(width, bpp), axis=0, dtype=np.uint8
+                rows[r, 1:].reshape(stride // bpp, bpp), axis=0,
+                dtype=np.uint8,
             ).reshape(stride)
         elif ftype == 2:  # Up
             line = rows[r, 1:] + prev  # uint8 add wraps mod 256
@@ -691,10 +701,14 @@ def _decode_media(payload: bytes) -> dict:
       chunk walk with ``struct`` (IHDR dims/depth/color type, IDAT
       concatenation), ``zlib.decompress`` of the IDAT stream (adler32
       verified by zlib; chunk CRCs are not checked — decode-tolerant), and
-      per-scanline unfiltering (all five filter types). ``px_sum`` = sum of
-      the reconstructed pixel bytes, which is only right if inflate AND
-      unfilter both worked. 8-bit gray/RGB/GA/RGBA; palette, 16-bit and
-      interlaced images raise.
+      per-scanline unfiltering (all five filter types). The FULL format
+      space decodes (r10): every legal depth/color-type pair — 1/2/4/8-bit
+      grayscale and palette (PLTE index mapping), 8/16-bit gray/RGB/GA/
+      RGBA — plus Adam7 interlace (seven independently-filtered
+      sub-images deinterlaced on the pass grid). ``px_sum`` = sum of the
+      decoded SAMPLE values (mapped RGB bytes for palette; 16-bit images
+      sum 16-bit samples), which is only right if inflate AND unfilter
+      AND any index/deinterlace step all worked.
 
     - JPEG (``FF D8`` SOI): walks the marker stream — standalone markers
       (RSTn/TEM) are skipped, sized segments advance by their big-endian
@@ -778,8 +792,11 @@ def _decode_media(payload: bytes) -> dict:
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         import zlib
 
+        import numpy as np
+
         w = h = None
         depth = ctype = interlace = None
+        plte = None
         idat = bytearray()
         off = 8
         while off + 8 <= len(b):
@@ -789,6 +806,8 @@ def _decode_media(payload: bytes) -> dict:
                 w, h = struct.unpack_from(">II", data, 0)
                 depth, ctype = data[8], data[9]
                 interlace = data[12]
+            elif ctag == b"PLTE":
+                plte = np.frombuffer(data, np.uint8)
             elif ctag == b"IDAT":
                 idat += data
             elif ctag == b"IEND":
@@ -796,21 +815,78 @@ def _decode_media(payload: bytes) -> dict:
             off += 12 + length  # len + type + data + crc
         if w is None:
             raise NotImplementedError("malformed PNG: no IHDR")
-        if depth != 8 or ctype not in _PNG_CHANNELS or interlace != 0:
-            raise NotImplementedError(
-                "PNG beyond the stdlib decoder: palette/16-bit/interlaced"
-            )
+        ok_depths = {
+            0: (1, 2, 4, 8, 16),  # grayscale
+            2: (8, 16),           # RGB
+            3: (1, 2, 4, 8),      # palette indices
+            4: (8, 16),           # gray+alpha
+            6: (8, 16),           # RGBA
+        }
+        if (
+            ctype not in _PNG_CHANNELS
+            or depth not in ok_depths[ctype]
+            or interlace not in (0, 1)
+            or (ctype == 3 and (plte is None or len(plte) % 3))
+        ):
+            raise NotImplementedError("malformed/unsupported PNG header")
+        channels = _PNG_CHANNELS[ctype]
         raw = zlib.decompress(bytes(idat))
-        recon = _png_unfilter(raw, w, h, _PNG_CHANNELS[ctype])
-        import numpy as np
 
+        def sub_image(offset: int, sw: int, sh: int):
+            """Unfilter + sample-extract one (sub)image; returns
+            (samples int64 ndarray (sh, sw*channels), bytes consumed)."""
+            stride = (sw * channels * depth + 7) // 8
+            bpp = max(1, channels * depth // 8)
+            recon = _png_unfilter(raw, sh, stride, bpp, offset)
+            arr = np.frombuffer(recon, np.uint8).reshape(sh, stride)
+            if depth == 8:
+                samples = arr.astype(np.int64)
+            elif depth == 16:
+                samples = (
+                    arr.reshape(sh, stride // 2, 2).astype(np.int64)
+                )
+                samples = samples[:, :, 0] * 256 + samples[:, :, 1]
+            else:  # 1/2/4-bit packed samples, MSB first
+                bits = np.unpackbits(arr, axis=1)
+                per = depth
+                n = sw * channels
+                groups = bits[:, : n * per].reshape(sh, n, per)
+                weights = (1 << np.arange(per - 1, -1, -1)).astype(np.int64)
+                samples = groups.astype(np.int64) @ weights
+            return samples[:, : sw * channels], sh * (stride + 1)
+
+        if interlace == 0:
+            samples, _used = sub_image(0, w, h)
+        else:  # Adam7: seven independently-filtered sub-images
+            img = np.zeros((h, w, channels), np.int64)
+            pos = 0
+            for x0, y0, dx, dy in _PNG_ADAM7:
+                sw = (w - x0 + dx - 1) // dx
+                sh = (h - y0 + dy - 1) // dy
+                if sw <= 0 or sh <= 0:
+                    continue
+                sub, used = sub_image(pos, sw, sh)
+                pos += used
+                img[y0::dy, x0::dx, :] = sub.reshape(sh, sw, channels)
+            samples = img.reshape(h, w * channels)
+        if ctype == 3:
+            # palette indices -> RGB triples; px_sum over the mapped bytes
+            pal = plte.reshape(-1, 3).astype(np.int64)
+            idx = samples.reshape(-1)
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                raise NotImplementedError("malformed PNG: palette overflow")
+            px_sum = int(pal[idx].sum())
+        else:
+            # px_sum over the raw decoded SAMPLE values (16-bit images sum
+            # their 16-bit samples; sub-byte grayscale its 0..2^d-1 values)
+            px_sum = int(samples.sum())
         return {
             "mime": "image/png",
             "width": w,
             "height": h,
             "duration_ms": None,
             "bit_depth": depth,
-            "px_sum": int(np.frombuffer(recon, np.uint8).sum(dtype=np.int64)),
+            "px_sum": px_sum,
         }
     if b[:2] == b"\xff\xd8":
         px_sum = None

@@ -190,25 +190,163 @@ def test_decode_media_png_full_pixel_roundtrip():
     assert decode_media(rgba)["px_sum"] == want_rgba
 
 
-def test_decode_media_png_unsupported_variants_raise():
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
     import struct
     import zlib
+
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data)))
+
+
+def _png_full(width, height, depth=8, ctype=0, interlace=0, plte=None,
+              pixel=None):
+    """Full-featured test-side PNG builder (r10): any legal depth/color-
+    type combination, optional palette, optional Adam7 interlace (the
+    builder interlaces the passes itself, filtering each sub-image with
+    cycling filter types). ``pixel(x, y, ch)`` -> sample value. Returns
+    (png_bytes, expected px_sum under decode_media's documented
+    semantics: mapped-RGB bytes for palette, raw sample values else)."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    maxval = (1 << depth) - 1
+    pixel = pixel or (lambda x, y, ch: (x * 7 + y * 13 + ch * 31) % (maxval + 1))
+
+    def pack_row(xs, y):
+        """Samples of one sub-image row -> packed scanline bytes."""
+        vals = [pixel(x, y, ch) for x in xs for ch in range(channels)]
+        if depth == 8:
+            return bytes(vals)
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in vals)
+        out = bytearray()
+        acc = nbits = 0
+        for v in vals:
+            acc = (acc << depth) | v
+            nbits += depth
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    bpp = max(1, channels * depth // 8)
+
+    def filter_sub(rows):
+        stream = bytearray()
+        prev = bytes(len(rows[0])) if rows else b""
+        for r, line in enumerate(rows):
+            f = r % 5
+            stream.append(f)
+            for i in range(len(line)):
+                a = line[i - bpp] if i >= bpp else 0
+                b_ = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b_
+                elif f == 3:
+                    pred = (a + b_) >> 1
+                else:
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = (a if pa <= pb and pa <= pc
+                            else (b_ if pb <= pc else c))
+                stream.append((line[i] - pred) & 0xFF)
+            prev = line
+        return stream
+
+    stream = bytearray()
+    if interlace == 0:
+        rows = [pack_row(range(width), y) for y in range(height)]
+        stream += filter_sub(rows)
+    else:
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        for x0, y0, dx, dy in passes:
+            xs = list(range(x0, width, dx))
+            ys = list(range(y0, height, dy))
+            if not xs or not ys:
+                continue
+            stream += filter_sub([pack_row(xs, y) for y in ys])
+
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, ctype, 0, 0,
+                       interlace)
+    png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        png += _png_chunk(b"PLTE", bytes(plte))
+    png += _png_chunk(b"IDAT", zlib.compress(bytes(stream), 6))
+    png += _png_chunk(b"IEND", b"")
+
+    if ctype == 3:
+        want = sum(
+            plte[3 * pixel(x, y, 0) + c]
+            for y in range(height) for x in range(width) for c in range(3)
+        )
+    else:
+        want = sum(
+            pixel(x, y, ch)
+            for y in range(height) for x in range(width)
+            for ch in range(channels)
+        )
+    return png, want
+
+
+def test_decode_media_png_palette_16bit_and_adam7():
+    """r10: the former PNG boundaries — palette indices (with sub-byte
+    depths), 16-bit samples, and Adam7 interlace — now genuinely decode;
+    px_sum is defined over mapped-RGB bytes for palette and raw sample
+    values otherwise."""
+    from projet_data_engineering_spark.operators.multimodal import decode_media
+
+    # 16-bit grayscale and 16-bit RGB
+    for ctype in (0, 2):
+        png, want = _png_full(9, 5, depth=16, ctype=ctype)
+        meta = decode_media(png)
+        assert meta["px_sum"] == want and meta["bit_depth"] == 16
+    # palette at 8/4/2/1-bit index depths
+    plte = [(i * 37) % 256 for i in range(48)]  # 16 RGB entries
+    for depth in (8, 4, 2, 1):
+        n = min(16, 1 << depth)
+        png, want = _png_full(
+            11, 6, depth=depth, ctype=3, plte=plte,
+            pixel=lambda x, y, ch, n=n: (x + y * 3) % n,
+        )
+        meta = decode_media(png)
+        assert meta["px_sum"] == want, depth
+    # sub-byte grayscale
+    for depth in (1, 2, 4):
+        png, want = _png_full(13, 4, depth=depth, ctype=0)
+        assert decode_media(png)["px_sum"] == want, depth
+    # Adam7 across shapes and color types (incl. dims smaller than a pass)
+    for w, h, d, ct in [(11, 7, 8, 0), (16, 16, 8, 6), (3, 2, 8, 2),
+                        (9, 5, 16, 0), (10, 9, 4, 0)]:
+        png, want = _png_full(w, h, depth=d, ctype=ct, interlace=1)
+        meta = decode_media(png)
+        assert meta["px_sum"] == want, (w, h, d, ct)
+        assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_decode_media_png_still_rejects_garbage_headers():
+    import struct
 
     import pytest as _pytest
 
     from projet_data_engineering_spark.operators.multimodal import decode_media
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data)))
-
-    # 16-bit depth and interlaced images are beyond the stdlib decoder
     for ihdr in [
-        struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0),   # 16-bit
-        struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0),    # palette
-        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1),    # Adam7
+        struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0),   # 16-bit palette
+        struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0),    # depth 3
+        struct.pack(">IIBBBBB", 2, 2, 8, 5, 0, 0, 0),    # color type 5
+        struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2),    # interlace 2
+        struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0),    # palette, no PLTE
     ]:
-        png = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        png = b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
         with _pytest.raises(NotImplementedError):
             decode_media(png)
 
