@@ -344,7 +344,15 @@ def acquire_merge_lock(
                 # the holder released between our failed create and this
                 # probe (r10: a live compactor/writer race hits this window
                 # constantly) — retry the create rather than re-raising the
-                # raw contention error as if it were an IO failure
+                # raw contention error as if it were an IO failure. When
+                # the create itself failed with already-exists, this IS
+                # contention (r11 advice: three release races in a row
+                # must exhaust into ConcurrentWriteError, which callers
+                # retry — not the raw create error, which they rightly
+                # treat as permanent); any OTHER create failure with no
+                # lock on disk stays in the permanent-IO taxonomy.
+                if "xists" in str(e):  # FileAlreadyExistsException
+                    saw_contention = True
                 continue
             saw_contention = True
             try:

@@ -270,6 +270,11 @@ def _jpeg_extend(v: int, s: int) -> int:
 
 _JPEG_CONST = {}  # lazy per-process cache: IDCT matrix + zigzag index array
 
+# Declared decode boundary: frames past 64 MP raise NotImplementedError at
+# the SOF header (BEFORE any coefficient allocation), so an adversarial
+# 65500x65500 header costs bytes-of-header, not a multi-GB numpy alloc.
+_JPEG_MAX_PIXELS = 64_000_000
+
 
 def _jpeg_idct_mat():
     import numpy as np
@@ -559,17 +564,23 @@ def _jpeg_decode_pixels(b: bytes):
                     raise NotImplementedError(
                         "non-integer chroma sampling ratio"
                     )
+            if w < 1 or h < 1:
+                raise NotImplementedError("malformed JPEG: zero dimension")
+            if w * h > _JPEG_MAX_PIXELS:
+                # a corrupt/adversarial header declaring e.g. 65500x65500
+                # would otherwise trigger a multi-GB coefficient
+                # allocation that can OOM the executor before any
+                # opportunistic except catches it (r10 advice)
+                raise NotImplementedError(
+                    f"JPEG larger than {_JPEG_MAX_PIXELS} px: {w}x{h}"
+                )
             mcx = -(-w // (8 * max_h))
             mcy = -(-h // (8 * max_v))
             frame = (h, w, comps)
             geo = (max_h, max_v, mcx, mcy, w, h)
-            coeffs = [
-                [
-                    [[0] * 64 for _ in range(mcx * hf)]
-                    for _ in range(mcy * vf)
-                ]
-                for _cid, hf, vf, _tq in comps
-            ]
+            # coefficient tensors are allocated LAZILY at the first SOS
+            # (below) — a metadata-only/truncated payload that never
+            # reaches a scan pays nothing for the frame header alone
         elif 0xC3 <= m <= 0xCF and m not in (0xC4, 0xC8, 0xCC):
             raise NotImplementedError(
                 "JPEG beyond huffman sequential/progressive"
@@ -612,6 +623,11 @@ def _jpeg_decode_pixels(b: bytes):
                         raise NotImplementedError(
                             "malformed JPEG: missing huffman table"
                         )
+            if coeffs is None:  # first scan: allocate the tensors now
+                coeffs = [
+                    np.zeros((mcy * vf, mcx * hf, 64), np.int32)
+                    for _cid, hf, vf, _tq in comps
+                ]
             start = off + 2 + seglen
             end = _jpeg_scan_end(b, start)
             _jpeg_decode_scan(
@@ -642,16 +658,17 @@ def _jpeg_decode_pixels(b: bytes):
     for ci, (cid, hf, vf, tq) in enumerate(comps):
         if tq not in qt:
             raise NotImplementedError("malformed JPEG: missing quant table")
-        q = qt[tq]
-        plane = np.zeros((mcy * vf * 8, mcx * hf * 8), np.float64)
-        for row in range(mcy * vf):
-            for col in range(mcx * hf):
-                coef = np.array(coeffs[ci][row][col], np.int64)
-                blk = np.zeros(64, np.float64)
-                blk[zz] = coef * q
-                plane[row * 8 : row * 8 + 8, col * 8 : col * 8 + 8] = (
-                    A.T @ blk.reshape(8, 8) @ A + 128.0
-                )
+        q = qt[tq].astype(np.float64)
+        bh_, bw_ = mcy * vf, mcx * hf
+        # vectorized dequant + zigzag scatter + 2D IDCT across ALL blocks
+        # of the plane at once (r11: the per-block Python loop was the
+        # render-pass bottleneck once coeffs became numpy tensors)
+        deq = coeffs[ci].astype(np.float64) * q
+        nat = np.zeros_like(deq)
+        nat[:, :, zz] = deq  # zigzag index space -> natural order
+        blocks = nat.reshape(bh_, bw_, 8, 8)
+        spatial = np.einsum("ij,rcjk,kl->rcil", A.T, blocks, A) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(bh_ * 8, bw_ * 8)
         p = np.repeat(
             np.repeat(plane, max_v // vf, axis=0), max_h // hf, axis=1
         )
@@ -672,23 +689,31 @@ def _jpeg_decode_pixels(b: bytes):
     return h, w, len(comps), px
 
 
-def decode_media(payload: bytes) -> dict:
+def decode_media(payload: bytes, want_pixels: bool = True) -> dict:
     """Public wrapper: any malformed payload raises ``NotImplementedError``,
     never a raw ``struct.error``/``zlib.error``/``IndexError`` from a
     truncated or corrupt container. That guarantee is what keeps ONE bad
     payload in a 100 TB corpus from killing its whole Arrow batch (and with
     it the task): ``extract_features`` catches exactly
     ``NotImplementedError`` and records the row as undecodable. Fuzz-pinned
-    by ``test_decode_media_never_raises_raw_parser_errors``."""
+    by ``test_decode_media_never_raises_raw_parser_errors``.
+
+    ``want_pixels=False`` is the METADATA TIER (r11): container headers
+    are walked (mime/dims/duration/bit_depth) but the expensive content
+    decode — JPEG entropy decode, PNG inflate+unfilter, WAV PCM sample
+    sum — is skipped entirely and ``px_sum``/``sample_sum`` stay None. At
+    100 TB a metadata scan over billions of objects must not pay a
+    per-object decode attempt (r10 verdict: q_media_container_meta paid a
+    guaranteed-to-fail full entropy decode per payload, 4.6x)."""
     try:
-        return _decode_media(payload)
+        return _decode_media(payload, want_pixels)
     except NotImplementedError:
         raise
     except Exception as e:  # truncated/corrupt container mid-parse
         raise NotImplementedError(f"malformed container: {e}") from e
 
 
-def _decode_media(payload: bytes) -> dict:
+def _decode_media(payload: bytes, want_pixels: bool = True) -> dict:
     """REAL decode for the stdlib-parsable containers, no dependencies.
 
     - BMP (``BM`` magic): width/height from the BITMAPINFOHEADER int32s at
@@ -766,7 +791,8 @@ def _decode_media(payload: bytes) -> dict:
             # actually present — header-only fixtures declare a size
             # without carrying samples and honestly stay None
             if (
-                fmt_code == 1
+                want_pixels
+                and fmt_code == 1
                 and bits == 16
                 and data_off is not None
                 and data_off + data_size <= len(b)
@@ -830,6 +856,15 @@ def _decode_media(payload: bytes) -> dict:
         ):
             raise NotImplementedError("malformed/unsupported PNG header")
         channels = _PNG_CHANNELS[ctype]
+        if not want_pixels:  # metadata tier: header only, no inflate
+            return {
+                "mime": "image/png",
+                "width": w,
+                "height": h,
+                "duration_ms": None,
+                "bit_depth": depth,
+                "px_sum": None,
+            }
         raw = zlib.decompress(bytes(idat))
 
         def sub_image(offset: int, sw: int, sh: int):
@@ -890,19 +925,21 @@ def _decode_media(payload: bytes) -> dict:
         }
     if b[:2] == b"\xff\xd8":
         px_sum = None
-        try:  # full pixel decode (r10: the former declared stub)
-            _h, _w, _nc, px = _jpeg_decode_pixels(b)
-            import numpy as np
+        if want_pixels:
+            try:  # full pixel decode (r10: the former declared stub)
+                _h, _w, _nc, px = _jpeg_decode_pixels(b)
+                import numpy as np
 
-            px_sum = int(px.sum(dtype=np.int64))
-        except Exception:
-            # Pixel decode is OPPORTUNISTIC: any failure — declared
-            # boundary (NotImplementedError) OR a raw parser error from a
-            # corrupt scan (review r10: truncated DHT/DQT raised
-            # IndexError/ValueError here and destroyed the metadata that
-            # r9 decoded fine) — falls back to the marker-walk metadata
-            # below, which independently decides malformed-ness.
-            pass
+                px_sum = int(px.sum(dtype=np.int64))
+            except Exception:
+                # Pixel decode is OPPORTUNISTIC: any failure — declared
+                # boundary (NotImplementedError) OR a raw parser error
+                # from a corrupt scan (review r10: truncated DHT/DQT
+                # raised IndexError/ValueError here and destroyed the
+                # metadata that r9 decoded fine) — falls back to the
+                # marker-walk metadata below, which independently
+                # decides malformed-ness.
+                pass
         off = 2
         while off + 4 <= len(b):
             if b[off] != 0xFF:
@@ -1001,7 +1038,7 @@ def bound_arrow_batches_for_payloads(
     return records
 
 
-def extract_features(media: DataFrame) -> DataFrame:
+def extract_features(media: DataFrame, want_pixels: bool = True) -> DataFrame:
     """Decode/featurize via mapInPandas: Arrow batches in, Arrow batches out.
 
     Column pruning upstream means only (media_id, kind, payload) cross the
@@ -1009,7 +1046,14 @@ def extract_features(media: DataFrame) -> DataFrame:
     so downstream joins/aggregations are cheap regardless of payload size.
     For large payloads, bound the per-batch byte footprint first with
     ``bound_arrow_batches_for_payloads`` (record-count batching × payload
-    size is the executor-memory constraint at 100 TB)."""
+    size is the executor-memory constraint at 100 TB).
+
+    ``want_pixels=False`` selects the metadata tier: container headers are
+    parsed (mime/dims/duration/bit_depth) but content decode — JPEG entropy
+    decode, PNG inflate, PCM sample sum — is skipped and px_sum/sample_sum
+    stay None. Metadata-only scans (container walks, resize planning, frame
+    sampling) must use it: at 100 TB a per-object failed decode attempt is
+    the hidden cost the brief forbids."""
     src = media.select("media_id", "kind", "payload")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1020,7 +1064,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             # one pass, one digest per payload (checksum + features share it)
             for b in pdf["payload"]:
                 try:
-                    meta = decode_media(b)
+                    meta = decode_media(b, want_pixels)
                 except NotImplementedError:
                     meta = {}  # needs a real codec (or null payload)
                 mimes.append(meta.get("mime"))
@@ -1325,104 +1369,160 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_media_pixels",
     oracle="""
     WITH g AS (
-        SELECT doc_id, doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh
+        SELECT doc_id, doc_id % 4 AS arm,
+               doc_id % 3 + 1 AS bw, doc_id % 2 + 1 AS bh,
+               CASE doc_id % 4 WHEN 2 THEN 4 WHEN 3 THEN 2 ELSE 1 END AS lpm
         FROM documents
     ),
+    geo AS (
+        SELECT doc_id, bw * bh * lpm AS n_lb,
+               CAST(CASE WHEN arm >= 2 THEN 16 * bw ELSE 8 * bw END AS INT)
+                   AS wpx,
+               CAST(CASE arm WHEN 2 THEN 16 * bh ELSE 8 * bh END AS INT)
+                   AS hpx,
+               CASE WHEN arm >= 2 THEN 3 ELSE 1 END AS mult,
+               CASE arm WHEN 0 THEN 140 + 2 * bw * bh
+                        WHEN 1 THEN 140 + bw * bh
+                        WHEN 2 THEN 172 + 12 * bw * bh
+                        ELSE 172 + 8 * bw * bh END AS nb
+        FROM g
+    ),
     blk AS (
-        SELECT doc_id, bw, bh, t.k,
+        SELECT doc_id, n_lb, wpx, hpx, mult, nb, t.k,
                CASE WHEN t.k % 2 = 0
                     THEN 64 + (doc_id*37 + t.k*53) % 64
                     ELSE -(64 + (doc_id*37 + t.k*53) % 64) END AS d
-        FROM g, UNNEST(generate_series(0, bw*bh - 1)) AS t(k)
+        FROM geo, UNNEST(generate_series(0, n_lb - 1)) AS t(k)
     ),
     dcs AS (
-        SELECT doc_id, bw, bh, k,
+        SELECT doc_id, wpx, hpx, mult, nb, k,
                SUM(d) OVER (PARTITION BY doc_id ORDER BY k) AS dc
         FROM blk
     )
     SELECT doc_id AS media_id,
            'image/jpeg' AS mime,
-           CAST(140 + (2 - doc_id % 2) * MAX(bw) * MAX(bh) AS BIGINT)
-               AS n_bytes,
-           CAST(MAX(bw) * 8 AS INT) AS width,
-           CAST(MAX(bh) * 8 AS INT) AS height,
+           CAST(MAX(nb) AS BIGINT) AS n_bytes,
+           MAX(wpx) AS width,
+           MAX(hpx) AS height,
            CAST(8 AS INT) AS bit_depth,
-           CAST(SUM(64 * LEAST(255, GREATEST(0, dc + 128))) AS BIGINT)
-               AS px_sum
+           CAST(MAX(mult) * SUM(64 * LEAST(255, GREATEST(0, dc + 128)))
+                AS BIGINT) AS px_sum
     FROM dcs GROUP BY doc_id
     """,
 )
 def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL JPEG PIXEL decode end-to-end (r10: the capability that closes
-    the last declared codec stub). Complete JPEGs — SOI, DQT (flat q=8),
-    SOF0 for even doc_ids / SOF2 PROGRESSIVE for odd (a DC-only first
-    scan, so one driver row exercises both entropy-coding modes through
-    the same multi-scan decoder), two DHTs (a 1-bit DC category-7 code
-    and an 8-bit AC EOB code), SOS, a genuine Huffman-coded entropy
-    stream of DC-only blocks, EOI — are assembled JVM-side byte-for-byte
-    from document columns (``unhex``), cross the Arrow boundary, and
-    ``_jpeg_decode_pixels`` entropy-decodes them inside ``mapInPandas``:
-    canonical Huffman table construction, bit-level scan decode, T.81
-    EXTEND sign recovery, DC prediction across blocks, dequantization,
-    zigzag→natural reorder, the 8x8 float IDCT, level shift and clamp.
+    """REAL JPEG PIXEL decode end-to-end (r10; r11 adds COLOR arms with
+    two chroma sampling layouts). Complete JPEGs are assembled JVM-side
+    byte-for-byte from document columns (``unhex``), cross the Arrow
+    boundary, and ``_jpeg_decode_pixels`` entropy-decodes them inside
+    ``mapInPandas``: canonical Huffman table construction, bit-level scan
+    decode, T.81 EXTEND sign recovery, DC prediction across blocks,
+    dequantization, zigzag→natural reorder, the 8x8 float IDCT,
+    integer-ratio chroma upsampling, BT.601 YCbCr→RGB, level shift and
+    clamp. Four fixture arms by doc_id%4:
 
-    The oracle recomputes every pixel analytically: a DC-only block
-    IDCTs to a flat 8x8 of exactly round(DC·q/8)+128 = DC+128 at q=8, so
-    px_sum = Σ_blocks 64·clamp(cumulative-DC+128), with the per-block DC
-    diffs derived from doc_id (alternating signs; the occasional running
-    DC past 127 exercises the decoder's output clamp, which the SQL
-    mirrors exactly with LEAST/GREATEST). Any bit-packing,
-    Huffman, EXTEND, predictor, dequant or IDCT bug breaks the hash.
-    AC coefficients, ZRL, byte stuffing, restart intervals, 4:2:0
-    chroma, and the full progressive machinery (spectral-selection
-    bands, successive-approximation first + refinement passes on DC and
-    AC, EOB runs) are pinned against an independent encoder + four-loop
-    reference IDCT in tests/test_multimodal.py — progressive is verified
-    equal, pixel for pixel, to the baseline encoding of the same
-    coefficients.
+    - 0: grayscale BASELINE (SOF0), one DC-only block per 8x8;
+    - 1: grayscale PROGRESSIVE (SOF2, a DC-only first scan);
+    - 2: 3-component 4:2:0 baseline (luma 2x2, interleaved 6-block MCUs);
+    - 3: 3-component 4:2:2 baseline (luma 2x1, interleaved 4-block MCUs).
+
+    The color arms keep the oracle analytic by construction: every chroma
+    block carries a category-0 DC diff (a second DC huffman table with
+    0x00 at 8 bits keeps the stream byte-aligned), so Cb=Cr=128.0 exactly,
+    the BT.601 conversion collapses to R=G=B=clamp(lumaDC+128), and
+    px_sum = 3·Σ_blocks 64·clamp(cumulative-DC+128) — yet the decoder must
+    run the full interleaved-MCU walk, per-component block grids, BOTH
+    integer upsampling ratios, and the color matrix to reproduce it. A
+    wrong MCU order, upsample ratio, or matrix coefficient breaks the
+    hash. AC coefficients, ZRL, byte stuffing, restart intervals, and the
+    full progressive machinery are pinned against an independent encoder +
+    four-loop reference IDCT in tests/test_multimodal.py.
 
     Reference parity: the reference never decodes media at all
     (scraper/main.py:150-164 stores image URLs as strings); this makes
     the binary column a decodable first-class citizen with zero codec
     libraries."""
     d = spread(load_table(spark, sf_dir, "documents"), "doc_id")
-    bw = F.col("doc_id") % 3 + 1
-    bh = F.col("doc_id") % 2 + 1
-    n_blocks = bw * bh
-
-    prog = F.pmod(F.col("doc_id"), F.lit(2)) == 1  # odd ids: SOF2 variant
+    arm = F.pmod(F.col("doc_id"), F.lit(4))
+    prog = arm == 1   # grayscale progressive
+    color = arm >= 2  # 3-component interleaved baseline
+    bw = F.col("doc_id") % 3 + 1  # MCU columns (gray: luma block columns)
+    bh = F.col("doc_id") % 2 + 1  # MCU rows
+    # luma blocks per MCU: 4:2:0 -> 4, 4:2:2 -> 2, grayscale -> 1
+    lpm = F.when(arm == 2, F.lit(4)).when(arm == 3, F.lit(2)).otherwise(
+        F.lit(1)
+    )
+    n_luma = bw * bh * lpm
 
     def entropy_byte(k):
         m = F.pmod(F.col("doc_id") * 37 + k * 53, F.lit(64))
         return F.when(F.pmod(k, F.lit(2)) == 0, m + 64).otherwise(63 - m)
 
-    entropy_hex = F.array_join(
+    def luma_hex(k):
+        # one DC-only luma block: cat-7 code '0' + 7 magnitude bits fill
+        # the first byte; baseline appends the 8-bit AC EOB code
+        return F.concat(
+            F.lpad(F.hex(entropy_byte(k)), 2, "0"),
+            F.when(prog, F.lit("")).otherwise(F.lit("00")),
+        )
+
+    gray_entropy = F.array_join(
+        F.transform(F.sequence(F.lit(0), n_luma - 1), luma_hex), ""
+    )
+    # interleaved MCUs: lpm luma blocks then one Cb + one Cr block, each
+    # chroma block = 8-bit cat-0 DC code (0x00) + 8-bit EOB (0x00)
+    color_entropy = F.array_join(
         F.transform(
-            F.sequence(F.lit(0), n_blocks - 1),
-            # baseline blocks append the 8-bit EOB; a progressive DC scan
-            # (Ss=Se=0) carries no AC symbols at all — 1 byte per block
-            lambda k: F.concat(
-                F.lpad(F.hex(entropy_byte(k)), 2, "0"),
-                F.when(prog, F.lit("")).otherwise(F.lit("00")),
+            F.sequence(F.lit(0), bw * bh - 1),
+            lambda m: F.concat(
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(0), lpm - 1),
+                        lambda j: luma_hex(m * lpm + j),
+                    ),
+                    "",
+                ),
+                F.lit("00000000"),
             ),
         ),
         "",
     )
+    h_px = F.when(arm == 2, bh * 16).otherwise(bh * 8)
+    w_px = F.when(color, bw * 16).otherwise(bw * 8)
     jpeg_hex = F.concat(
         F.lit("FFD8"),                          # SOI
         F.lit("FFDB004300" + "08" * 64),        # DQT: flat q=8, table 0
-        # SOF0 (baseline) for even ids, SOF2 (progressive) for odd —
-        # one driver row exercises BOTH entropy-coding modes
-        F.when(prog, F.lit("FFC2000B08")).otherwise(F.lit("FFC0000B08")),
-        _be_hex(bh * 8, 2), _be_hex(bw * 8, 2),
-        F.lit("01"), F.lit("011100"),           # 1 component, 1x1, qtable 0
-        F.lit("FFC40014" + "00" + "01" + "00" * 15 + "07"),  # DC DHT: cat 7 @ 1 bit
-        F.lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"),  # AC DHT: EOB @ 8 bits
-        F.lit("FFDA0008"), F.lit("01"),         # SOS, 1 component
-        F.lit("0100"),                          # comp 1, tables 0/0
+        # SOF0 (baseline) / SOF2 (progressive); color frames carry 3
+        # component specs with per-arm luma sampling factors
+        F.when(prog, F.lit("FFC2000B08"))
+        .when(color, F.lit("FFC0001108"))
+        .otherwise(F.lit("FFC0000B08")),
+        _be_hex(h_px, 2), _be_hex(w_px, 2),
+        F.when(
+            color,
+            F.concat(
+                F.lit("03"),
+                F.when(arm == 2, F.lit("012200")).otherwise(
+                    F.lit("012100")
+                ),
+                F.lit("021100"), F.lit("031100"),
+            ),
+        ).otherwise(F.lit("01011100")),
+        F.lit("FFC40014" + "00" + "01" + "00" * 15 + "07"),  # DC DHT0: cat 7 @ 1 bit
+        F.lit("FFC40014" + "10" + "00" * 7 + "01" + "00" * 8 + "00"),  # AC DHT0: EOB @ 8 bits
+        # chroma DC table (color arms): category 0 at 8 bits — keeps every
+        # chroma block at exactly two bytes, so the stream stays aligned
+        F.when(
+            color,
+            F.lit("FFC40014" + "01" + "00" * 7 + "01" + "00" * 8 + "00"),
+        ).otherwise(F.lit("")),
+        F.when(
+            color,
+            F.concat(F.lit("FFDA000C03"), F.lit("010002100310")),
+        ).otherwise(F.concat(F.lit("FFDA000801"), F.lit("0100"))),
         # baseline full-band scan header vs progressive DC-only scan
         F.when(prog, F.lit("000000")).otherwise(F.lit("003F00")),
-        entropy_hex,
+        F.when(color, color_entropy).otherwise(gray_entropy),
         F.lit("FFD9"),                          # EOI
     )
     media = d.select(
@@ -1434,7 +1534,6 @@ def q_media_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id", "mime", "n_bytes", "width", "height", "bit_depth",
         "px_sum",
     )
-
 
 @query(
     "q_media_audio",
@@ -1538,9 +1637,11 @@ def q_media_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ``free`` box, recurse ``moov`` → ``mvhd`` (timescale+duration → ms)
     and ``moov`` → ``trak`` → ``tkhd`` (16.16 fixed-point dims). The oracle
     recomputes every field from the generating formulas, so any offset,
-    endianness, or length-walk bug breaks the hash. Pixel/sample decode for
-    these codecs still needs a real codec library (px_sum stays None) —
-    this closes the metadata half of the boundary honestly.
+    endianness, or length-walk bug breaks the hash. This is the METADATA
+    TIER (``want_pixels=False``, r11): the walk never attempts the JPEG
+    entropy decode — a metadata scan over billions of objects must not pay
+    a guaranteed-to-fail per-object decode (the r10 4.6x regression).
+    MP4 *sample* decode still needs a real codec library.
 
     Reference parity: the reference stores scraped image URLs as opaque
     strings (scraper/main.py:150-164) and never decodes media; this engine
@@ -1619,7 +1720,7 @@ def q_media_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload"
         ),
     )
-    return extract_features(media).select(
+    return extract_features(media, want_pixels=False).select(
         "media_id", "mime", "n_bytes", "width", "height", "duration_ms",
         "bit_depth",
     )

@@ -625,12 +625,16 @@ BM25_LAYOUT_VERSION = 2
 
 
 def _check_index_layout(stats: DataFrame, index_path: str, ctx: str) -> None:
-    """Raise unless the stats manifest carries the current layout stamp."""
-    v = (
-        int(stats.select("layout_version").first()[0])
-        if "layout_version" in stats.columns
-        else 1
-    )
+    """Raise unless the stats manifest carries the current layout stamp.
+
+    An EMPTY stats manifest (a crash between the index dirs landing and the
+    stats rows committing) must surface the rebuild diagnostic below, not a
+    raw TypeError from ``first()`` returning None (r11 advice)."""
+    if "layout_version" in stats.columns:
+        row = stats.select("layout_version").first()
+        v = int(row[0]) if row is not None and row[0] is not None else 1
+    else:
+        v = 1
     if v != BM25_LAYOUT_VERSION:
         raise ValueError(
             f"{ctx}: index at {index_path} has layout_version={v}, this "

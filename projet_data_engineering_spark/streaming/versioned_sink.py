@@ -64,12 +64,37 @@ def versioned_sink_batch(
     # deterministically here instead of raising mid-stream: greatest
     # full-row tuple per key (dropDuplicates would keep an arbitrary
     # partition-order-dependent survivor).
+    # The dedup window orders by every non-key column, but MapType (alone
+    # among Spark types, incl. nested in arrays/structs) is NOT orderable —
+    # ordering on it fails at analysis time, and pre-r10 this sink accepted
+    # such schemas (r11 advice). Non-orderable columns enter the sort key
+    # through to_json instead: still deterministic per row value, and the
+    # batch commits. Constraint: two maps that are equal but serialize
+    # their entries in different internal orders count as distinct sort
+    # keys — survivor choice between such rows follows the JSON ordering.
+    def _orderable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    dtypes = {f.name: f.dataType for f in batch.schema.fields}
     others = [c for c in batch.columns if c != key]
     if others:
         from pyspark.sql.window import Window
 
         w = Window.partitionBy(key).orderBy(
-            *[F.col(c).desc_nulls_last() for c in others]
+            *[
+                (
+                    F.col(c) if _orderable(dtypes[c]) else F.to_json(F.col(c))
+                ).desc_nulls_last()
+                for c in others
+            ]
         )
         batch = (
             batch.withColumn("_rn", F.row_number().over(w))

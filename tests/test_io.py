@@ -1178,3 +1178,47 @@ def test_merge_lock_permanent_io_failure_is_not_contention(spark, tmp_path):
     with _pytest.raises(Exception) as exc:
         acquire_merge_lock(spark, str(blocker / "table"))
     assert not isinstance(exc.value, ConcurrentWriteError), exc.value
+
+
+def test_merge_lock_release_race_exhaustion_is_contention(spark, monkeypatch):
+    """r11 advice: when every acquire pass loses the SAME race — create
+    fails with already-exists, but the holder releases before our exists
+    probe — exhaustion must raise ConcurrentWriteError (callers retry
+    contention), NOT the raw create error (callers treat as permanent IO
+    and crash a streaming sink). A non-exists create failure with no lock
+    on disk stays permanent."""
+    import pytest as _pytest
+
+    from projet_data_engineering_spark import io
+
+    class FakeFS:
+        def __init__(self, err):
+            self.err = err
+
+        def create(self, p, overwrite):
+            raise Exception(self.err)
+
+        def exists(self, p):
+            return False  # the holder always released just before we look
+
+    monkeypatch.setattr(io, "_hpath", lambda jvm, s: s)
+
+    monkeypatch.setattr(
+        io,
+        "_fs_for",
+        lambda spark, path: (
+            FakeFS("org.apache.hadoop.fs.FileAlreadyExistsException: lock"),
+            None,
+        ),
+    )
+    with _pytest.raises(io.ConcurrentWriteError):
+        io.acquire_merge_lock(spark, "/fake/table")
+
+    monkeypatch.setattr(
+        io,
+        "_fs_for",
+        lambda spark, path: (FakeFS("Permission denied: /fake"), None),
+    )
+    with _pytest.raises(Exception) as exc:
+        io.acquire_merge_lock(spark, "/fake/table")
+    assert not isinstance(exc.value, io.ConcurrentWriteError), exc.value

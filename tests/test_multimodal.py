@@ -1226,3 +1226,76 @@ def test_jpeg_dc_refinement_ignores_dc_table_selector():
     assert decode_media(bytes(prog))["px_sum"] == int(
         pxb.astype("int64").sum()
     )
+
+
+def test_metadata_tier_skips_content_decode(monkeypatch):
+    """r11 (the r10 weak item): want_pixels=False is the METADATA tier —
+    container headers are walked but the expensive content decode (JPEG
+    entropy decode, PNG inflate+unfilter, WAV PCM sum) is NEVER attempted.
+    Pinned with counting hooks, not timing: a metadata scan over billions
+    of objects must not pay a guaranteed-to-fail decode per payload."""
+    from projet_data_engineering_spark.operators import multimodal as mm
+
+    calls = {"jpeg": 0, "png": 0}
+    real_jpeg = mm._jpeg_decode_pixels
+    real_unfilter = mm._png_unfilter
+
+    def count_jpeg(b):
+        calls["jpeg"] += 1
+        return real_jpeg(b)
+
+    def count_unfilter(*a, **kw):
+        calls["png"] += 1
+        return real_unfilter(*a, **kw)
+
+    monkeypatch.setattr(mm, "_jpeg_decode_pixels", count_jpeg)
+    monkeypatch.setattr(mm, "_png_unfilter", count_unfilter)
+
+    jpeg = _encode_jpeg(12, 9, [(1, 1, 1, 0)], {0: _q64(1)}, _coefs)
+    meta = mm.decode_media(jpeg, want_pixels=False)
+    assert (meta["width"], meta["height"], meta["bit_depth"]) == (12, 9, 8)
+    assert meta["px_sum"] is None
+    assert calls["jpeg"] == 0
+
+    png, want_sum = _png(6, 5, channels=1)
+    meta = mm.decode_media(png, want_pixels=False)
+    assert (meta["width"], meta["height"]) == (6, 5)
+    assert meta["px_sum"] is None
+    assert calls["png"] == 0
+
+    import struct
+
+    samples = b"".join(struct.pack("<h", s) for s in (7, -9, 100))
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+    data = b"data" + struct.pack("<I", len(samples)) + samples
+    body = b"WAVE" + fmt + data
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta = mm.decode_media(wav, want_pixels=False)
+    assert meta["sample_sum"] is None
+    assert meta["duration_ms"] == len(samples) * 1000 // 16000
+
+    # the default tier still decodes everything, through the same hooks
+    assert mm.decode_media(jpeg)["px_sum"] is not None
+    assert mm.decode_media(png)["px_sum"] == want_sum
+    assert mm.decode_media(wav)["sample_sum"] == 98
+    assert calls == {"jpeg": 1, "png": 1}
+
+
+def test_jpeg_huge_header_caps_allocation():
+    """r11 advice: a corrupt/adversarial SOF declaring 65500x65500 must
+    raise at the header — BEFORE any coefficient allocation — not attempt
+    a multi-GB alloc that OOMs the executor. The metadata walk still
+    decodes the declared dims via the opportunistic fallback."""
+    import pytest
+
+    from projet_data_engineering_spark.operators.multimodal import (
+        _jpeg_decode_pixels,
+        decode_media,
+    )
+
+    b = _jpeg(65500, 65500)  # SOF-only marker stream, huge declared dims
+    with pytest.raises(NotImplementedError, match="larger than"):
+        _jpeg_decode_pixels(b)
+    meta = decode_media(b)  # pixel attempt falls back to metadata
+    assert (meta["width"], meta["height"]) == (65500, 65500)
+    assert meta["px_sum"] is None

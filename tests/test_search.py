@@ -342,3 +342,20 @@ def test_index_layout_version_guard(spark, tmp_path):
             spark.createDataFrame([Row(doc_id=3, text="more spark")]),
             idx, n_buckets=4,
         )
+
+
+def test_check_index_layout_empty_stats_manifest(spark):
+    """r11 advice: an EMPTY stats manifest (crash between index dirs and
+    stats rows landing) must surface the rebuild ValueError, not a raw
+    TypeError from first() returning None."""
+    import pytest
+
+    from projet_data_engineering_spark.operators.search import (
+        _check_index_layout,
+    )
+
+    empty = spark.createDataFrame(
+        [], "layout_version INT, avg_len DOUBLE, n_docs BIGINT"
+    )
+    with pytest.raises(ValueError, match="layout_version"):
+        _check_index_layout(empty, "/fake/idx", "test")

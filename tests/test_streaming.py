@@ -992,3 +992,36 @@ def test_versioned_stream_races_concurrent_compactor(spark, tmp_path):
     assert got == want  # every row exactly once, correct payload
     assert len(vt.table_versions(spark, path)) <= 4  # policy bound held
     assert stats["compactions"] >= 1, stats  # the race actually compacted
+
+
+def test_versioned_sink_map_column_commits(spark, tmp_path):
+    """r11 advice: the r10 deterministic dedup ordered the window by every
+    non-key column, but MapType is not orderable — a batch carrying a map
+    column failed at analysis time where the pre-r10 sink committed it.
+    Non-orderable columns now enter the sort key via to_json; the batch
+    commits and duplicate keys still resolve deterministically."""
+    from pyspark.sql import Row
+
+    from projet_data_engineering_spark.operators import versioned as vt
+    from projet_data_engineering_spark.streaming import versioned_sink as vs
+
+    path = str(tmp_path / "vmap")
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=1, tags={"a": 1}, score=5),
+            Row(doc_id=1, tags={"a": 2}, score=9),  # dup key in one batch
+            Row(doc_id=2, tags={"b": 3}, score=1),
+        ],
+        "doc_id INT, tags MAP<STRING,INT>, score INT",
+    )
+    vs.versioned_sink_batch(batch, path, "doc_id", 0)
+    got = {
+        r["doc_id"]: (r["score"], dict(r["tags"]))
+        for r in vt.read_version(spark, path, "doc_id").collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (9, {"a": 2})  # greatest full-row tuple survived
+    assert got[2] == (1, {"b": 3})
+    # replay: still a no-op with the map column present
+    vs.versioned_sink_batch(batch, path, "doc_id", 0)
+    assert vt.table_versions(spark, path) == [1]

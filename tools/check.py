@@ -123,8 +123,10 @@ def run_check(
         if only and name not in only:
             continue
         t0 = time.time()
+        engine_s = None
         try:
             spdf = fn(spark, sf_dir).toPandas()
+            engine_s = time.time() - t0
             scols, slines = canon(spdf)
         except Exception as e:
             # py4j buries the real cause deep in the Java stack — surface
@@ -160,9 +162,13 @@ def run_check(
             except Exception:
                 pass
         if name not in oracles:
-            print(f"rows  {name}: {len(slines)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(
+                f"rows  {name}: {len(slines)} rows (no oracle) "
+                f"[engine {engine_s:.1f}s]"
+            )
             n_rows_only += 1
             continue
+        t_or = time.time()
         try:
             dpdf = con.execute(oracles[name]).fetchdf()
             dcols, dlines = canon(dpdf)
@@ -185,11 +191,18 @@ def run_check(
                             f"  first diff:\n   S {a!r}\n   D {b!r}"
                         )
                         break
+        oracle_s = time.time() - t_or
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems) + f" [{time.time()-t0:.1f}s]")
+            print(
+                f"FAIL  {name}: " + "; ".join(problems)
+                + f" [engine {engine_s:.1f}s, oracle {oracle_s:.1f}s]"
+            )
             n_fail += 1
         else:
-            print(f"ok    {name}: {len(slines)} rows [{time.time()-t0:.1f}s]")
+            print(
+                f"ok    {name}: {len(slines)} rows "
+                f"[engine {engine_s:.1f}s, oracle {oracle_s:.1f}s]"
+            )
             n_pass += 1
 
     print(f"\n{n_pass} ok, {n_rows_only} rows-only, {n_fail} FAILED")
