@@ -101,6 +101,36 @@ R1_ANCHOR = {
 }
 R1_ANCHOR_TOTAL = 14.097
 
+# Working anchor (r11, VERDICT r10 item 8): the r10 min-of-3 table
+# (evidence/BENCH_r10_final_minof3.json, sf0.1, local[32]) over the FULL
+# 45-query headline set. Every legacy query now sits at 0.35-0.96x of the
+# r1 anchor, so the 2x gate against r1 had become a 4-6x allowance; this
+# table restores honest sensitivity — regressions are caught against the
+# code as it actually performs, while R1 stays for history. One exception:
+# q_media_container_meta anchors on its r9 value (0.555 s) — its r10
+# number (2.565 s) was the measured REGRESSION this round's want_pixels
+# gating fixed; anchoring on a known-bad number would hide a relapse.
+R10_ANCHOR = {
+    "q_tpch_q1": 0.382, "q_join_multi": 0.789, "q_join_inner": 0.196,
+    "q_upsert_merge": 0.296, "q_topk": 0.077, "q_window_rank": 0.275,
+    "q_dedup": 0.119, "q_duration_parse": 0.116, "q_search_boolean": 0.107,
+    "q_term_join": 0.511, "q_bm25_topk": 0.628, "q_dedup_exact": 0.195,
+    "q_dedup_minhash": 0.33, "q_dedup_simhash": 0.444, "q_embed_knn": 0.215,
+    "q_ann_lsh": 0.308, "q_lang_id": 0.401, "q_token_count": 0.127,
+    "q_stream_tumbling": 0.212, "q_stream_session": 0.359,
+    "q_tpch_q4": 0.491, "q_tpch_q18": 0.551, "q_gap_fill": 0.372,
+    "q_hof_arrays": 0.238, "q_bm25_multifield": 0.803, "q_bm25_fuzzy": 1.045,
+    "q_curate": 2.101, "q_boilerplate": 0.584,
+    "q_media_container_meta": 0.555, "q_shuffle_shard": 0.106,
+    "q_token_budget": 0.435, "q_vocab_coverage": 0.167,
+    "q_domain_temperature": 0.173, "q_bloom_join": 0.841,
+    "q_dsir_weights": 0.379, "q_semdedup": 2.893, "q_pq_encode_arrow": 0.842,
+    "q_kmv_distinct": 0.974, "q_percentile_sampled": 1.153,
+    "q_cms_counts": 0.613, "q_time_travel": 2.193,
+    "q_stream_versioned": 2.437, "q_crawl_frontier": 2.533,
+    "q_media_pixels": 0.529, "q_media_audio": 0.539,
+}
+
 
 def main() -> None:
     min_of = 3
@@ -165,12 +195,26 @@ def main() -> None:
         "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
     }
-    if abs(sf - 0.1) < 1e-9:  # the anchor's SF: emit the ratio table
+    if abs(sf - 0.1) < 1e-9:  # the anchor's SF: emit the ratio tables
         out["anchor_ratio"] = {
             n: round(timings[n] / R1_ANCHOR[n], 2) for n in LEGACY_24
         }
         out["legacy24_vs_anchor"] = round(
             out["legacy24_total"] / R1_ANCHOR_TOTAL, 3
+        )
+        # working-anchor ratios (r10 min-of-3): the sensitive gate — any
+        # query drifting past ~1.3x here is a real regression, not noise
+        # absorbed by the 10-round-old r1 allowance
+        out["r10_ratio"] = {
+            n: round(timings[n] / R10_ANCHOR[n], 2)
+            for n in BENCH_QUERIES
+            if n in R10_ANCHOR
+        }
+        covered = [n for n in BENCH_QUERIES if n in R10_ANCHOR]
+        out["vs_r10_anchor"] = round(
+            sum(timings[n] for n in covered)
+            / sum(R10_ANCHOR[n] for n in covered),
+            3,
         )
     print(json.dumps(out))
 

@@ -209,6 +209,7 @@ def crawl_frontier(
     respect_robots: bool = False,
     robots_url_fn: Callable[[str], str] | None = None,
     user_agent: str = "*",
+    round_stats: list | None = None,
 ) -> DataFrame:
     """S9 — breadth-first crawl as iterative DataFrame algebra.
 
@@ -247,7 +248,12 @@ def crawl_frontier(
 
     Scale: the visited set stays distributed (anti-join, never collected);
     each round's frontier is checkpointed so the iteration doesn't stack
-    lineage — same discipline as ``dedup.connected_components``."""
+    lineage — same discipline as ``dedup.connected_components``.
+
+    ``round_stats``: optional list; when given, each BFS round appends
+    ``{depth, frontier_rows, fetch_s, expand_s}`` — frontier size, the
+    fetch job's wall, and the link-explode + visited-anti-join wall (the
+    per-depth cost split tools/bench_crawl.py records)."""
     fetch = fetch_fn or default_fetch
     if allowed_schemes is None:
         # '' (scheme-less seed names, as in the stub-fetch tests) is a seed
@@ -317,17 +323,33 @@ def crawl_frontier(
     ).localCheckpoint(eager=True)
     visited = None  # (url, content, depth)
     for depth in range(max_depth + 1):
+        t_round = time.perf_counter() if round_stats is not None else 0.0
         if min_delay_per_domain > 0:
             # one task per domain hash-bucket: a domain's queue never splits
             # across tasks, so the per-domain clock in fetch_batches is global
             frontier = frontier.repartition(
                 F.lower(F.regexp_extract("url", r"^[^:]+://([^/?#]*)", 1))
             )
-        fetched = frontier.mapInPandas(fetch_batches, schema=FETCH_SCHEMA)
-        pages = fetched.select(
-            "url", "content", F.lit(depth).alias("depth")
+        # checkpoint the FETCH output itself: pages and out_links both
+        # consume it, and without the pin the second consumer re-runs the
+        # whole mapInPandas fetch — every page fetched twice per round,
+        # and (worse than the 2x cost) a non-deterministic fetcher could
+        # hand out_links a DIFFERENT link set than the one visited
+        # recorded (r11, found while scale-benching the frontier)
+        fetched = frontier.mapInPandas(
+            fetch_batches, schema=FETCH_SCHEMA
         ).localCheckpoint(eager=True)
+        pages = fetched.select("url", "content", F.lit(depth).alias("depth"))
         visited = pages if visited is None else visited.union(pages)
+        if round_stats is not None:
+            t_fetch = time.perf_counter()
+            round_stats.append(
+                {
+                    "depth": depth,
+                    "frontier_rows": frontier.count(),
+                    "fetch_s": round(t_fetch - t_round, 3),
+                }
+            )
         if depth == max_depth:
             break
         out_links = (
@@ -339,6 +361,10 @@ def crawl_frontier(
         frontier = out_links.join(
             visited.select("url"), "url", "left_anti"
         ).localCheckpoint(eager=True)
+        if round_stats is not None:
+            round_stats[-1]["expand_s"] = round(
+                time.perf_counter() - t_fetch, 3
+            )
         if frontier.isEmpty():
             break
     return visited

@@ -113,16 +113,32 @@ def minhash_candidate_pairs(docs: DataFrame, id_col: str, text_col: str) -> Data
     recompute the whole shingle+hash pipeline for both join sides. It is tiny
     (4 short strings per doc) at any corpus size."""
     bands = lsh_bands(minhash_signatures(docs, id_col, text_col), id_col).persist()
+    return candidate_pairs_from_bands(bands, id_col, size_from=docs)
+
+
+def candidate_pairs_from_bands(
+    bands: DataFrame, id_col: str, size_from: DataFrame | None = None
+) -> DataFrame:
+    """The band-bucket self-join on an ALREADY-MATERIALIZED band table
+    (r11: the streaming ingest computes one signature pass per micro-batch
+    and feeds it to every consumer — within-pairs, the served probe, the
+    state merge — instead of re-shingling the batch three times).
+
+    ``size_from=None`` skips the sort-merge hint: a checkpointed band
+    table has no input files to size, and the only hint-free caller is
+    the micro-batch path, where the sides are batch-sized and the
+    planner's broadcast choice is the measured-fast one."""
     a = bands.alias("a")
     b = bands.alias("b")
+    # size-gated merge hint: both sides are the corpus-derived band
+    # table — never broadcastable at scale (AQE's compressed-bytes
+    # estimate sits under the 64 MB threshold at sf10 while the
+    # in-heap hash relation does not), but pinning sort-merge at
+    # small corpus sizes cost 1.7x the anchor (r8 verdict), so the
+    # hint attaches only past the source-bytes gate (plans/hints.py)
+    left = a if size_from is None else merge_if_large(a, size_from=size_from)
     return (
-        # size-gated merge hint: both sides are the corpus-derived band
-        # table — never broadcastable at scale (AQE's compressed-bytes
-        # estimate sits under the 64 MB threshold at sf10 while the
-        # in-heap hash relation does not), but pinning sort-merge at
-        # small corpus sizes cost 1.7x the anchor (r8 verdict), so the
-        # hint attaches only past the source-bytes gate (plans/hints.py)
-        merge_if_large(a, size_from=docs).join(
+        left.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
@@ -846,10 +862,18 @@ def incremental_dedup_pairs_served(
     text_col: str = "text",
     threshold: float = 0.2,
     plans_out: dict | None = None,
+    bands: DataFrame | None = None,
+    wordsets: DataFrame | None = None,
 ) -> DataFrame:
     """``incremental_dedup_pairs`` against MATERIALIZED corpus state: the
     batch is the only text that gets shingled/hashed; the corpus side is
     two partition-pruned columnar scans of stored signatures.
+
+    ``bands`` / ``wordsets``: the batch's ALREADY-MATERIALIZED band table
+    (``lsh_bands(minhash_signatures(...))``, eagerly checkpointed) and
+    wordset table (``(id_col, ws)``) — the streaming ingest passes both so
+    one signature pass per micro-batch serves every consumer (r11); when
+    None they are computed here, preserving the standalone call shape.
 
     1. batch band signatures (map-only over the batch);
     2. the batch's band-bucket list — at most ``n_buckets`` values, a
@@ -866,13 +890,18 @@ def incremental_dedup_pairs_served(
     n_buckets = int(
         spark.read.parquet(f"{state_path}/stats").first()["n_buckets"]
     )
-    bands_b = (
-        lsh_bands(minhash_signatures(batch, id_col, text_col), id_col)
-        .withColumn(
+    if bands is not None:
+        bands_b = bands.withColumn(
             "band_bucket", F.pmod(F.crc32("band_val"), F.lit(n_buckets))
         )
-        .localCheckpoint(eager=True)
-    )
+    else:
+        bands_b = (
+            lsh_bands(minhash_signatures(batch, id_col, text_col), id_col)
+            .withColumn(
+                "band_bucket", F.pmod(F.crc32("band_val"), F.lit(n_buckets))
+            )
+            .localCheckpoint(eager=True)
+        )
     buckets = [
         r[0] for r in bands_b.select("band_bucket").distinct().collect()
     ]
@@ -915,10 +944,15 @@ def incremental_dedup_pairs_served(
         .filter(F.col("doc_bucket").isin(doc_buckets))
         .select(F.col(id_col).alias("corpus_doc"), F.col("ws").alias("wsc"))
     )
-    ws_b = batch.select(
-        F.col(id_col).alias("batch_doc"),
-        F.array_distinct(F.split(F.lower(text_col), " ")).alias("wsb"),
-    )
+    if wordsets is not None:
+        ws_b = wordsets.select(
+            F.col(id_col).alias("batch_doc"), F.col("ws").alias("wsb")
+        )
+    else:
+        ws_b = batch.select(
+            F.col(id_col).alias("batch_doc"),
+            F.array_distinct(F.split(F.lower(text_col), " ")).alias("wsb"),
+        )
     inter = F.size(F.array_intersect("wsb", "wsc"))
     union = F.size("wsb") + F.size("wsc") - inter
     return (

@@ -431,12 +431,28 @@ def auto_compact(
     ``compact_versions``) runs first, so the policy call is also how an
     interrupted compaction heals."""
     with _writer_lock(spark, path):
-        _recover_locked(spark, path)
-        vs = table_versions(spark, path)
-        if len(vs) <= max_versions or len(vs) <= protect_last + 1:
-            return None
-        upto = vs[-1 - protect_last] if protect_last else vs[-1]
-        _compact_locked(spark, path, key, upto)
+        return _auto_compact_locked(
+            spark, path, key, max_versions, protect_last
+        )
+
+
+def _auto_compact_locked(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    max_versions: int,
+    protect_last: int,
+) -> int | None:
+    """Policy body — caller MUST hold the writer lock. Split out (r11)
+    so the streaming sink can run commit + compaction under ONE lock
+    acquisition per micro-batch (the lock protocol measured 9% of batch
+    wall at 3 acquisitions/batch — evidence/bench_lock_r11.json)."""
+    _recover_locked(spark, path)
+    vs = table_versions(spark, path)
+    if len(vs) <= max_versions or len(vs) <= protect_last + 1:
+        return None
+    upto = vs[-1 - protect_last] if protect_last else vs[-1]
+    _compact_locked(spark, path, key, upto)
     return upto
 
 

@@ -212,24 +212,50 @@ _R9_GREEN = {
     "q_simhash_pairs",
 }
 
-# Queries whose code, oracle, or executed plan changed in round 10: the
-# two NEW driver rows (q_crawl_frontier — the BFS frontier's first
-# oracle; q_media_pixels — the baseline-JPEG pixel decode), the
-# q_token_count rework (separator-count tokenize + derived avg), the
-# versioned-table writer-lock + deterministic sink dedup (every MVCC
-# query), the composed-oracle parameterization (stack + stream dedup),
-# and the BM25 layout_version stamp (both served queries rebuild their
-# index). Their older driver evidence no longer describes the current
-# code, so they walk FIRST.
-_R10_CHANGED = {
-    "q_crawl_frontier", "q_media_pixels", "q_media_audio",
-    "q_token_count",
+# Names the driver checked in round 10 (CORRECTNESS_r10.json: 50/50
+# green, all hash-matched — the r10-changed cohort led the sample).
+# Cumulatively r1-r10 covers all 227 registered queries.
+_R10_GREEN = {
+    "q_ann_ivf", "q_ann_recall", "q_anomaly_mad", "q_bm25_fuzzy_served",
+    "q_bm25_served", "q_boilerplate", "q_bpe_pairs", "q_coalesce",
+    "q_count", "q_crawl_frontier", "q_dedup_exact", "q_dedup_simhash",
+    "q_degree_hist", "q_doc_logprob", "q_embed_quantize", "q_entropy",
+    "q_filter_isin", "q_filter_neq", "q_filter_prefix", "q_filter_range",
+    "q_heavy_hitters", "q_incremental_agg", "q_lang_id", "q_media_audio",
+    "q_media_pixels", "q_pack_sequences", "q_pagerank", "q_pmi",
+    "q_profile", "q_project", "q_sample_weighted", "q_scd2", "q_sessionize",
+    "q_split_groupsafe", "q_stream_dedup_ingest", "q_stream_stack",
+    "q_stream_versioned", "q_table_cdc", "q_temporal_join", "q_time_travel",
+    "q_time_travel_evolve", "q_token_count", "q_token_count_bpe",
+    "q_tpch_q13", "q_tpch_q17", "q_tpch_q18", "q_tpch_q4",
+    "q_train_test_split", "q_triangle_count", "q_upsert_merge",
+}
+
+# Queries whose code, oracle, or executed plan changed in round 11, plus
+# the stale rows-only trio (VERDICT r10 item 6: q_approx_distinct and
+# q_sample last have driver rows from r8, q_percentile_approx from r9 —
+# resample them so "latest row green" stays fresh registry-wide). The
+# changed cohort: the media metadata tier (want_pixels gating — container
+# walk/resize/frame-sample no longer attempt entropy decode; pixel/audio
+# rows re-prove the full-decode path plus the new 4:2:0/4:2:2 chroma
+# arms), every MVCC query (single writer-lock acquisition per micro-batch
+# + prep/commit split), the streaming dedup single-signature-pass rework
+# (stack + stream dedup + the served probe's precomputed-bands path),
+# the crawl frontier's fetch-once checkpoint fix, and the BM25 layout
+# check's empty-manifest guard. Their older driver evidence no longer
+# describes the current code, so they walk FIRST.
+_R11_CHANGED = {
+    "q_approx_distinct", "q_sample", "q_percentile_approx",
+    "q_media_container_meta", "q_media_resize", "q_media_frame_sample",
+    "q_media_pixels", "q_media_audio", "q_media_decode", "q_media_features",
     "q_stream_versioned", "q_time_travel", "q_time_travel_evolve",
-    "q_table_cdc", "q_stream_stack", "q_stream_dedup_ingest",
-    "q_bm25_served", "q_bm25_fuzzy_served", "q_upsert_merge",
+    "q_table_cdc", "q_upsert_merge",
+    "q_stream_stack", "q_stream_dedup_ingest", "q_dedup_incremental_served",
+    "q_crawl_frontier", "q_bm25_served", "q_bm25_fuzzy_served",
 }
 
 _TIERS = (
+    (10, _R10_GREEN),
     (9, _R9_GREEN),
     (8, _R8_GREEN),
     (7, _R7_GREEN),
@@ -253,14 +279,14 @@ def _latest_evidence(name: str) -> int:
 
 def _ordered(names: list[str]) -> list[str]:
     """Walk order for a budget-limited (50 queries/round) driver sweep —
-    VERDICT r8 item 8 (continued each round): round-10-changed names
-    first (their old evidence describes code that no longer runs), then
-    everything else STALEST driver evidence first (never-checked, then
-    latest=r1, r2, ... r9) — 170+ queries were last driver-sampled
-    before r9, so the r10 sample re-proves the stalest cohort. Python's
-    stable sort preserves registration order within each tier."""
-    first = [n for n in names if n in _R10_CHANGED]
-    rest = [n for n in names if n not in _R10_CHANGED]
+    VERDICT r8 item 8 (continued each round): round-11-changed names
+    (plus the stale rows-only trio) first — their old evidence describes
+    code that no longer runs — then everything else STALEST driver
+    evidence first (never-checked, then latest=r1, r2, ... r10).
+    Python's stable sort preserves registration order within each
+    tier."""
+    first = [n for n in names if n in _R11_CHANGED]
+    rest = [n for n in names if n not in _R11_CHANGED]
     rest.sort(key=_latest_evidence)
     return first + rest
 

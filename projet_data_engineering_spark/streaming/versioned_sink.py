@@ -43,18 +43,45 @@ def versioned_sink_batch(
     """One micro-batch: commit the batch as the next version with its
     batch id in the directory name; a redelivery is a listing-check no-op."""
     from projet_data_engineering_spark.operators.versioned import (
-        InterruptedCompactionError,
         _recover_locked,
     )
 
     spark = batch.sparkSession
+    batch = _prepare_sink_batch(batch, path, key, batch_id)
+    if batch is None:
+        return
+    # version assignment + publish under the table's writer lock (r10):
+    # an external compactor/second writer racing this listing would
+    # otherwise collide on the version number (see _writer_lock). Under
+    # the lock no compactor is live, so a leftover completed fold is a
+    # CRASH artifact — roll it forward before listing.
+    with _writer_lock(spark, path):
+        _recover_locked(spark, path)
+        _sink_commit_locked(batch, path, batch_id)
+
+
+def _prepare_sink_batch(
+    batch: DataFrame, path: str, key: str, batch_id: int
+) -> DataFrame | None:
+    """The sink's lock-free prep: redelivery pre-check plus deterministic
+    per-key dedup of the micro-batch. Returns the deduped frame (lazy —
+    the job runs at publish time) or None when the batch id is already
+    committed. Split from the commit (r11, VERDICT item 2) so
+    ``run_stream_versioned`` can run prep outside the writer lock and
+    take the lock ONCE per micro-batch across commit + compaction."""
+    from projet_data_engineering_spark.operators.versioned import (
+        InterruptedCompactionError,
+    )
+
+    spark = batch.sparkSession
     bid = int(batch_id)
-    # cheap lock-free pre-check; re-checked under the writer lock below.
-    # A LIVE concurrent compactor mid-publish makes the listing raise
-    # transiently — fall through to the locked path, which recovers first.
+    # cheap lock-free pre-check; re-checked under the writer lock at
+    # commit. A LIVE concurrent compactor mid-publish makes the listing
+    # raise transiently — fall through to the locked path, which
+    # recovers first.
     try:
         if bid in applied_batch_ids(spark, path):
-            return
+            return None
     except InterruptedCompactionError:
         pass
     # Same hazard versioned_upsert's assert_unique guards: two rows for
@@ -103,19 +130,22 @@ def versioned_sink_batch(
         )
     else:
         batch = batch.dropDuplicates([key])
-    # version assignment + publish under the table's writer lock (r10):
-    # an external compactor/second writer racing this listing would
-    # otherwise collide on the version number (see _writer_lock). Under
-    # the lock no compactor is live, so a leftover completed fold is a
-    # CRASH artifact — roll it forward before listing.
-    with _writer_lock(spark, path):
-        _recover_locked(spark, path)
-        if bid in applied_batch_ids(spark, path):
-            return
-        v = (table_versions(spark, path) or [0])[-1] + 1
-        _publish(
-            batch.withColumn("_op", F.lit("u")), path, v, suffix=f"_b{bid}"
-        )
+    return batch
+
+
+def _sink_commit_locked(batch: DataFrame, path: str, batch_id: int) -> None:
+    """Version assignment + publish — caller MUST hold the writer lock
+    (and have run ``_recover_locked``): an external compactor/second
+    writer racing the listing would otherwise collide on the version
+    number (see ``_writer_lock``)."""
+    spark = batch.sparkSession
+    bid = int(batch_id)
+    if bid in applied_batch_ids(spark, path):
+        return
+    v = (table_versions(spark, path) or [0])[-1] + 1
+    _publish(
+        batch.withColumn("_op", F.lit("u")), path, v, suffix=f"_b{bid}"
+    )
 
 
 def run_stream_versioned(
@@ -140,13 +170,12 @@ def run_stream_versioned(
     redeliver, i.e. batches at/after the last committed checkpoint; keep
     ``protect_last`` ≥ that redelivery window (2 covers availableNow's
     one-in-flight batch with margin). A crash INSIDE the fold leaves the
-    crash-aware readers raising; the next micro-batch's
-    ``recover_compaction`` (run before the sink body when maintenance is
-    on) rolls the table forward, so the stream self-heals — pinned in
-    ``test_streaming.py``."""
+    crash-aware readers raising; the next micro-batch's ``_recover_locked``
+    (the first thing the locked step body runs) rolls the table forward,
+    so the stream self-heals — pinned in ``test_streaming.py``."""
     from projet_data_engineering_spark.operators.versioned import (
-        auto_compact,
-        recover_compaction,
+        _auto_compact_locked,
+        _recover_locked,
     )
 
     if auto_compact_max_versions is not None and protect_last < 1:
@@ -160,17 +189,27 @@ def run_stream_versioned(
         )
 
     def step(batch: DataFrame, batch_id: int) -> None:
-        if auto_compact_max_versions is not None:
-            recover_compaction(batch.sparkSession, path)
-        versioned_sink_batch(batch, path, key, batch_id)
-        if auto_compact_max_versions is not None:
-            auto_compact(
-                batch.sparkSession,
-                path,
-                key,
-                max_versions=auto_compact_max_versions,
-                protect_last=protect_last,
-            )
+        # ONE lock acquisition per micro-batch (r11, VERDICT item 2):
+        # recover + commit + compaction policy share the acquisition.
+        # Measured at 3 acquisitions/batch the protocol was 9.4% of
+        # batch wall (25 ms/cycle, evidence/bench_lock_r11.json); prep
+        # (redelivery pre-check + per-key dedup) stays outside the lock.
+        spark = batch.sparkSession
+        prepared = _prepare_sink_batch(batch, path, key, batch_id)
+        if prepared is None and auto_compact_max_versions is None:
+            return
+        with _writer_lock(spark, path):
+            _recover_locked(spark, path)
+            if prepared is not None:
+                _sink_commit_locked(prepared, path, batch_id)
+            if auto_compact_max_versions is not None:
+                _auto_compact_locked(
+                    spark,
+                    path,
+                    key,
+                    auto_compact_max_versions,
+                    protect_last,
+                )
 
     (
         stream_df.writeStream.foreachBatch(step)
