@@ -16,6 +16,7 @@ Elasticsearch index and a JSON backup file (reference ``scraper/main.py:246-280`
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -921,3 +922,251 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-structured table (r11): append-only delta commits + amortized compaction
+# ---------------------------------------------------------------------------
+
+_LOG_BASE_RE = re.compile(r"^base_(\d+)$")
+_LOG_DELTA_RE = re.compile(r"^delta_(.+)$")
+
+
+def _fs_child_names(spark: SparkSession, path: str) -> list[str]:
+    """Names of the direct children of ``path`` (empty if absent)."""
+    fs, jvm = _fs_for(spark, path)
+    hpath = _hpath(jvm, path)
+    if not fs.exists(hpath):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(hpath)]
+
+
+def write_log_delta(df: DataFrame, root: str, name: str) -> None:
+    """Commit one batch's rows to a log-structured table as
+    ``{root}/delta_{name}`` — the LSM write shape, complementing
+    ``merge_upsert_partitioned``:
+
+    - MERGE rewrites touched partitions: right when a batch touches FEW
+      partitions (keyed upserts clustered by bucket).
+    - LOG appends a batch-sized delta: right when every batch touches
+      EVERY partition — the streaming dedup state's shape (band/wordset
+      rows hash across all buckets), where the partitioned merge degraded
+      to rewriting the whole store per batch: O(corpus) per commit,
+      quadratic over a stream (measured: write_accepted + write_state =
+      70% of the dedup stage wall at sf1, growing per batch —
+      evidence/bench_dedup_stage_sf1_r11.json pre-fix arm).
+
+    Exactly-once without a marker protocol: ``name`` must be a
+    DETERMINISTIC function of the batch's content (e.g. an
+    order-independent hash of its keys) — a replayed batch overwrites its
+    own delta dir byte-identically instead of appending a duplicate. A
+    crash mid-write leaves the dir without ``_SUCCESS``; readers skip it
+    and the replay's overwrite heals it.
+
+    View semantics: base ∪ live deltas, NO key merge on read. Each key
+    must appear in at most one committed delta (true for the dedup state:
+    a doc is accepted by exactly one batch; replays overwrite). A key
+    re-committed by a LATER batch would duplicate — pass ``key`` to
+    ``compact_log`` to fold such duplicates out, or dedup at read."""
+    df.write.mode("overwrite").parquet(f"{root}/delta_{name}")
+
+
+def write_log_base(
+    df: DataFrame, root: str, partition_col: str
+) -> None:
+    """One-shot (re)build of a log-structured table as ``{root}/base_1``
+    — the bulk-build entry (``build_dedup_state``'s shape): the batch
+    writer then streams deltas on top of it and ``compact_log`` folds
+    them in. Replaces any existing state at ``root``."""
+    import json as _json
+
+    spark = df.sparkSession
+    fs, jvm = _fs_for(spark, root)
+    if fs.exists(_hpath(jvm, root)):
+        fs.delete(_hpath(jvm, root), True)
+    tmp = f"{root}/_tmp_base_1"
+    (
+        df.repartition(F.col(partition_col))
+        .write.partitionBy(partition_col)
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    _write_small_file(spark, f"{tmp}/_folded.json", _json.dumps([]))
+    _write_small_file(
+        spark,
+        f"{tmp}/_schema.json",
+        spark.read.parquet(tmp).schema.json(),
+    )
+    fs.rename(_hpath(jvm, tmp), _hpath(jvm, f"{root}/base_1"))
+
+
+def _live_log_parts(
+    spark: SparkSession, root: str
+) -> tuple[str | None, list[str], set[str]]:
+    """(current base dir name or None, live delta names, folded names)."""
+    import json as _json
+
+    names = _fs_child_names(spark, root)
+    bases = sorted(
+        (int(m.group(1)), n)
+        for n in names
+        if (m := _LOG_BASE_RE.match(n))
+        and path_exists(spark, f"{root}/{n}/_SUCCESS")
+    )
+    base = bases[-1][1] if bases else None
+    folded: set[str] = set()
+    if base is not None:
+        try:
+            folded = set(
+                _json.loads(_read_small_file(spark, f"{root}/{base}/_folded.json"))
+            )
+        except Exception:
+            folded = set()
+    deltas = sorted(
+        n
+        for n in names
+        if _LOG_DELTA_RE.match(n)
+        and n not in folded
+        and path_exists(spark, f"{root}/{n}/_SUCCESS")
+    )
+    return base, deltas, folded
+
+
+def read_log_table(spark: SparkSession, root: str) -> DataFrame:
+    """Current view of a log-structured table: highest committed base ∪
+    live (unfolded, _SUCCESS-marked) deltas. A root with NO log children
+    reads as a plain parquet dir — so consumers (the served dedup probe)
+    handle both the builder's one-shot partitioned layout and the
+    streaming log layout through one call.
+
+    Schema alignment: a partitionBy'd base re-infers its partition
+    column's type from directory names (bigint bucket → int), so every
+    part is cast to the canonical schema ``compact_log`` pinned in
+    ``_schema.json`` (or the first delta's schema before any base
+    exists)."""
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    names = _fs_child_names(spark, root)
+    has_log = any(
+        _LOG_BASE_RE.match(n) or _LOG_DELTA_RE.match(n) for n in names
+    )
+    if not has_log:
+        return spark.read.parquet(root)
+    plain = [
+        n
+        for n in names
+        if n.endswith(".parquet")
+        or ("=" in n and not n.startswith("_"))
+    ]
+    if plain:
+        raise ValueError(
+            f"{root}: mixed layout — plain parquet data next to log "
+            f"base/delta dirs; a log-structured table owns its root"
+        )
+    base, deltas, _ = _live_log_parts(spark, root)
+    parts: list[DataFrame] = []
+    tgt: StructType | None = None
+    if base is not None:
+        try:
+            tgt = StructType.fromJson(
+                _json.loads(_read_small_file(spark, f"{root}/{base}/_schema.json"))
+            )
+        except Exception:
+            tgt = None
+        parts.append(spark.read.parquet(f"{root}/{base}"))
+    for d in deltas:
+        parts.append(spark.read.parquet(f"{root}/{d}"))
+    if not parts:
+        raise ValueError(f"{root}: log table has no committed base or deltas")
+    if tgt is None:
+        tgt = parts[-1].schema if deltas else parts[0].schema
+    aligned = [
+        p.select([F.col(f.name).cast(f.dataType).alias(f.name) for f in tgt.fields])
+        for p in parts
+    ]
+    out = aligned[0]
+    for p in aligned[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_log(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    key: str | None = None,
+    max_deltas: int = 16,
+) -> bool:
+    """Fold the live deltas into a new partitioned base once their count
+    exceeds ``max_deltas`` — the amortization that keeps log reads
+    bounded: per-batch commit cost stays O(batch) and the O(corpus)
+    rewrite happens once per ``max_deltas`` commits, i.e. amortized
+    O(corpus / max_deltas) per batch instead of the partitioned merge's
+    O(corpus) EVERY batch.
+
+    Protocol (crash-safe at every step):
+      1. clean leftovers from a previously-interrupted compaction
+         (superseded bases, folded deltas — identified via the live
+         base's ``_folded.json``, so readers already ignore them);
+      2. write the folded view to ``_tmp_base_{k}`` (Spark's _SUCCESS
+         lands inside), plus ``_folded.json`` (all delta names ever
+         folded) and ``_schema.json`` (the canonical view schema);
+      3. rename to ``base_{k}`` — the atomic commit point;
+      4. best-effort delete of the old base and folded deltas (a crash
+         here is healed by the next call's step 1).
+
+    ``key``: optional — dropDuplicates on it during the fold, healing any
+    cross-batch exact re-commits. Serialized against other maintainers by
+    the table's writer lock; delta WRITERS never need it (deterministic
+    dirs). Returns True when a fold happened."""
+    import json as _json
+
+    base, deltas, folded = _live_log_parts(spark, root)
+    if len(deltas) <= max_deltas:
+        return False
+    token = acquire_merge_lock(spark, root)
+    try:
+        fs, jvm = _fs_for(spark, root)
+        # step 1: leftovers from an interrupted previous fold
+        for n in _fs_child_names(spark, root):
+            m = _LOG_BASE_RE.match(n)
+            if (m and n != base) or (_LOG_DELTA_RE.match(n) and n in folded):
+                fs.delete(_hpath(jvm, f"{root}/{n}"), True)
+            if n.startswith("_tmp_base_"):
+                fs.delete(_hpath(jvm, f"{root}/{n}"), True)
+        view = read_log_table(spark, root)
+        if key is not None:
+            view = view.dropDuplicates([key])
+        k = (int(_LOG_BASE_RE.match(base).group(1)) + 1) if base else 1
+        tmp = f"{root}/_tmp_base_{k}"
+        (
+            view.repartition(F.col(partition_col))
+            .write.partitionBy(partition_col)
+            .mode("overwrite")
+            .parquet(tmp)
+        )
+        _write_small_file(
+            spark,
+            f"{tmp}/_folded.json",
+            _json.dumps(sorted(folded | set(deltas))),
+        )
+        # canonical schema = the base's POST-INFERENCE schema (partitionBy
+        # re-infers the partition column's type from dir names, e.g.
+        # bigint bucket -> int): aligning DELTAS to it keeps the base scan
+        # cast-free, so partition pruning on the base stays pristine
+        _write_small_file(
+            spark,
+            f"{tmp}/_schema.json",
+            spark.read.parquet(tmp).schema.json(),
+        )
+        fs.rename(_hpath(jvm, tmp), _hpath(jvm, f"{root}/base_{k}"))
+        # step 4: best-effort cleanup
+        if base is not None:
+            fs.delete(_hpath(jvm, f"{root}/{base}"), True)
+        for d in deltas:
+            fs.delete(_hpath(jvm, f"{root}/{d}"), True)
+        return True
+    finally:
+        release_merge_lock(spark, root, token)

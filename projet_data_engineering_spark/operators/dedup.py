@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from projet_data_engineering_spark.io import load_table, spread
+from projet_data_engineering_spark.io import (
+    load_table,
+    read_log_table,
+    spread,
+    write_log_base,
+)
 from projet_data_engineering_spark.plans.hints import merge_if_large
 from projet_data_engineering_spark.registry import query
 
@@ -832,13 +837,14 @@ def build_dedup_state(
             F.concat_ws("|", F.col(id_col).cast("string"), F.col("band_idx")),
         )
     )
-    # repartition ON the partition column before the partitioned write: each
-    # bucket directory gets ONE file instead of one per shuffle partition —
-    # a pruned probe then opens |buckets| files, not |buckets|×|partitions|
-    # (at real scale, size n_buckets so one bucket ~ one 128-256 MB file)
-    bands.repartition("band_bucket").write.partitionBy(
-        "band_bucket"
-    ).mode("overwrite").parquet(f"{path}/bands")
+    # log-table base write (r11): repartitions ON the partition column so
+    # each bucket directory gets ONE file instead of one per shuffle
+    # partition — a pruned probe then opens |buckets| files, not
+    # |buckets|×|partitions| (at real scale, size n_buckets so one bucket
+    # ~ one 128-256 MB file). Writing through write_log_base means the
+    # streaming refresher's delta commits land on the SAME layout the
+    # one-shot build produces (one reader, io.read_log_table, for both).
+    write_log_base(bands, f"{path}/bands", "band_bucket")
     ws = corpus.select(
         F.col(id_col),
         F.array_distinct(F.split(F.lower(text_col), " ")).alias("ws"),
@@ -846,9 +852,7 @@ def build_dedup_state(
         "doc_bucket",
         F.pmod(F.crc32(F.col(id_col).cast("string")), F.lit(n_buckets)),
     )
-    ws.repartition("doc_bucket").write.partitionBy("doc_bucket").mode(
-        "overwrite"
-    ).parquet(f"{path}/wordsets")
+    write_log_base(ws, f"{path}/wordsets", "doc_bucket")
     spark.range(1).select(F.lit(n_buckets).alias("n_buckets")).write.mode(
         "overwrite"
     ).parquet(f"{path}/stats")
@@ -905,7 +909,10 @@ def incremental_dedup_pairs_served(
     buckets = [
         r[0] for r in bands_b.select("band_bucket").distinct().collect()
     ]
-    bands_c = spark.read.parquet(f"{state_path}/bands").filter(
+    # log-table read (r11): base (bucket-partitioned, PartitionFilters
+    # pruned) ∪ any live streaming deltas — the builder writes base_1,
+    # the streaming refresher appends deltas on top
+    bands_c = read_log_table(spark, f"{state_path}/bands").filter(
         F.col("band_bucket").isin(buckets)
     )
     cand = (
@@ -940,7 +947,7 @@ def incremental_dedup_pairs_served(
         .collect()
     ]
     ws_c = (
-        spark.read.parquet(f"{state_path}/wordsets")
+        read_log_table(spark, f"{state_path}/wordsets")
         .filter(F.col("doc_bucket").isin(doc_buckets))
         .select(F.col(id_col).alias("corpus_doc"), F.col("ws").alias("wsc"))
     )

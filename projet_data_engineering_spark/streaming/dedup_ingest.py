@@ -33,15 +33,22 @@ state writes partially landed re-derives the SAME accepted set, because
   (b) a batch-mate match via the state implies a within-batch match (the
       mate was only accepted if it had no lower-id partner, so by symmetry
       any state-hit from a mate is re-derived by rule 2 anyway), and
-  (c) all four writes are keyed idempotent merges (re-merging identical
-      rows is a no-op) through ``io.merge_upsert_partitioned``'s
-      staged-manifest commit, which also rolls interrupted commits forward.
+  (c) all state writes are exactly-once LOG-DELTA commits
+      (``io.write_log_delta``): the delta dir name is a content hash of
+      the accepted ids, so a replay overwrites its own delta
+      byte-identically instead of appending a duplicate.
 Asserted in ``tests/test_streaming_dedup.py`` (parity, replay, mid-crash).
 
-Scale: per-batch cost tracks BATCH size, not corpus size — the state probe
-prunes to the batch's band buckets and candidate doc buckets
-(evidence/bench_incdedup_r06: serve cost flat in corpus size); state merges
-rewrite only touched buckets. The corpus text is read zero times per batch.
+Scale (r11): per-batch cost tracks BATCH size, not corpus size — the
+probe prunes to the batch's band buckets and candidate doc buckets, and
+each state store commits ONE batch-sized delta per batch (``io``'s
+log-structured tier), folded into its partitioned base once per
+``compact_max_deltas`` batches. The previous partitioned-MERGE commits
+degraded to rewriting the whole store every batch (band/wordset rows hash
+across all buckets — every partition touched): measured 70% of the dedup
+stage wall at sf1 and growing per batch
+(evidence/bench_dedup_stage_sf1_r11.json, pre-fix arm). The corpus text
+is read zero times per batch.
 """
 
 from __future__ import annotations
@@ -50,11 +57,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from projet_data_engineering_spark.io import (
+    compact_log,
     load_table,
-    merge_upsert_partitioned,
     path_exists,
-    read_merged_table,
+    read_log_table,
     spread,
+    write_log_delta,
 )
 from projet_data_engineering_spark.operators.dedup import (
     _minhash_oracle,
@@ -102,6 +110,7 @@ def dedup_ingest_batch(
     threshold: float = 0.2,
     n_buckets: int = 64,
     stage_seconds: dict | None = None,
+    compact_max_deltas: int = 16,
 ) -> None:
     """One micro-batch of the streaming near-dup ingest (the foreachBatch
     body, callable directly so tests can drive replay/crash scenarios).
@@ -120,11 +129,14 @@ def dedup_ingest_batch(
     State layout under ``state_path`` (self-describing — ``n_buckets`` is
     read from the stored manifest when the state exists, never trusted from
     the caller; the bm25_serve lesson from ADVICE r5):
-      bands/     (_pk, id, band_idx, band_val) partitioned by band_bucket
-      wordsets/  (id, ws)                      partitioned by doc_bucket
+      bands/     log table (_pk, id, band_idx, band_val, band_bucket):
+                 delta_* dirs + base_* partitioned by band_bucket
+      wordsets/  log table (id, ws, doc_bucket), base by doc_bucket
       stats/     1-row layout manifest (n_buckets)
-    First-write vs merge is an explicit ``path_exists`` probe on ``stats``
-    (the LAST artifact a first write publishes); merge errors propagate so
+    and the accepted store is a log table keyed by ``id_col`` (base by
+    doc_bucket) — read through ``io.read_log_table``. First-write vs
+    probe-and-merge is an explicit ``path_exists`` check on ``stats``
+    (the LAST artifact a first write publishes); write errors propagate so
     the streaming checkpoint replays the batch."""
     from projet_data_engineering_spark.operators.dedup import (
         incremental_dedup_pairs_served,
@@ -225,42 +237,49 @@ def dedup_ingest_batch(
             "doc_bucket", doc_bucket
         )
 
-        # The three artifact writes are independent keyed-idempotent
-        # merges to DISTINCT paths and replay correctness is order-free —
-        # so thread-level concurrency WOULD be sound. Measured on
-        # local[32] it is a loss (evidence/bench_stack_sf1_conc_r10.json:
-        # parallel merges 0.92x, parallel downstream stages 0.62x — a
-        # single shared JVM's task slots just thrash across concurrent
-        # job DAGs), so the writes stay sequential; on a multi-executor
-        # cluster the same order-free property lets a scheduler pool
-        # overlap them if measurement there says otherwise.
-        if path_exists(spark, accepted_path):
-            merge_upsert_partitioned(
-                spark, accepted_path, acc_rows, id_col, "doc_bucket"
-            )
-        else:
-            acc_rows.write.partitionBy("doc_bucket").parquet(accepted_path)
+        # LOG-STRUCTURED state commits (r11, VERDICT item 3): the three
+        # artifact writes were partitioned MERGES, but band/wordset/doc
+        # rows hash across ALL buckets, so every batch's merge rewrote
+        # the whole store — O(corpus) per commit, 70% of the dedup stage
+        # wall and growing per batch (evidence/bench_dedup_stage_sf1_r11
+        # pre-fix arm). Each batch now appends ONE delta per store
+        # (O(batch)), folded into the partitioned base once per
+        # ``compact_max_deltas`` commits. Exactly-once is the delta NAME:
+        # an order-independent content hash of the accepted ids, so a
+        # replayed batch overwrites its own delta instead of duplicating
+        # (a doc is accepted by exactly one batch, so the base ∪ deltas
+        # view is key-unique with no merge logic on read).
+        sig = accepted.agg(
+            F.sum(F.crc32(F.col(id_col).cast("string"))).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        ).first()
+        name = f"{int(sig['s']) % (2 ** 32):08x}_{int(sig['c'])}"
+        write_log_delta(acc_rows, accepted_path, name)
         _mark("write_accepted")
-        if has_state:
-            merge_upsert_partitioned(
-                spark, f"{state_path}/bands", bands, "_pk", "band_bucket"
-            )
-            merge_upsert_partitioned(
-                spark, f"{state_path}/wordsets", wsets, id_col, "doc_bucket"
-            )
-        else:
+        write_log_delta(bands, f"{state_path}/bands", name)
+        write_log_delta(wsets, f"{state_path}/wordsets", name)
+        if not has_state:
             # first write publishes stats LAST: its existence is the probe
             # above, so a crash mid-first-write replays as a first write
-            bands.repartition("band_bucket").write.partitionBy(
-                "band_bucket"
-            ).mode("overwrite").parquet(f"{state_path}/bands")
-            wsets.repartition("doc_bucket").write.partitionBy(
-                "doc_bucket"
-            ).mode("overwrite").parquet(f"{state_path}/wordsets")
             spark.range(1).select(
                 F.lit(n_buckets).alias("n_buckets")
             ).write.mode("overwrite").parquet(f"{state_path}/stats")
         _mark("write_state")
+        # amortized maintenance: O(corpus) fold once per compact_max_deltas
+        # batches; ``key`` heals any cross-batch exact re-commit
+        compact_log(
+            spark, accepted_path, "doc_bucket",
+            key=id_col, max_deltas=compact_max_deltas,
+        )
+        compact_log(
+            spark, f"{state_path}/bands", "band_bucket",
+            key="_pk", max_deltas=compact_max_deltas,
+        )
+        compact_log(
+            spark, f"{state_path}/wordsets", "doc_bucket",
+            key=id_col, max_deltas=compact_max_deltas,
+        )
+        _mark("compact")
     finally:
         batch.unpersist()
 
@@ -405,7 +424,7 @@ def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_dedup_ingest(
             stream, f"{root}/state", f"{root}/accepted", f"{root}/chk"
         )
-        out = read_merged_table(spark, f"{root}/accepted").select(
+        out = read_log_table(spark, f"{root}/accepted").select(
             "doc_id", (F.col("doc_id") % 3).alias("src_batch")
         )
         rows = out.collect()

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from projet_data_engineering_spark.io import path_exists
+from projet_data_engineering_spark.io import path_exists, read_log_table
 from projet_data_engineering_spark.operators.search import tokenize
 from projet_data_engineering_spark.registry import query
 from projet_data_engineering_spark.streaming.dedup_ingest import (
@@ -114,7 +114,9 @@ def stack_ingest_batch(
     if fail_after == "dedup":
         raise InjectedCrash("after dedup")
     acc_batch = batch.join(
-        spark.read.parquet(accepted_path).select("doc_id"), "doc_id", "semi"
+        read_log_table(spark, accepted_path).select("doc_id"),
+        "doc_id",
+        "semi",
     ).localCheckpoint(eager=True)
     # own timing bucket: this semi-join + eager checkpoint is a real job
     # (re-reads the growing accepted store) that previously landed in the
@@ -317,11 +319,7 @@ def q_stream_stack(spark, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from projet_data_engineering_spark.io import (
-        load_table,
-        read_merged_table,
-        spread,
-    )
+    from projet_data_engineering_spark.io import load_table, spread
     from projet_data_engineering_spark.operators.search import bm25_serve
     from projet_data_engineering_spark.streaming.fixtures import (
         stamp_batch_mtime,
@@ -350,7 +348,7 @@ def q_stream_stack(spark, sf_dir: str) -> DataFrame:
         )
         base = f"{root}/stack"
         run_stream_stack(stream, base, f"{root}/chk", n_buckets=16)
-        acc = read_merged_table(spark, f"{base}/accepted").select(
+        acc = read_log_table(spark, f"{base}/accepted").select(
             F.lit("accepted").alias("part"),
             F.col("doc_id").alias("k"),
             (F.col("doc_id") % 3).cast("double").alias("v"),

@@ -405,14 +405,15 @@ def test_incremental_dedup_served_matches_statefree_and_prunes(spark, tmp_path):
     plan = served._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan, plan
     assert "doc_bucket" in plan.split("PartitionFilters", 1)[1], plan
-    # state layout on disk is genuinely bucket-partitioned
+    # state layout on disk is genuinely bucket-partitioned (inside the
+    # log table's base dir since r11 — build writes base_1)
     assert any(
         p.name.startswith("band_bucket=")
-        for p in (tmp_path / "dedup_state" / "bands").iterdir()
+        for p in (tmp_path / "dedup_state" / "bands" / "base_1").iterdir()
     )
     assert any(
         p.name.startswith("doc_bucket=")
-        for p in (tmp_path / "dedup_state" / "wordsets").iterdir()
+        for p in (tmp_path / "dedup_state" / "wordsets" / "base_1").iterdir()
     )
 
 

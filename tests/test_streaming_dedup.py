@@ -5,6 +5,7 @@ crash-window recovery of the state writes."""
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from projet_data_engineering_spark.io import read_log_table
 from projet_data_engineering_spark.streaming import dedup_ingest as di
 
 T1 = "alpha beta gamma delta epsilon zeta"
@@ -27,13 +28,13 @@ def _df(spark, rows):
 
 
 def _accepted_ids(spark, path):
-    return {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    return {r["doc_id"] for r in read_log_table(spark, path).collect()}
 
 
 def _state_ids(spark, state):
     return {
         r["doc_id"]
-        for r in spark.read.parquet(f"{state}/wordsets").collect()
+        for r in read_log_table(spark, f"{state}/wordsets").collect()
     }
 
 
@@ -65,7 +66,7 @@ def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     run()
     assert _accepted_ids(spark, str(tmp_path / "accepted")) == EXPECTED
     assert _state_ids(spark, str(tmp_path / "state")) == EXPECTED
-    bands = spark.read.parquet(str(tmp_path / "state" / "bands"))
+    bands = read_log_table(spark, str(tmp_path / "state" / "bands"))
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == EXPECTED
 
     run()  # same checkpoint: no new files, nothing changes
@@ -89,11 +90,11 @@ def test_dedup_ingest_batch_replay_idempotent(spark, tmp_path):
         _ingest(spark, tmp_path, rows)
     acc = _accepted_ids(spark, str(tmp_path / "accepted"))
     assert acc == EXPECTED
-    n_rows = spark.read.parquet(str(tmp_path / "accepted")).count()
+    n_rows = read_log_table(spark, str(tmp_path / "accepted")).count()
 
     _ingest(spark, tmp_path, B2)  # replay
     assert _accepted_ids(spark, str(tmp_path / "accepted")) == EXPECTED
-    assert spark.read.parquet(str(tmp_path / "accepted")).count() == n_rows
+    assert read_log_table(spark, str(tmp_path / "accepted")).count() == n_rows
     assert _state_ids(spark, str(tmp_path / "state")) == EXPECTED
 
 
@@ -107,8 +108,8 @@ def test_dedup_ingest_crash_window_replay(spark, tmp_path, monkeypatch):
     _ingest(spark, tmp_path, B1, "_clean")
     _ingest(spark, tmp_path, B2, "_clean")
 
-    real = di.merge_upsert_partitioned
-    for crash_at in (2, 3):  # 1=accepted, 2=bands, 3=wordsets merge
+    real = di.write_log_delta
+    for crash_at in (2, 3):  # 1=accepted, 2=bands, 3=wordsets delta
         calls = {"n": 0}
 
         def boom(*a, _real=real, _at=crash_at, _c=calls, **kw):
@@ -117,22 +118,22 @@ def test_dedup_ingest_crash_window_replay(spark, tmp_path, monkeypatch):
                 raise RuntimeError("injected crash")
             return _real(*a, **kw)
 
-        monkeypatch.setattr(di, "merge_upsert_partitioned", boom)
+        monkeypatch.setattr(di, "write_log_delta", boom)
         rows = B1 if crash_at == 2 else B2
         try:
             _ingest(spark, tmp_path, rows)
             raise AssertionError("injected crash did not propagate")
         except RuntimeError as e:
             assert "injected crash" in str(e)
-        monkeypatch.setattr(di, "merge_upsert_partitioned", real)
+        monkeypatch.setattr(di, "write_log_delta", real)
         _ingest(spark, tmp_path, rows)  # replay
 
     assert _accepted_ids(spark, str(tmp_path / "accepted")) == EXPECTED
     assert _state_ids(spark, str(tmp_path / "state")) == EXPECTED
     # state equals the uninterrupted run's state, row-for-row
     for art in ("bands", "wordsets"):
-        got = spark.read.parquet(str(tmp_path / "state" / art))
-        want = spark.read.parquet(str(tmp_path / "state_clean" / art))
+        got = read_log_table(spark, str(tmp_path / "state" / art))
+        want = read_log_table(spark, str(tmp_path / "state_clean" / art))
         assert got.exceptAll(want).count() == 0
         assert want.exceptAll(got).count() == 0
 
@@ -144,7 +145,7 @@ def test_dedup_ingest_dropped_docs_never_enter_state(spark, tmp_path):
     _ingest(spark, tmp_path, B0)
     _ingest(spark, tmp_path, B1)
     assert _state_ids(spark, str(tmp_path / "state")) == {1, 7, 5}
-    bands = spark.read.parquet(str(tmp_path / "state" / "bands"))
+    bands = read_log_table(spark, str(tmp_path / "state" / "bands"))
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 7, 5}
 
 
@@ -159,7 +160,7 @@ def test_bootstrap_batch_built_state_then_stream(spark, tmp_path):
     state = str(tmp_path / "state")
     corpus = _df(spark, [(1, T1), (7, T2)])  # an already-deduped corpus
     build_dedup_state(corpus, state)
-    assert "_pk" in spark.read.parquet(f"{state}/bands").columns
+    assert "_pk" in read_log_table(spark, f"{state}/bands").columns
 
     # stream two micro-batches on top of the batch-built state
     di.dedup_ingest_batch(_df(spark, B1), state, str(tmp_path / "accepted"))
@@ -169,7 +170,7 @@ def test_bootstrap_batch_built_state_then_stream(spark, tmp_path):
     # 8 drops (dup of streamed-accepted 5), 14 drops within-batch vs 11
     assert _accepted_ids(spark, str(tmp_path / "accepted")) == {5, 11}
     assert _state_ids(spark, state) == {1, 7, 5, 11}
-    bands = spark.read.parquet(f"{state}/bands")
+    bands = read_log_table(spark, f"{state}/bands")
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 7, 5, 11}
     # merge key consistency: one row per (doc, band_idx) across both writers
     assert (

@@ -21,6 +21,7 @@ from pyspark.sql.types import (
 
 import pytest
 
+from projet_data_engineering_spark.io import read_log_table
 from projet_data_engineering_spark.streaming import stack as st
 
 T1 = "alpha beta gamma delta epsilon zeta"
@@ -74,7 +75,7 @@ def _df(spark, rows):
 def _snapshot(spark, base: str) -> dict:
     out = {}
     for art in ARTIFACTS:
-        rows = spark.read.parquet(f"{base}/{art}").collect()
+        rows = read_log_table(spark, f"{base}/{art}").collect()
         out[art] = sorted(
             tuple(sorted(r.asDict(recursive=True).items())) for r in rows
         )
@@ -101,7 +102,7 @@ def test_stack_kill_windows_converge_and_redelivery_is_idempotent(
     want = _snapshot(spark, control)
 
     # sanity on the converged composed state itself
-    acc = {r["doc_id"] for r in spark.read.parquet(f"{control}/accepted").collect()}
+    acc = {r["doc_id"] for r in read_log_table(spark, f"{control}/accepted").collect()}
     assert acc == ACCEPTED
     ivf_ids = {
         r["vec_id"]
@@ -167,7 +168,7 @@ def test_stack_runner_end_to_end_matches_manual_drive(spark, tmp_path):
     assert _snapshot(spark, streamed) == _snapshot(spark, manual)
 
     # search tier scratch parity over the stack's own accepted corpus
-    accepted_docs = spark.read.parquet(f"{streamed}/accepted").select(
+    accepted_docs = read_log_table(spark, f"{streamed}/accepted").select(
         "doc_id", "text"
     )
     scratch = str(tmp_path / "scratch_idx")

@@ -64,7 +64,12 @@ def _state_rows(spark, base: str) -> dict:
     ):
         p = f"{base}/{sub}"
         try:
-            out[key] = spark.read.parquet(p).count() if os.path.isdir(p) else 0
+            if not os.path.isdir(p):
+                out[key] = 0
+                continue
+            from projet_data_engineering_spark.io import read_log_table
+
+            out[key] = read_log_table(spark, p).count()
         except Exception:
             out[key] = 0
     return out
