@@ -160,7 +160,13 @@ def dedup_ingest_batch(
         # profiling only: pin a stage boundary so its wall is attributable
         return df.localCheckpoint(eager=True) if stage_seconds is not None else df
 
-    batch = batch.select(id_col, text_col).persist()
+    # spread() before the hash pass: a micro-batch often arrives as ONE
+    # input partition (AQE coalesces the upstream join/write to a single
+    # file at micro-batch sizes), which would serialize the md5 shingle
+    # hashing onto one core — measured 5-7x the expected sig wall inside
+    # the composed stack (r11). spread() is a no-op when the batch is
+    # already parallel.
+    batch = spread(batch.select(id_col, text_col), id_col).persist()
     try:
         # THE signature pass: bands + wordsets, materialized once,
         # consumed by every stage below.

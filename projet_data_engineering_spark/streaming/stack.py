@@ -103,14 +103,21 @@ def stack_ingest_batch(
     spark = batch.sparkSession
     state = f"{base_path}/dedup_state"
     accepted_path = f"{base_path}/accepted"
+    dedup_sub: dict | None = {} if stage_seconds is not None else None
     dedup_ingest_batch(
         batch.select("doc_id", "text"),
         state,
         accepted_path,
         threshold=threshold,
         n_buckets=n_buckets,
+        stage_seconds=dedup_sub,
     )
     _mark("dedup")
+    if dedup_sub:
+        # sub-stage split of the dominant stage (r11): rendered as
+        # dedup.<sub> rows in the bench evidence
+        for s, v in dedup_sub.items():
+            stage_seconds[f"dedup.{s}"] = v
     if fail_after == "dedup":
         raise InjectedCrash("after dedup")
     acc_batch = batch.join(
