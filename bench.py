@@ -216,6 +216,12 @@ def main() -> None:
             / sum(R10_ANCHOR[n] for n in covered),
             3,
         )
+        # machine-class sentinel: q_tpch_q1 is pure JVM scan+agg unchanged
+        # since r1 — its ratio is the box's speed vs the anchor machine
+        # state, NOT a code regression. Read every other r10_ratio against
+        # it (r11: a whole run measured 1.46x on the sentinel; dividing it
+        # out put every unchanged query at par).
+        out["machine_sentinel_ratio"] = out["r10_ratio"].get("q_tpch_q1")
     print(json.dumps(out))
 
 
