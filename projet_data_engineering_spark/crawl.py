@@ -318,9 +318,17 @@ def crawl_frontier(
                 {"url": urls, "content": contents, "links": links}
             )
 
+    # Lazy checkpoint + count: ONE job materializes the frontier's blocks,
+    # truncates lineage AND returns the row count — which below doubles as
+    # the round-stats figure and the emptiness test. The previous
+    # eager-checkpoint + isEmpty (+ stats count) shape paid two to three
+    # jobs per BFS round for the same information; the round loop is
+    # job-latency-bound at every site size because the per-round data
+    # shrinks while the fixed job cost does not (r11, guide §1.2/§2.4).
     frontier = (
         seeds.select("url").filter(scheme_ok).distinct()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
+    n_frontier = frontier.count()
     visited = None  # (url, content, depth)
     for depth in range(max_depth + 1):
         t_round = time.perf_counter() if round_stats is not None else 0.0
@@ -346,7 +354,7 @@ def crawl_frontier(
             round_stats.append(
                 {
                     "depth": depth,
-                    "frontier_rows": frontier.count(),
+                    "frontier_rows": n_frontier,
                     "fetch_s": round(t_fetch - t_round, 3),
                 }
             )
@@ -358,14 +366,19 @@ def crawl_frontier(
             .filter(scheme_ok)
             .distinct()
         )
+        # one job: materialize the next frontier's checkpoint and learn its
+        # size (emptiness test + stats) — fetched is already eagerly cached,
+        # so the anti-join's two reads of it (out_links, visited) cannot
+        # re-run the fetch
         frontier = out_links.join(
             visited.select("url"), "url", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
+        n_frontier = frontier.count()
         if round_stats is not None:
             round_stats[-1]["expand_s"] = round(
                 time.perf_counter() - t_fetch, 3
             )
-        if frontier.isEmpty():
+        if n_frontier == 0:
             break
     return visited
 

@@ -371,10 +371,24 @@ def connected_components(
     reliable ``checkpoint()`` to the cluster FS; billion-edge graphs would
     additionally swap the propagation step for the large-star/small-star
     variant."""
+    # Symmetrize in ONE pass over the pair input: the old two-branch union
+    # (e ∪ swap(e)) computed the upstream pair pipeline twice when the
+    # persist first materialized (each branch is an independent subtree
+    # until the cache exists — r11, guide §2.4). explode doubles rows
+    # map-side instead.
     e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
-    edges = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    edges = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .persist()
+    )
     labels = (
         edges.select("a").distinct()
         .select(F.col("a").alias("node"), F.col("a").alias("root"))
@@ -397,7 +411,9 @@ def connected_components(
         if (i + 1) % checkpoint_every == 0:
             # Truncates the logical plan to a scan of materialized blocks,
             # so plan depth stays O(checkpoint_every) regardless of rounds.
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # Lazy: the convergence aggregate below materializes it in the
+            # same job (r11 — eager cost one extra job per checkpoint round).
+            new_labels = new_labels.localCheckpoint(eager=False)
         else:
             new_labels = new_labels.persist()
         cur_sum = new_labels.agg(F.sum("root")).first()[0]
@@ -442,15 +458,21 @@ def connected_components_lss(
     e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b")).filter(
         F.col("a") != F.col("b")
     )
-    nodes = (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
-        .distinct()
-    )
     edges = (
         e.select(F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo"))
         .distinct()
         .localCheckpoint(eager=True)
+    )
+    # Node universe from the CHECKPOINTED canonical edges, not the raw pairs
+    # input: every (a != b) pair contributes both endpoints to the edge set,
+    # so the two are identical — and deriving it from ``pairs`` re-ran the
+    # whole upstream pair pipeline (the MinHash band self-join, in the
+    # curation callers) a second time just to list vertices (r11, guide
+    # §2.4: one subtree, one computation).
+    nodes = (
+        edges.select(F.col("hi").alias("node"))
+        .union(edges.select(F.col("lo").alias("node")))
+        .distinct()
     )
     prev_sig: tuple | None = None
     converged = False
@@ -479,11 +501,17 @@ def connected_components_lss(
             .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
         )
         self_edges = mins2.select("hi", F.col("m").alias("lo"))
+        # LAZY checkpoint, materialized by the fingerprint aggregate below:
+        # the agg job computes the round's edge set once, caches its blocks
+        # and truncates lineage AND returns the 1-row fingerprint — one job
+        # per round where eager-checkpoint + agg cost two (r11; the round
+        # loop is job-latency-bound at every SF because each round's data
+        # volume shrinks while the fixed job cost does not).
         new_edges = (
             rewired.union(self_edges)
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         # Convergence test in two tiers: a cheap 1-row (count, sum hi,
         # sum lo) fingerprint every round, and only when the fingerprint

@@ -5,8 +5,11 @@ assigns to FIXED centroids; this module TRAINS them) and behind
 cluster-balanced corpus sampling. The implementation is the canonical
 distributed Lloyd's algorithm shape:
 
-- centroids live in a k-row DataFrame that BROADCASTS onto the corpus —
-  assignment is map-only, the corpus never shuffles for it;
+- centroids are a k-row model bounded BY CONSTRUCTION: they live driver-side
+  between rounds and assignment is one map-only Arrow pass per round — the
+  corpus never shuffles for it (r11: the previous crossJoin + struct-min
+  groupBy DID re-shuffle the corpus per round, and its k·dim unrolled
+  distance expressions cost ~14 s of codegen compile at k=32);
 - the update step is one groupBy(cid) with map-side combine (k·dim partial
   sums per partition);
 - determinism: seeds are the bottom-k vectors by md5(vec_id) (reproducible
@@ -39,32 +42,70 @@ def _dist2(e, c):
     )
 
 
-def _dist2_unrolled(e, c, dim: int):
-    """:func:`_dist2` with the fold unrolled for a statically-known dim —
-    bit-identical (same 0.0-seeded left-to-right addition over the same
-    squares) but whole-stage-codegen'd: Spark evaluates HOF lambdas through
-    interpreted closures, which made the (vector × centroid) assignment
-    rows the dominant cost the moment k grew past the IVF default (k=40
-    k-means training measured ~90 s at 100 k vectors fold-based)."""
-    expr = None
-    for i in range(1, dim + 1):
-        t = F.element_at(e, i) - F.element_at(c, i)
-        sq = t * t
-        expr = (F.lit(0.0) + sq) if expr is None else expr + sq
-    return expr
-
-
 def _assign(e: DataFrame, cents: DataFrame, dim: int = DIM) -> DataFrame:
-    """Map-only assignment: crossJoin the broadcast k-row centroid table,
-    keep the (d2, cid)-min row per vector. cid is unique per candidate so
-    the struct-min is total-ordered — no nondeterministic ties."""
-    joined = e.crossJoin(F.broadcast(cents)).withColumn(
-        "d2", _dist2_unrolled(F.col("e"), F.col("ce"), dim)
+    """Map-only assignment against the bounded k-row centroid model.
+
+    r11 (guide §2.4/§4.2, the PQ trainer's proven shape): the r1–r10
+    implementation crossJoined a broadcast centroid FRAME and kept the
+    (d2, cid)-min per vector with a groupBy struct-min — which, despite
+    the module docstring's claim, re-shuffled the whole corpus (with its
+    dim-sized arrays) once per assignment pass, and the k·dim unrolled
+    distance expressions cost ~14 s of codegen compile on first use at
+    k=32 (measured: kmeans_centroids cold 19.8 s / warm 2.4 s per
+    iteration at sf0.1 — on 2 000 vectors). Centroids are a k-row model
+    bounded by construction, so they are collected and assignment runs as
+    ONE mapInPandas argmin — zero shuffles, zero giant codegen.
+
+    Determinism contract unchanged, bit for bit: d2 accumulates
+    dimension-by-dimension in the SAME left-to-right IEEE-double order as
+    the old 0.0-seeded unrolled fold (the numpy loop below adds one
+    dimension's square per step), and ``np.argmin`` returns the FIRST
+    minimum over cid-ascending candidate columns — exactly the old
+    struct-min's lowest-cid tie-break. The oracle transcription
+    (``kmeans_centroid_ctes``) is untouched."""
+    cent_rows = sorted(
+        (int(r["cid"]), [float(x) for x in r["ce"]]) for r in cents.collect()
     )
-    best = joined.groupBy("vec_id").agg(
-        F.min(F.struct("d2", "cid", "e")).alias("b")
+    return _assign_local(e, cent_rows, dim)
+
+
+def _assign_local(
+    e: DataFrame, cent_rows: list[tuple[int, list[float]]], dim: int = DIM
+) -> DataFrame:
+    """:func:`_assign` over an already-collected (cid-sorted) model."""
+    import numpy as np
+
+    cmat = np.array([cv for _, cv in cent_rows], dtype=np.float64)  # (k, dim)
+    cid_lut = np.array([cid for cid, _ in cent_rows], dtype=np.int32)
+
+    def assign_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["e"].to_numpy()).astype(np.float64)  # (n, dim)
+            # left-to-right fold over dims — bit-identical to the old
+            # unrolled (0.0 + sq1) + sq2 ... expression per (row, cand)
+            d2 = np.zeros((x.shape[0], cmat.shape[0]), dtype=np.float64)
+            for i in range(dim):
+                diff = x[:, i : i + 1] - cmat[None, :, i]
+                d2 += diff * diff
+            best = d2.argmin(axis=1)  # first min = lowest cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cid": cid_lut[best],
+                    "e": pdf["e"],
+                    "d2": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return e.mapInPandas(
+        assign_batches,
+        schema="vec_id bigint, cid int, e array<double>, d2 double",
     )
-    return best.select("vec_id", "b.cid", "b.e", "b.d2")
 
 
 def kmeans_centroids(
@@ -81,23 +122,34 @@ def kmeans_centroids(
         F.transform("embedding", lambda x: x.cast("double")).alias("e"),
     )
     seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
-    seeds = e.orderBy(*seed_order).limit(k)
-    w = Window.orderBy(*seed_order)
-    cents = seeds.select(
-        F.row_number().over(w).alias("cid"), F.col("e").alias("ce")
-    )
+    # The model is k rows BY CONSTRUCTION, so it lives driver-side between
+    # rounds (the PQ trainer's r8 shape): each Lloyd round is one map-only
+    # assignment pass + one map-side-combined k-row means aggregate —
+    # instead of r10's per-round corpus shuffle (crossJoin + struct-min
+    # groupBy) and k·dim-term codegen. Means stay the SAME Spark
+    # round(avg(), 6) aggregate as before; the 6-dp rounding is the
+    # declared cross-order tolerance (module docstring).
+    cent_rows = [
+        (cid, [float(x) for x in r["e"]])
+        for cid, r in enumerate(
+            e.orderBy(*seed_order).limit(k).collect(), start=1
+        )  # bounded: k seed rows
+    ]
     for _ in range(iters):
-        assigned = _assign(e, cents, dim)
+        assigned = _assign_local(e, cent_rows, dim)
         means = assigned.groupBy("cid").agg(
             *[
                 F.round(F.avg(F.element_at("e", i + 1)), 6).alias(f"m{i}")
                 for i in range(dim)
             ]
         )
-        cents = means.select(
-            "cid", F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("ce")
+        cent_rows = sorted(
+            (int(r["cid"]), [float(r[f"m{i}"]) for i in range(dim)])
+            for r in means.collect()  # bounded: k model rows
         )
-    return cents
+    return emb.sparkSession.createDataFrame(
+        [(cid, ce) for cid, ce in cent_rows], "cid int, ce array<double>"
+    )
 
 
 def kmeans_stats(emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM) -> DataFrame:

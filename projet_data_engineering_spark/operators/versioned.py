@@ -151,6 +151,41 @@ def applied_batch_ids(spark: SparkSession, path: str) -> set[int]:
     return out
 
 
+_TARGET_FILE_BYTES = 128 * 1024 * 1024  # guide §6: 128 MB–1 GB output files
+
+
+def _sized(df: DataFrame) -> DataFrame:
+    """Right-size a change set's output files before the version write
+    (r11, guide §6): a version dir used to inherit the writer's upstream
+    partitioning — e.g. ``spread``'s core-count repartition — so every
+    small change set landed as dozens of KB-sized files whose per-file
+    open/commit cost then taxed EVERY later time-travel read, CDC slice
+    and compaction fold (measured: q_time_travel ran 531 tasks at sf0.1,
+    most of them scans/writes of 32-file version dirs). Coalesce (never a
+    shuffle) to ceil(estimated bytes / 128 MB), capped at the current
+    partition count. The estimate is Catalyst's optimized-plan sizeInBytes
+    — file-size-based, so it can only OVER-estimate a filtered change set
+    and err toward MORE partitions, never toward serializing a genuinely
+    large write onto one task."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return df  # estimation is best-effort; never block a commit on it
+    if est >= 1 << 50:
+        # Catalyst reports spark.sql.defaultSizeInBytes (Long.MaxValue-ish)
+        # for plans with no source statistics (LogicalRDD/createDataFrame,
+        # some streaming batches): that is "unknown", not "petabytes" —
+        # keep the writer's partitioning rather than guess
+        return df
+    # coalesce never INCREASES partition count, so no cap/df.rdd probe is
+    # needed (a df.rdd probe would finalize the AQE plan, eagerly executing
+    # the change set's shuffle stages as extra jobs before the write)
+    want = max(1, -(-est // _TARGET_FILE_BYTES))
+    return df.coalesce(want)
+
+
 def _publish(
     df: DataFrame, path: str, version: int, suffix: str = ""
 ) -> None:
@@ -162,7 +197,7 @@ def _publish(
     spark = df.sparkSession
     name = f"v{version}{suffix}"
     tmp = f"{path}/_tmp_{name}"
-    df.write.mode("overwrite").parquet(tmp)
+    _sized(df).write.mode("overwrite").parquet(tmp)
     fs, jvm = _fs_for(spark, path)
     if not fs.rename(_hpath(jvm, tmp), _hpath(jvm, f"{path}/{name}")):
         raise RuntimeError(f"version publish failed: {path}/{name}")
@@ -395,7 +430,9 @@ def _compact_locked(
         .drop("_rn", "_v")
     )
     tmp = f"{path}/_tmp_compact_v{upto}"
-    base.write.mode("overwrite").parquet(tmp)  # durable BEFORE any delete
+    # durable BEFORE any delete; _sized: the folded base is the table's
+    # long-lived file set — right-size it like any version write (§6)
+    _sized(base).write.mode("overwrite").parquet(tmp)
     fs, jvm = _fs_for(spark, path)
     for v in vs:
         fs.delete(_hpath(jvm, f"{path}/{dirs[v]}"), True)

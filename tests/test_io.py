@@ -888,6 +888,40 @@ def test_versioned_table_time_travel_and_compaction(spark, tmp_path):
     assert _vt_rows(vt.read_version(spark, path, "k")) == latest
 
 
+def test_versioned_publish_right_sizes_files(spark, tmp_path):
+    """r11 (guide §6): a small change set committed from a many-partition
+    frame must land as ONE data file, not one KB-file per upstream
+    partition — every later time-travel read pays the version dir's file
+    count. And _sized must never serialize a frame whose size estimate
+    calls for more files than it has partitions (coalesce never grows)."""
+    import os
+
+    from projet_data_engineering_spark.operators import versioned as vt
+
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "vt")
+    # parquet-derived change set (the real shape: stats known from files)
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, "x" * 10) for i in range(100)], "k int, s string"
+    ).write.parquet(src)
+    df = spark.read.parquet(src).repartition(32)
+    assert vt.versioned_upsert(df, path, "k") == 1
+    files = [
+        f
+        for f in os.listdir(f"{path}/v1")
+        if f.endswith(".parquet") and not f.startswith("_")
+    ]
+    assert len(files) == 1, files
+    # unknown stats (LogicalRDD: no source statistics) must NOT be read as
+    # "petabytes" — the writer's partitioning is kept as-is
+    local = spark.createDataFrame(
+        [(i, "y") for i in range(10)], "k int, s string"
+    ).repartition(4)
+    assert vt._sized(local).rdd.getNumPartitions() == 4
+
+
 def test_versioned_publish_is_invisible_until_rename(spark, tmp_path):
     """A crashed half-write (still _tmp-prefixed) is not a version: the
     lister ignores it and the retry simply overwrites it."""

@@ -72,13 +72,18 @@ def test_doc_logprob_accounts_every_token(spark):
     assert all(r["avg_nll"] <= np.log(n_total) + 1e-9 for r in rows)
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
+def test_kmeans_assignment_is_map_only(spark):
     from projet_data_engineering_spark.plans.explain import formatted_plan
 
     plan = formatted_plan(Q["q_kmeans"](spark, SF_DIR))
-    # k-row centroid frames broadcast (nested-loop, no join key) — the
-    # corpus itself is never shuffled for assignment
-    assert "BroadcastNestedLoopJoin" in plan
+    # r11: the k-row model is collected (bounded by construction) and
+    # assignment runs as one Arrow pass — no join of any kind, and the only
+    # exchange in the final-assignment plan is the k-row stats aggregate,
+    # never a corpus shuffle keyed by vec_id
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
+    assert "hashpartitioning(vec_id" not in plan
+    assert plan.count("Exchange") <= 2  # tree + details of the ONE cid agg
 
 
 def test_doc_logprob_folds_total_as_broadcast(spark):
