@@ -565,53 +565,92 @@ def pca_state(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFra
     identical inputs) and rounds again, the start vector is the constant
     1/8 = 2⁻³ (exactly representable) — so the DuckDB transcription
     (:func:`_pca_ctes`) walks the identical float path."""
+    import numpy as np
+
+    # The model state is 2·d doubles BY CONSTRUCTION, so it lives
+    # driver-side between rounds (r11 — the kmeans/PQ trainer shape). The
+    # old version unrolled all ``iters`` rounds into ONE plan: building
+    # its d-wide aggregate columns cost seconds of py4j round trips per
+    # round BEFORE any execution, the nested zip_with/aggregate lambdas
+    # ran interpreted, and each round's fresh-literal 64-avg aggregate
+    # recompiled codegen — ~15 s at sf0.1 on 2 000 rows. Each round is
+    # now one Arrow partial-sums pass in LONG FORM (d rows of (i, su, n)
+    # per batch — never a d-wide expression tree), a 3-expression final
+    # aggregate, and a bounded d-row collect.
+    #
+    # Determinism: per-batch numpy partials + Spark's sum accumulate in a
+    # different order than the old column AVG — reconciled, exactly like
+    # the kmeans/PQ means, at the 6-dp ROUND every μ and C·v component
+    # already passes through (the module's declared cross-engine
+    # tolerance; the hash gate proves it per SF). The v/eig normalization
+    # stays HALF_UP via Decimal — bit-equal to Spark's ROUND on doubles —
+    # never python's banker's round().
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        # Spark ROUND(double, 6): exact-binary BigDecimal -> setScale(6,
+        # HALF_UP) -> double. Decimal(float) is the same exact binary.
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
     e = emb.select(
         F.transform("embedding", lambda x: x.cast("double")).alias("x")
     )
-    mu_row = e.agg(
-        *[
-            F.round(F.avg(F.element_at("x", i + 1)), 6).alias(f"m{i}")
-            for i in range(dim)
-        ]
-    )
-    mu = mu_row.select(
-        F.array(*[F.col(f"m{i}") for i in range(dim)]).alias("mu")
-    )
-    state = mu.select(
-        "mu",
-        F.array(*[F.lit(0.125)] * dim).alias("v"),
-        F.lit(0.0).alias("eig"),
-    )
+
+    def _round_pass(mu_arr, v_arr):
+        """One corpus pass → per-batch long-form partials. mu_arr=None is
+        the μ pass (su_i = Σ x_i); otherwise su_i = Σ s·(x_i − μ_i) with
+        s = (x − μ)·v."""
+
+        def partials(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+                if mu_arr is None:
+                    su = x.sum(axis=0)
+                else:
+                    c = x - mu_arr[None, :]
+                    s = c @ v_arr
+                    su = (s[:, None] * c).sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "i": np.arange(x.shape[1], dtype=np.int32),
+                        "su": su,
+                        "n": np.int64(x.shape[0]),
+                    }
+                )
+
+        rows = (
+            e.mapInPandas(partials, schema="i int, su double, n bigint")
+            .groupBy("i")
+            .agg(F.sum("su").alias("su"), F.sum("n").alias("n"))
+            .collect()  # bounded: d rows
+        )
+        out = [0.0] * dim
+        for r in rows:
+            out[r["i"]] = _r6(r["su"] / r["n"])
+        return np.array(out, dtype=np.float64)
+
+    mu_arr = _round_pass(None, None)
+    v_arr = np.array([0.125] * dim, dtype=np.float64)
+    eig = 0.0
     for _ in range(iters):
-        scored = e.crossJoin(F.broadcast(state)).select(
-            "x", "mu", _centered_dot().alias("s")
-        )
-        u_row = scored.agg(
-            *[
-                F.round(
-                    F.avg(
-                        F.col("s")
-                        * (
-                            F.element_at("x", i + 1)
-                            - F.element_at("mu", i + 1)
-                        )
-                    ),
-                    6,
-                ).alias(f"u{i}")
-                for i in range(dim)
-            ]
-        )
-        norm = F.sqrt(
-            sum(F.col(f"u{i}") * F.col(f"u{i}") for i in range(dim))
-        )
-        newv = u_row.select(
-            F.array(
-                *[F.round(F.col(f"u{i}") / norm, 6) for i in range(dim)]
-            ).alias("v"),
-            F.round(norm, 6).alias("eig"),
-        )
-        state = mu.crossJoin(newv)
-    return state
+        u = _round_pass(mu_arr, v_arr)
+        norm = 0.0
+        for ui in u:  # same left-to-right 0-seeded fold as the old plan
+            norm += ui * ui
+        norm = float(np.sqrt(norm))
+        v_arr = np.array([_r6(ui / norm) for ui in u], dtype=np.float64)
+        eig = _r6(norm)
+    return emb.sparkSession.createDataFrame(
+        [([float(m) for m in mu_arr], [float(x) for x in v_arr], eig)],
+        "mu array<double>, v array<double>, eig double",
+    )
 
 
 def pca_power(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFrame:
@@ -736,14 +775,42 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Projections round to 6dp (pinning every row's value across
     engines) BEFORE the 5dp-rounded moments, so mean and stddev survive the
     cross-engine summation-order difference."""
+    import numpy as np
+
     emb = load_table(spark, sf_dir, "embeddings")
     e = emb.select(
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("x"),
     )
-    state = pca_state(emb)
-    proj = e.crossJoin(F.broadcast(state)).select(
-        "label", F.round(_centered_dot(), 6).alias("p")
+    # state is 2·d doubles — collect it and project in one Arrow pass
+    # (r11): the old crossJoin(broadcast(state)) + zip_with/aggregate fold
+    # ran interpreted per row (CodegenFallback). The numpy loop below
+    # accumulates dimension-by-dimension, so every row's projection is
+    # BIT-IDENTICAL to the old 0.0-seeded left-to-right fold (and to the
+    # oracle's list_sum) before its 6-dp round — no new tolerance.
+    st = pca_state(emb).first()
+    mu_arr = np.array([float(m) for m in st["mu"]], dtype=np.float64)
+    v_arr = np.array([float(x) for x in st["v"]], dtype=np.float64)
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+            c = x - mu_arr[None, :]
+            s = np.zeros(x.shape[0], dtype=np.float64)
+            for i in range(c.shape[1]):  # the fold, vectorized over rows
+                s += c[:, i] * v_arr[i]
+            yield pd.DataFrame({"label": pdf["label"], "p": s})
+
+    # raw s crosses Arrow bit-exact; the 6-dp round stays SPARK-side
+    # (HALF_UP) — numpy's round is half-even and could differ on exact
+    # 5e-7 boundaries
+    proj = e.mapInPandas(project, schema="label int, p double").select(
+        "label", F.round("p", 6).alias("p")
     )
     return proj.groupBy("label").agg(
         F.count("*").alias("n"),

@@ -470,8 +470,17 @@ def adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is a per-query constant, the codes table is the only scan."""
     e = load_table(spark, sf_dir, "embeddings")
     books = _train_books(e)
-    enc = pq_encode_with(e, books)
-    codes = enc.select("vec_id", *[f"c{m + 1}" for m in range(PQ_M)])
+    # Codes from the PRODUCTION Arrow encode tier (r11) — the same switch
+    # build_pq_index made in r8 and for the same reason: the JVM fused
+    # projection is kept ONLY for q_pq_encode's exact-arithmetic oracle
+    # row, and here it cost a fresh janino 64 KB-overflow compile attempt
+    # + interpreted evaluation per query build (measured: ~6–15 s of the
+    # ADC queries' wall at sf0.1 was the encode plan, on 2 000 rows).
+    # Code-for-code equality of the two tiers is pinned in tests/test_pq.py
+    # and hash-proven by q_pq_encode_arrow sharing q_pq_encode's oracle.
+    codes = pq_encode_arrow(e, books).select(
+        "vec_id", *[f"c{m + 1}" for m in range(PQ_M)]
+    )
 
     v = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
     qrows = v.filter(F.col("vec_id") < PQ_NQ).collect()  # bounded panel

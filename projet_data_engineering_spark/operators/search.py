@@ -701,8 +701,18 @@ def build_search_index(
             F.concat_ws("|", F.col("term"), F.col(id_col).cast("string")),
         )
     )
-    postings.write.partitionBy("term_bucket").mode("overwrite").parquet(
-        f"{path}/postings"
+    # repartition BY the partition column before the partitioned write
+    # (r11, guide §6 — the discipline the vocab write below already had):
+    # without it every post-groupBy task writes a file into EVERY bucket
+    # dir it holds terms for — tasks × n_buckets KB-files per build
+    # (measured 368 tasks at sf0.1), whose open cost every serve, vocab
+    # read-back and streaming merge then pays. With it, a bucket's rows
+    # land contiguously: one file per bucket per owning task.
+    (
+        postings.repartition(F.col("term_bucket"))
+        .write.partitionBy("term_bucket")
+        .mode("overwrite")
+        .parquet(f"{path}/postings")
     )
     (
         spark.read.parquet(f"{path}/postings")

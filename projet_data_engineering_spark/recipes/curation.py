@@ -127,12 +127,20 @@ def curate_corpus(
         .distinct()
     )
     candidate = quality_ok.filter(~is_eval)
+    # Persisted like the labels relation, and for the same reason (r11):
+    # FIVE downstream consumers (clean + the funnel's decontaminated/
+    # redacted/split/window rows) sit on top of ``clean``, and without the
+    # pin each of them re-runs the 5-gram explode + gram join + distinct —
+    # the pipeline's second-most-expensive shuffle after the labels. The
+    # materialization is a doc_id list, O(contaminated docs), never
+    # corpus-sized.
     contaminated = (
         candidate.filter(F.col("n_tokens") >= 5)
         .select("doc_id", F.explode(grams).alias("gram"))
         .join(eval_grams, "gram")
         .select("doc_id")
         .distinct()
+        .persist()
     )
     clean = candidate.join(contaminated, "doc_id", "left_anti")
 
@@ -213,6 +221,7 @@ def curate_corpus(
         "splits": splits,
         "funnel": funnel,
         "_labels": labels,  # caller unpersists when done
+        "_contaminated": contaminated,  # caller unpersists when done
     }
 
 
@@ -346,3 +355,4 @@ def q_curation_funnel(spark, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, schema=result.schema)
     finally:
         out["_labels"].unpersist()
+        out["_contaminated"].unpersist()

@@ -42,6 +42,7 @@ def test_funnel_is_monotone_and_consistent(spark):
         assert funnel["6_train_windows"][1] == train[1]
     finally:
         out["_labels"].unpersist()
+        out["_contaminated"].unpersist()
 
 
 def test_dedup_stage_matches_standalone_query(spark):
@@ -61,6 +62,7 @@ def test_dedup_stage_matches_standalone_query(spark):
         assert funnel["1_dedup"] == sum(standalone.values())
     finally:
         out["_labels"].unpersist()
+        out["_contaminated"].unpersist()
 
 
 def test_no_contaminated_doc_and_no_eval_doc_survives(spark):
@@ -82,6 +84,7 @@ def test_no_contaminated_doc_and_no_eval_doc_survives(spark):
         assert not any(d % 97 == 0 for d in shipped)
     finally:
         out["_labels"].unpersist()
+        out["_contaminated"].unpersist()
 
 
 def test_split_is_leakage_safe_on_cluster_roots(spark):
@@ -135,6 +138,7 @@ def test_split_is_leakage_safe_on_cluster_roots(spark):
         assert mism.count() == 0
     finally:
         out["_labels"].unpersist()
+        out["_contaminated"].unpersist()
 
 
 def test_redaction_scrubs_planted_pii(spark):
@@ -166,3 +170,4 @@ def test_redaction_scrubs_planted_pii(spark):
         ).count() == s.count()
     finally:
         out["_labels"].unpersist()
+        out["_contaminated"].unpersist()

@@ -56,6 +56,7 @@ def main() -> int:
     ).write.format("noop").mode("overwrite").save()
     relabel_cost = round(time.time() - t0, 2)
     out["_labels"].unpersist()
+    out["_contaminated"].unpersist()
 
     stages = {r["stage"]: (r["n_docs"], r["n_tokens"]) for r in funnel}
     tokens_in = stages["0_raw"][1]
