@@ -108,6 +108,84 @@ def _assign_local(
     )
 
 
+def _round6(x: float) -> float:
+    """Spark ``ROUND(double, 6)`` replicated exactly: exact-binary
+    BigDecimal → setScale(6, HALF_UP) → double. ``Decimal(float)`` is the
+    same exact binary expansion; never python's banker's ``round()``."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def _lloyd_round(
+    e: DataFrame, cent_rows: list[tuple[int, list[float]]], dim: int
+) -> list[tuple[int, list[float]]]:
+    """One Lloyd round: assignment + per-cluster mean partials FUSED into a
+    single Arrow pass (the PQ trainer's exact shape, r11). The pass emits
+    LONG-FORM partials — (cid, i, su, n) rows, at most k·dim per batch —
+    so no d-wide aggregate column tree is ever built (measured: the 64-avg
+    groupBy's py4j construction + codegen alone cost ~2 s per round).
+    Assignment d2 keeps the bit-exact per-dim left-to-right fold and
+    first-min = lowest-cid ties; the means reconcile with the oracle's AVG
+    at the 6-dp HALF_UP round — the module's declared cross-order
+    tolerance, same contract as the PQ codebook means."""
+    import numpy as np
+
+    cmat = np.array([cv for _, cv in cent_rows], dtype=np.float64)
+    cid_lut = np.array([cid for cid, _ in cent_rows], dtype=np.int64)
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            d2 = np.zeros((x.shape[0], cmat.shape[0]), dtype=np.float64)
+            for i in range(dim):
+                diff = x[:, i : i + 1] - cmat[None, :, i]
+                d2 += diff * diff
+            best = d2.argmin(axis=1)  # first min = lowest cid
+            cids, sus, ns = [], [], []
+            for ki in range(len(cid_lut)):
+                mask = best == ki
+                c = int(mask.sum())
+                if not c:
+                    continue  # empty clusters drop, as with groupBy means
+                sv = x[mask].sum(axis=0)
+                cids.extend([int(cid_lut[ki])] * dim)
+                sus.extend(sv.tolist())
+                ns.extend([c] * dim)
+            if not cids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "cid": np.array(cids, dtype=np.int32),
+                    "i": np.tile(
+                        np.arange(dim, dtype=np.int32), len(cids) // dim
+                    ),
+                    "su": np.array(sus, dtype=np.float64),
+                    "n": np.array(ns, dtype=np.int64),
+                }
+            )
+
+    rows = (
+        e.mapInPandas(partials, schema="cid int, i int, su double, n bigint")
+        .groupBy("cid", "i")
+        .agg(F.sum("su").alias("su"), F.sum("n").alias("n"))
+        .collect()  # bounded: k·dim rows
+    )
+    means: dict[int, list[float]] = {}
+    for r in rows:
+        means.setdefault(int(r["cid"]), [0.0] * dim)[r["i"]] = _round6(
+            r["su"] / r["n"]
+        )
+    return sorted(means.items())
+
+
 def kmeans_centroids(
     emb: DataFrame, k: int = K, iters: int = ITERS, dim: int = DIM
 ) -> DataFrame:
@@ -123,12 +201,12 @@ def kmeans_centroids(
     )
     seed_order = [F.md5(F.col("vec_id").cast("string")), F.col("vec_id")]
     # The model is k rows BY CONSTRUCTION, so it lives driver-side between
-    # rounds (the PQ trainer's r8 shape): each Lloyd round is one map-only
-    # assignment pass + one map-side-combined k-row means aggregate —
+    # rounds (the PQ trainer's r8 shape): each Lloyd round is ONE fused
+    # Arrow pass (assignment + mean partials, :func:`_lloyd_round`) —
     # instead of r10's per-round corpus shuffle (crossJoin + struct-min
-    # groupBy) and k·dim-term codegen. Means stay the SAME Spark
-    # round(avg(), 6) aggregate as before; the 6-dp rounding is the
-    # declared cross-order tolerance (module docstring).
+    # groupBy) and k·dim-term codegen, or the intermediate r11 shape whose
+    # separate d-wide means aggregate still cost ~2 s of py4j/codegen per
+    # round.
     cent_rows = [
         (cid, [float(x) for x in r["e"]])
         for cid, r in enumerate(
@@ -136,17 +214,7 @@ def kmeans_centroids(
         )  # bounded: k seed rows
     ]
     for _ in range(iters):
-        assigned = _assign_local(e, cent_rows, dim)
-        means = assigned.groupBy("cid").agg(
-            *[
-                F.round(F.avg(F.element_at("e", i + 1)), 6).alias(f"m{i}")
-                for i in range(dim)
-            ]
-        )
-        cent_rows = sorted(
-            (int(r["cid"]), [float(r[f"m{i}"]) for i in range(dim)])
-            for r in means.collect()  # bounded: k model rows
-        )
+        cent_rows = _lloyd_round(e, cent_rows, dim)
     return emb.sparkSession.createDataFrame(
         [(cid, ce) for cid, ce in cent_rows], "cid int, ce array<double>"
     )
@@ -585,14 +653,7 @@ def pca_state(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFra
     # tolerance; the hash gate proves it per SF). The v/eig normalization
     # stays HALF_UP via Decimal — bit-equal to Spark's ROUND on doubles —
     # never python's banker's round().
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def _r6(x: float) -> float:
-        # Spark ROUND(double, 6): exact-binary BigDecimal -> setScale(6,
-        # HALF_UP) -> double. Decimal(float) is the same exact binary.
-        return float(
-            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
-        )
+    _r6 = _round6  # Spark ROUND(double, 6) replica, shared with kmeans
 
     e = emb.select(
         F.transform("embedding", lambda x: x.cast("double")).alias("x")
