@@ -192,11 +192,18 @@ def main() -> None:
         "sf": sf,
         "min_of": min_of,
         "legacy24_total": round(sum(timings[n] for n in LEGACY_24), 3),
-        "cold_queries": cold,
         "cold_total": round(sum(cold.values()), 3),
     }
+    # Per-query COLD times and the r1 anchor table go to a SIDECAR file,
+    # not the stdout line (r12, VERDICT r11 item 7): three ratio tables +
+    # the cold map grew the one-line JSON to ~4 KB, big enough that the
+    # driver's bounded tail-capture window truncated it and lost a whole
+    # round's cross-round PERF comparison. The line keeps everything the
+    # driver parses (queries, totals, the sensitive r10_ratio gate, the
+    # machine sentinel) and stays well under 2 KB.
+    sidecar = {"cold_queries": cold}
     if abs(sf - 0.1) < 1e-9:  # the anchor's SF: emit the ratio tables
-        out["anchor_ratio"] = {
+        sidecar["anchor_ratio"] = {
             n: round(timings[n] / R1_ANCHOR[n], 2) for n in LEGACY_24
         }
         out["legacy24_vs_anchor"] = round(
@@ -204,12 +211,18 @@ def main() -> None:
         )
         # working-anchor ratios (r10 min-of-3): the sensitive gate — any
         # query drifting past ~1.3x here is a real regression, not noise
-        # absorbed by the 10-round-old r1 allowance
-        out["r10_ratio"] = {
+        # absorbed by the 10-round-old r1 allowance. On the LINE as a
+        # values-only array aligned to the "queries" key order (half the
+        # bytes); the name-keyed table lives in the sidecar.
+        r10_ratio = {
             n: round(timings[n] / R10_ANCHOR[n], 2)
             for n in BENCH_QUERIES
             if n in R10_ANCHOR
         }
+        sidecar["r10_ratio"] = r10_ratio
+        out["r10_ratio_v"] = [
+            r10_ratio.get(n) for n in timings if n in R10_ANCHOR
+        ]
         covered = [n for n in BENCH_QUERIES if n in R10_ANCHOR]
         out["vs_r10_anchor"] = round(
             sum(timings[n] for n in covered)
@@ -221,7 +234,15 @@ def main() -> None:
         # state, NOT a code regression. Read every other r10_ratio against
         # it (r11: a whole run measured 1.46x on the sentinel; dividing it
         # out put every unchanged query at par).
-        out["machine_sentinel_ratio"] = out["r10_ratio"].get("q_tpch_q1")
+        out["machine_sentinel_ratio"] = r10_ratio.get("q_tpch_q1")
+    try:
+        side_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "evidence")
+        os.makedirs(side_dir, exist_ok=True)
+        with open(os.path.join(side_dir, "bench_sidecar_last.json"), "w") as f:
+            json.dump({**out, **sidecar}, f)
+    except OSError:
+        pass  # the sidecar is transparency, never a reason to fail a bench
     print(json.dumps(out))
 
 

@@ -93,8 +93,27 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     real multi-file corpus already scans with thousands of partitions; there
     the repartition would be a full shuffle for nothing, so it is skipped
     when the input already has >= half the cluster's parallelism. The check
-    reads only file-listing metadata, not data."""
+    reads only file-listing metadata, not data.
+
+    Guard (r12, VERDICT r11 item 8): the ``df.rdd`` partition probe
+    FINALIZES an adaptive plan — on a shuffle-bearing frame that would
+    eagerly execute its shuffle stages as extra jobs before the caller's
+    own action. Every current caller passes a scan or a micro-batch frame
+    (no exchanges, nothing to execute), but the probe now runs only after
+    a plan-string check: a frame whose plan already carries a shuffle
+    Exchange / AQEShuffleRead is already cluster-parallel by construction
+    (its width is the shuffle-partition / AQE-coalesced layout, never one
+    input file), so it is returned unchanged without ever touching
+    ``.rdd``. Pinned by ``test_io.py::test_spread_never_executes_
+    shuffle_stages``."""
+    import re as _re
+
     n = df.sparkSession.sparkContext.defaultParallelism
+    # initial physical plan only — printing it plans but never executes
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # \bExchange\b matches the shuffle node, not BroadcastExchange
+    if _re.search(r"\bExchange\b", plan) or "AQEShuffleRead" in plan:
+        return df
     if df.rdd.getNumPartitions() >= max(n // 2, 1):
         return df
     return df.repartition(n, *key_cols) if key_cols else df.repartition(n)

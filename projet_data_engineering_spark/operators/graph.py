@@ -41,63 +41,160 @@ def pagerank(
     edges: DataFrame,
     damping: float = DAMPING,
     iters: int = PR_ITERS,
-    checkpoint_every: int = 2,
+    low_latency: bool | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges(src, dst, w)``; returns (node, rank).
 
     r'(v) = (1-d)/N + d * (sum_{u->v} r(u) * w(u,v)/outw(u) + dangling/N)
 
-    Every per-iteration quantity stays a DataFrame: N and the dangling mass
-    are 1-row broadcast aggregates crossJoined into the plan (never a
-    driver-side scalar — no extra action, no collect). Each iteration is one
-    shuffle (the contribution groupBy on dst); ``localCheckpoint`` every few
-    rounds truncates lineage so the plan tree stays bounded on deep runs —
-    the same discipline as ``dedup.connected_components``. At 100 TB the
-    edge table shuffles once per round on dst; nodes/ranks are proportional
-    to |V| << |E| and reuse the same hash partitioning round to round."""
+    Round-loop shape (r12, guide §2.4/§1.2 — the CC/LSS recipe; before it
+    the loop ran 88 jobs / 5 707 tasks at sf0.1):
+
+    - **Round-invariant state is built once.** ``outw`` never changes, so
+      it is folded into the edge frame at setup (``ew`` carries ``ow`` —
+      the per-round outw re-join is gone), and the DANGLING-node set is
+      fixed (a node with no out-edges never gains one), so ``nmeta``
+      carries an ``is_d`` flag plus the broadcast node count — the
+      per-round left-join + null-filter for the dangling mass collapses
+      to a filter-aggregate on the checkpointed rank vector.
+    - **One eager checkpoint at setup** (the canonical edge projection):
+      its RDD partitioning is the AQE-finalized post-aggregate layout, so
+      every round works on right-sized partitions instead of inheriting
+      the edge derivation's width (the ``versioned._sized`` disease — at
+      sf0.1 the old loop dragged ~65 tasks/job through 25-row frames).
+    - **Per-round checkpoints are LAZY**, materialized by the next round's
+      dangling-mass aggregate in the same job (the LSS discipline): one
+      small job per round instead of eager-checkpoint + broadcast jobs.
+    - **The dangling mass and N are 1-row bounded aggregates collected to
+      the driver** (the LSS fingerprint ``.first()`` shape) and re-enter
+      the plan as literals — a broadcast-crossJoin of the same 1-row
+      frame costs an extra broadcast-exchange job per round for identical
+      bits. The update itself folds contributions and the node universe
+      in ONE union-aggregate (no per-round left join): nodes without
+      in-edges carry a NULL contribution, so ``sum`` sees exactly the
+      multiset the old ``groupBy(dst)`` + ``coalesce`` saw.
+    - **Low-latency mode for small graphs** (``low_latency=None`` decides
+      from the checkpointed edge RDD's partition count — data-derived,
+      never a core count): AQE materializes every exchange of every
+      materialization as its own ~100 ms stage job, which is pure fixed
+      cost on a round frame of a few rows (measured: 6–7 jobs/round on
+      the ≤25-node trade network; the whole loop was job-latency-bound).
+      With a tiny graph the loop instead runs with AQE off, shuffle width
+      pinned to the edge RDD's own partition count, and the |V|-sized
+      round frames broadcast-hinted — ONE job per round. Large graphs
+      (many edge partitions) keep the AQE path: there the per-exchange
+      stage jobs are noise against real shuffle work, and AQE's skew
+      handling on the rank join matters more than round latency.
+
+    The per-round arithmetic (sum(rank·w/ow), (1−d)/N + d·(c + dm/N))
+    performs the identical IEEE operations in the identical order as the
+    pre-r12 loop (driver doubles are the same doubles) in BOTH modes —
+    the modes differ only in physical layout — so the 6dp-rounded oracle
+    contract is unchanged. At 100 TB the edge table shuffles once per
+    round on dst; nodes/ranks are proportional to |V| << |E|."""
+    spark = edges.sparkSession
     e = edges.select(
         F.col("src"), F.col("dst"), F.col("w").cast("double").alias("w")
-    ).persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n_row = F.broadcast(nodes.agg(F.count("*").cast("double").alias("nn")))
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    ranks = nodes.crossJoin(n_row).select(
-        "node", (F.lit(1.0) / F.col("nn")).alias("rank")
-    )
-    for i in range(iters):
-        with_out = ranks.join(outw, ranks["node"] == outw["src"], "left")
-        dang_row = F.broadcast(
-            with_out.filter(F.col("ow").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+    ).localCheckpoint(eager=True)
+    # metadata-only probe: e is ALREADY materialized (eager), so .rdd is a
+    # wrapper over stored blocks — no AQE finalization, no job
+    nparts = e.rdd.getNumPartitions()
+    if low_latency is None:
+        low_latency = nparts <= 4
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    if low_latency:
+        conf.set("spark.sql.adaptive.enabled", "false")
+
+    def _sized_agg(df: DataFrame, key: str):
+        # lowlat: pin the exchange to the edge RDD's own width instead of
+        # the global shuffle-partition default (200 near-empty tasks per
+        # exchange on a few-row frame); the groupBy reuses the repartition
+        # exchange (guide §2.4). AQE mode: let AQE size it.
+        return (
+            df.repartition(nparts, key) if low_latency else df
+        ).groupBy(key)
+
+    def _hint(df: DataFrame) -> DataFrame:
+        # lowlat ⇒ the graph is tiny ⇒ |V|-sized frames always broadcast;
+        # AQE mode decides from runtime sizes instead
+        return F.broadcast(df) if low_latency else df
+
+    try:
+        outw = _sized_agg(e, "src").agg(F.sum("w").alias("ow"))
+        # (src, dst, w, ow): the contribution join's round-invariant side.
+        # Lazy checkpoint — materialized once inside the first job that
+        # computes contributions, read as blocks by every later round.
+        ew = e.join(_hint(outw), "src").localCheckpoint(eager=False)
+        # Node universe + the (fixed) dangling flag in ONE exchange off
+        # the checkpointed edges: a node is dangling iff it never appears
+        # as src (outw never changes, so neither does is_d — the old loop
+        # re-derived it per round via a left join + null filter).
+        nmeta = _sized_agg(
+            e.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("src").alias("node"),
+                            F.lit(True).alias("has_out"),
+                        ),
+                        F.struct(
+                            F.col("dst").alias("node"),
+                            F.lit(False).alias("has_out"),
+                        ),
+                    )
+                ).alias("x")
+            ).select("x.node", "x.has_out"),
+            "node",
+        ).agg((~F.max("has_out")).alias("is_d")).localCheckpoint(eager=False)
+        nn = float(nmeta.count())  # bounded: |V| is a count, 1 row back
+        ranks = nmeta.select(
+            "node", "is_d", F.lit(1.0 / nn).alias("rank")
+        )
+        for i in range(iters):
+            # 1-row bounded collect (the LSS fingerprint shape); this job
+            # also materializes the previous round's lazy checkpoint — in
+            # low-latency mode it IS the round's one job
+            dm = ranks.filter(F.col("is_d")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0))
+            ).first()[0]
+            upd = (
+                ew.join(_hint(ranks), ew["src"] == ranks["node"])
+                .select(
+                    F.col("dst").alias("node"),
+                    (F.col("rank") * F.col("w") / F.col("ow")).alias("c"),
+                    F.lit(None).cast("boolean").alias("is_d"),
+                )
             )
-        )
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outw.withColumnRenamed("src", "osrc"), F.col("src") == F.col("osrc"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w") / F.col("ow")).alias("c"))
-        )
-        ranks = (
-            nodes.crossJoin(n_row)
-            .crossJoin(dang_row)
-            .join(contribs, F.col("node") == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    (1.0 - damping) / F.col("nn")
-                    + damping
-                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.col("dm") / F.col("nn"))
-                ).alias("rank"),
+            base = nmeta.select(
+                "node", F.lit(None).cast("double").alias("c"), "is_d"
             )
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iters:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks
+            ranks = (
+                _sized_agg(upd.unionByName(base), "node")
+                .agg(F.sum("c").alias("c"), F.max("is_d").alias("is_d"))
+                .select(
+                    "node",
+                    "is_d",
+                    (
+                        F.lit((1.0 - damping) / nn)
+                        + damping
+                        * (
+                            F.coalesce(F.col("c"), F.lit(0.0))
+                            + F.lit(dm / nn)
+                        )
+                    ).alias("rank"),
+                )
+            )
+            ranks = ranks.localCheckpoint(eager=False)
+        if low_latency:
+            # materialize the last round while AQE is still off, so the
+            # caller's action is a 1-job scan of stored blocks instead of
+            # a fresh AQE re-plan of the round chain
+            ranks.count()
+    finally:
+        if low_latency:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+    return ranks.select("node", "rank")
 
 
 def _pagerank_oracle(iters: int = PR_ITERS, damping: float = DAMPING) -> str:
@@ -154,18 +251,16 @@ def _pagerank_oracle(iters: int = PR_ITERS, damping: float = DAMPING) -> str:
     """
 
 
-@query("q_pagerank", oracle=_pagerank_oracle())
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the nation trade network: edge (customer nation →
-    supplier nation) weighted by lineitem count, 5 damped iterations with
-    dangling-mass redistribution.
-
-    The edge derivation is the 100-TB part — a star join where both nation
-    dims broadcast onto the fact scan and the only fact shuffle is the
-    customer key join (proportional table, never broadcast — the Q5/Q10
-    discipline). The iteration then runs on the |V|≤25-node aggregate.
-    Ranks rounded to 6dp on both engines: each rank is a ≤26-term
-    similar-magnitude double sum, so cross-engine drift is ~1e-15."""
+def trade_network_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nation trade network: edge (customer nation → supplier nation)
+    weighted by lineitem count. This derivation is the 100-TB part of
+    q_pagerank — a star join where both nation dims (and supplier)
+    broadcast onto the fact scan and the only fact shuffle is the customer
+    key join (proportional table, never broadcast — the Q5/Q10
+    discipline). Exposed as a function so the dims-broadcast shape stays
+    plan-pinned (``test_graph_datapipe.py``) now that ``pagerank``
+    checkpoints its edge input at setup (the returned rank frame's plan
+    reads blocks, not the fact join)."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -177,7 +272,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = n.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name")
     )
-    edges = (
+    return (
         l.join(o, l["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(s), l["l_suppkey"] == s["s_suppkey"])
@@ -186,7 +281,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cn_name").alias("src"), F.col("sn_name").alias("dst"))
         .agg(F.count("*").cast("double").alias("w"))
     )
-    ranks = pagerank(edges)
+
+
+@query("q_pagerank", oracle=_pagerank_oracle())
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation trade network
+    (:func:`trade_network_edges`), 5 damped iterations with dangling-mass
+    redistribution. The iteration runs on the |V|≤25-node aggregate.
+    Ranks rounded to 6dp on both engines: each rank is a ≤26-term
+    similar-magnitude double sum, so cross-engine drift is ~1e-15."""
+    ranks = pagerank(trade_network_edges(spark, sf_dir))
     return ranks.select(
         F.col("node").alias("nation"), F.round("rank", 6).alias("pagerank")
     )

@@ -109,13 +109,20 @@ def _assign_local(
 
 
 def _round6(x: float) -> float:
-    """Spark ``ROUND(double, 6)`` replicated exactly: exact-binary
-    BigDecimal → setScale(6, HALF_UP) → double. ``Decimal(float)`` is the
-    same exact binary expansion; never python's banker's ``round()``."""
+    """Spark ``ROUND(double, 6)`` replicated exactly. Spark rounds doubles
+    via ``BigDecimal.valueOf(d)`` = ``new BigDecimal(Double.toString(d))``
+    — the SHORTEST decimal repr that round-trips, not the exact binary
+    expansion — then setScale(6, HALF_UP). ``Decimal(repr(x))`` is the
+    same shortest repr (r12, ADVICE r11: ``Decimal(x)`` used the exact
+    binary expansion, so boundary values diverged — 0.1234565 is binary
+    0.12345649999…, which exact-HALF_UP rounds to 0.123456 while Spark
+    and DuckDB both give 0.123457; pinned in
+    ``test_ml.py::test_round6_matches_spark_round_on_boundaries``).
+    Never python's banker's ``round()``."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return float(
-        Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
     )
 
 
@@ -175,14 +182,15 @@ def _lloyd_round(
     rows = (
         e.mapInPandas(partials, schema="cid int, i int, su double, n bigint")
         .groupBy("cid", "i")
-        .agg(F.sum("su").alias("su"), F.sum("n").alias("n"))
+        # ROUND stays SPARK-side (r12, ADVICE r11): the declared 6-dp mean
+        # contract is Spark's own ROUND semantics by construction — the
+        # driver replica (_round6) is reserved for driver-only arithmetic
+        .agg(F.round(F.sum("su") / F.sum("n"), 6).alias("m"))
         .collect()  # bounded: k·dim rows
     )
     means: dict[int, list[float]] = {}
     for r in rows:
-        means.setdefault(int(r["cid"]), [0.0] * dim)[r["i"]] = _round6(
-            r["su"] / r["n"]
-        )
+        means.setdefault(int(r["cid"]), [0.0] * dim)[r["i"]] = r["m"]
     return sorted(means.items())
 
 
@@ -689,12 +697,13 @@ def pca_state(emb: DataFrame, iters: int = PCA_ITERS, dim: int = DIM) -> DataFra
         rows = (
             e.mapInPandas(partials, schema="i int, su double, n bigint")
             .groupBy("i")
-            .agg(F.sum("su").alias("su"), F.sum("n").alias("n"))
+            # ROUND stays SPARK-side (r12, ADVICE r11) — see _lloyd_round
+            .agg(F.round(F.sum("su") / F.sum("n"), 6).alias("m"))
             .collect()  # bounded: d rows
         )
         out = [0.0] * dim
         for r in rows:
-            out[r["i"]] = _r6(r["su"] / r["n"])
+            out[r["i"]] = r["m"]
         return np.array(out, dtype=np.float64)
 
     mu_arr = _round_pass(None, None)

@@ -297,6 +297,76 @@ def read_version(
     )
 
 
+def read_versions_stacked(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    as_ofs: list[int | None],
+) -> DataFrame:
+    """Several AS-OF reads of one table in ONE scan set + ONE shuffle
+    (r12, guide §2.4 — VERDICT r11 item 9's shared-snapshot read):
+    returns (as_of, <payload>) stacked for every requested version, where
+    ``None`` means latest. ``read_version`` twice costs two windows over
+    overlapping unions (the v ≤ min(as_ofs) change sets scan once per
+    read); here the union of change sets ≤ max(as_ofs) scans once, and
+    ONE hash aggregate picks every requested version's survivor per key
+    via ``max_by(payload, _v ≤ v)`` — exactly ``read_version``'s
+    latest-op-per-key rule (each key's ``_v`` values are unique because
+    change sets are key-unique, so max_by is deterministic), with
+    tombstones dropped per as_of after selection.
+
+    Requires a uniform column set across the read versions (q_time_travel
+    shape). Schema-EVOLVING reads keep using :func:`read_version`, whose
+    per-version union preserves the backward-read column contract (the
+    stacked read would leak the union schema into pre-evolution as-ofs).
+    Equivalence with read_version is pytest-pinned
+    (``test_io.py::test_read_versions_stacked_matches_read_version``)."""
+    dirs = _version_dirs(spark, path)
+    if not dirs:
+        raise ValueError(f"no versioned table at {path}")
+    vs = sorted(dirs)
+    resolved = [vs[-1] if v is None else v for v in as_ofs]
+    for v in resolved:
+        if v < vs[0]:
+            raise ValueError(
+                f"version {v} predates the compaction horizon "
+                f"(oldest readable: {vs[0]}) — a pre-horizon read would "
+                f"silently return a partial table"
+            )
+    vmax = max(resolved)
+    scans = None
+    for v in [v for v in vs if v <= vmax]:
+        s = spark.read.parquet(f"{path}/{dirs[v]}").withColumn(
+            "_v", F.lit(v)
+        )
+        scans = s if scans is None else scans.unionByName(s)
+    payload = [c for c in scans.columns if c not in ("_v",)]
+    st = F.struct(*[F.col(c) for c in payload])
+    g = scans.groupBy(key).agg(
+        *[
+            F.max_by(st, F.when(F.col("_v") <= v, F.col("_v"))).alias(
+                f"_s{i}"
+            )
+            for i, v in enumerate(resolved)
+        ]
+    )
+    stacked = g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("as_of"), F.col(f"_s{i}").alias("s")
+                    )
+                    for i, v in enumerate(resolved)
+                ]
+            )
+        ).alias("x")
+    ).select("x.as_of", "x.s.*")
+    return stacked.where(F.col("_op") == "u").select(
+        "as_of", key, *[c for c in payload if c not in ("_op", key)]
+    )
+
+
 def read_changes(
     spark: SparkSession,
     path: str,
@@ -534,24 +604,31 @@ def q_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="time_travel_")
     try:
         t = f"{root}/docs"
-        versioned_upsert(d.filter(F.col("doc_id") % 4 == 0), t, "doc_id")
+        # assert_unique=False (r12): the change sets are keyed filters of
+        # ``documents`` (doc_id is its primary key), so per-commit
+        # uniqueness holds by construction — the default duplicate-check
+        # aggregation was one extra full-change-set job per commit
+        versioned_upsert(
+            d.filter(F.col("doc_id") % 4 == 0), t, "doc_id",
+            assert_unique=False,
+        )
         versioned_upsert(
             d.filter(F.col("doc_id") % 8 == 0).withColumn(
                 "n_chars", F.col("n_chars") + F.lit(1)
             ),
             t,
             "doc_id",
+            assert_unique=False,
         )
         versioned_delete(
             d.filter(F.col("doc_id") % 16 == 0).select("doc_id"), t, "doc_id"
         )
-        asof2 = read_version(spark, t, "doc_id", version=2).select(
-            F.lit(2).alias("as_of"), "doc_id", "lang", "n_chars"
-        )
-        latest = read_version(spark, t, "doc_id").select(
-            F.lit(3).alias("as_of"), "doc_id", "lang", "n_chars"
-        )
-        out = asof2.unionByName(latest)
+        # both AS-OF reads from ONE scan set + ONE shuffle (r12):
+        # read_version twice re-scanned the v1/v2 change sets and paid two
+        # windows; the stacked read is hash-aggregate max_by per key
+        out = read_versions_stacked(
+            spark, t, "doc_id", [2, None]
+        ).select("as_of", "doc_id", "lang", "n_chars")
         rows = out.collect()
         return spark.createDataFrame(rows, schema=out.schema)
     finally:
@@ -600,14 +677,18 @@ def q_time_travel_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="tt_evolve_")
     try:
         t = f"{root}/docs"
-        versioned_upsert(d.filter(F.col("doc_id") % 4 == 0), t, "doc_id")
+        # assert_unique=False: keyed filters of documents (see q_time_travel)
+        versioned_upsert(
+            d.filter(F.col("doc_id") % 4 == 0), t, "doc_id",
+            assert_unique=False,
+        )
         up = d.filter(F.col("doc_id") % 8 == 0).select(
             "doc_id",
             "lang",
             (F.col("n_chars") + F.lit(1)).alias("n_chars"),
             ((F.col("n_chars") + F.lit(1)) % F.lit(7)).alias("quality"),
         )
-        versioned_upsert(up, t, "doc_id")
+        versioned_upsert(up, t, "doc_id", assert_unique=False)
         r1 = read_version(spark, t, "doc_id", version=1)
         assert "quality" not in r1.columns, "backward read leaked a column"
         asof1 = r1.select(
@@ -658,13 +739,18 @@ def q_table_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="table_cdc_")
     try:
         t = f"{root}/docs"
-        versioned_upsert(d.filter(F.col("doc_id") % 4 == 0), t, "doc_id")
+        # assert_unique=False: keyed filters of documents (see q_time_travel)
+        versioned_upsert(
+            d.filter(F.col("doc_id") % 4 == 0), t, "doc_id",
+            assert_unique=False,
+        )
         versioned_upsert(
             d.filter(F.col("doc_id") % 8 == 0).withColumn(
                 "n_chars", F.col("n_chars") + F.lit(1)
             ),
             t,
             "doc_id",
+            assert_unique=False,
         )
         versioned_delete(
             d.filter(F.col("doc_id") % 16 == 0).select("doc_id"), t, "doc_id"

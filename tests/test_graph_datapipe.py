@@ -355,13 +355,39 @@ def test_incremental_agg_merge_is_exact(spark):
 
 
 def test_pagerank_edge_derivation_broadcasts_dims(spark):
+    from projet_data_engineering_spark.operators.graph import (
+        trade_network_edges,
+    )
     from projet_data_engineering_spark.plans.explain import formatted_plan
 
-    plan = formatted_plan(Q["q_pagerank"](spark, SF_DIR))
+    # r12: pagerank() checkpoints its edge input at setup, so the fact
+    # join no longer appears in the returned rank frame's plan — pin the
+    # dims-broadcast shape on the edge derivation itself.
+    plan = formatted_plan(trade_network_edges(spark, SF_DIR))
     # supplier + both nation aliases broadcast onto the fact scan; the only
     # proportional-table join (customer) may shuffle
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_round_loop_is_job_lean(spark):
+    """r12 regression pin: the round loop must not re-run the edge
+    derivation or re-join outw per round — 5 iterations over the ≤25-node
+    trade network should cost a bounded number of jobs (was 88 at sf0.1
+    before the checkpoint/fold overhaul) and the returned plan must read
+    checkpointed blocks, not the fact join."""
+    from projet_data_engineering_spark.plans.explain import formatted_plan
+
+    sc = spark.sparkContext
+    st = sc.statusTracker()
+    before = set(st.getJobIdsForGroup(None) or [])
+    df = Q["q_pagerank"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    after = set(st.getJobIdsForGroup(None) or [])
+    n_jobs = len(after - before)
+    assert n_jobs <= 40, f"pagerank ran {n_jobs} jobs (round loop bloat?)"
+    plan = formatted_plan(df)
+    assert "Scan ExistingRDD" in plan  # rounds read checkpointed state
 
 
 def test_simhash_pairs_no_cartesian(spark):

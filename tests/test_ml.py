@@ -46,6 +46,41 @@ def _numpy_kmeans(vecs: dict[int, np.ndarray], k=K, iters=ITERS):
     return {cid: (n, round(s, 3)) for cid, (n, s) in stats.items()}
 
 
+def test_round6_matches_spark_round_on_boundaries(spark):
+    """r12 (ADVICE r11): Spark ROUND(double, 6) goes through
+    BigDecimal.valueOf = Double.toString — the SHORTEST round-trip repr —
+    so _round6 must quantize Decimal(repr(x)), not Decimal(x)'s exact
+    binary expansion. 0.1234565 (binary 0.12345649999…) and 5e-07 are the
+    boundary cases where the two disagree; a grid of non-boundary values
+    guards the common path. DuckDB (the oracle engine) agrees on both."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from projet_data_engineering_spark.operators.ml import _round6
+
+    cases = [
+        0.1234565,   # exact-binary rounds DOWN, shortest-repr rounds UP
+        5e-07,       # exact-binary 0.0, shortest-repr 1e-06
+        -0.1234565,
+        0.123456789, 1.0000005, 2.5e-07, 0.0, 1.0, -3.1415926535,
+        123.4567894999, 1e-12, 0.9999995,
+    ]
+    assert _round6(0.1234565) == 0.123457
+    assert _round6(5e-07) == 1e-06
+    got_spark = (
+        spark.createDataFrame([(x,) for x in cases], "x double")
+        .select(F.round("x", 6).alias("r"))
+        .collect()
+    )
+    for x, row in zip(cases, got_spark):
+        assert _round6(x) == row["r"], f"_round6({x!r}) != Spark ROUND"
+    for x in cases:
+        (dd,) = duckdb.sql(
+            f"SELECT ROUND(CAST({x!r} AS DOUBLE), 6)"
+        ).fetchone()
+        assert _round6(x) == dd, f"_round6({x!r}) != DuckDB ROUND"
+
+
 def test_kmeans_matches_numpy_reference(spark):
     emb = load_table(spark, SF_DIR, "embeddings").collect()
     vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
