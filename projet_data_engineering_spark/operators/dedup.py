@@ -348,6 +348,7 @@ def connected_components(
     right: str = "doc2",
     max_iter: int = 64,
     checkpoint_every: int = 3,
+    low_latency: bool | None = None,
 ) -> DataFrame:
     """Connected components over candidate pairs → (node, root) with root =
     the smallest id reachable: the clustering stage between near-dup pair
@@ -376,6 +377,7 @@ def connected_components(
     # persist first materialized (each branch is an independent subtree
     # until the cache exists — r11, guide §2.4). explode doubles rows
     # map-side instead.
+    spark = pairs.sparkSession
     e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b"))
     edges = (
         e.select(
@@ -387,43 +389,84 @@ def connected_components(
             ).alias("p")
         )
         .select("p.a", "p.b")
-        .persist()
+        # localCheckpoint instead of persist (r12): a cached plan keeps
+        # its PRE-AQE partitioning (canChangeCachedPlanOutputPartitioning
+        # is off), so the persisted edge frame stayed 200-wide on tiny
+        # graphs and the width probe below could never see "small"; the
+        # checkpoint RDD carries the AQE-finalized width — and truncates
+        # the pair pipeline's lineage like the LSS variant already did.
+        .localCheckpoint(eager=True)
     )
-    labels = (
-        edges.select("a").distinct()
-        .select(F.col("a").alias("node"), F.col("a").alias("root"))
-        .persist()
-    )
-    # Convergence check: labels are min-folded each round, so every node's
-    # root is non-increasing and the node set is fixed — the label SUM is
-    # strictly decreasing until the fixpoint. Comparing 1-row sums costs a
-    # single aggregate per round instead of the old join+filter+count (a
-    # second full labels shuffle per round).
-    prev_sum = None
-    converged = False
-    for i in range(max_iter):
-        nbr = edges.join(
-            labels, edges.b == labels.node
-        ).select(F.col("a").alias("node"), "root")
-        new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("root").alias("root"))
+    # Low-latency mode on small graphs (r12 — the pagerank/LSS recipe):
+    # run the loop with AQE off, shuffles pinned to a width derived from
+    # the edge count, and the node-sized label frame broadcast into the
+    # propagation join — one convergence job per round instead of ~4 AQE
+    # stage jobs. Pure integer min-folding: layout cannot change any
+    # output row. Unlike the LSS variant, this edge frame ends in a MAP
+    # (explode) over the pair pipeline, so its checkpoint inherits any
+    # user repartition width upstream (spread's) — partition count alone
+    # cannot see "small"; when the width is plausibly local (≤64) one
+    # tiny count job over the stored blocks decides from the data.
+    nparts = edges.rdd.getNumPartitions()
+    n_edges = edges.count() if nparts <= 64 else None
+    if low_latency is None:
+        low_latency = n_edges is not None and n_edges <= 200_000
+    if low_latency:
+        if n_edges is None:
+            n_edges = edges.count()
+        # round-shuffle width from the edge count: 1 for anything that
+        # fits a task comfortably, growing with the data, never a core
+        # count
+        nparts = max(1, min(nparts, n_edges // 50_000 + 1))
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    if low_latency:
+        conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        la = edges.select("a")
+        labels = (
+            (la.repartition(nparts, "a") if low_latency else la)
+            .distinct()
+            .select(F.col("a").alias("node"), F.col("a").alias("root"))
+            .persist()
         )
-        if (i + 1) % checkpoint_every == 0:
-            # Truncates the logical plan to a scan of materialized blocks,
-            # so plan depth stays O(checkpoint_every) regardless of rounds.
-            # Lazy: the convergence aggregate below materializes it in the
-            # same job (r11 — eager cost one extra job per checkpoint round).
-            new_labels = new_labels.localCheckpoint(eager=False)
-        else:
-            new_labels = new_labels.persist()
-        cur_sum = new_labels.agg(F.sum("root")).first()[0]
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
-    edges.unpersist()
+        # Convergence check: labels are min-folded each round, so every
+        # node's root is non-increasing and the node set is fixed — the
+        # label SUM is strictly decreasing until the fixpoint. Comparing
+        # 1-row sums costs a single aggregate per round instead of the old
+        # join+filter+count (a second full labels shuffle per round).
+        prev_sum = None
+        converged = False
+        for i in range(max_iter):
+            nbr = edges.join(
+                F.broadcast(labels) if low_latency else labels,
+                edges.b == labels.node,
+            ).select(F.col("a").alias("node"), "root")
+            nl_u = labels.union(nbr)
+            new_labels = (
+                nl_u.repartition(nparts, "node") if low_latency else nl_u
+            ).groupBy("node").agg(F.min("root").alias("root"))
+            if low_latency or (i + 1) % checkpoint_every == 0:
+                # Truncates the logical plan to a scan of materialized
+                # blocks, so plan depth stays O(checkpoint_every) regardless
+                # of rounds. Lazy: the convergence aggregate below
+                # materializes it in the same job (r11 — eager cost one
+                # extra job per checkpoint round). lowlat checkpoints EVERY
+                # round: the whole round is one job either way, and blocks
+                # beat re-running the propagation join.
+                new_labels = new_labels.localCheckpoint(eager=False)
+            else:
+                new_labels = new_labels.persist()
+            cur_sum = new_labels.agg(F.sum("root")).first()[0]
+            labels.unpersist()
+            labels = new_labels
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+    finally:
+        if low_latency:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
     if not converged:
         # Truncated propagation would silently mislabel every node farther
         # than max_iter hops from its component min — at sf5 the synthetic
@@ -439,7 +482,11 @@ def connected_components(
 
 
 def connected_components_lss(
-    pairs: DataFrame, left: str = "doc1", right: str = "doc2", max_iter: int = 40
+    pairs: DataFrame,
+    left: str = "doc1",
+    right: str = "doc2",
+    max_iter: int = 40,
+    low_latency: bool | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star (Kiveris
     et al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
@@ -454,7 +501,21 @@ def connected_components_lss(
 
     Returns (node, root) for every node in ``pairs``, root = component min —
     same contract as ``connected_components`` (oracle-checked against the
-    same recursive-CTE transitive closure in ``q_dedup_clusters_lss``)."""
+    same recursive-CTE transitive closure in ``q_dedup_clusters_lss``).
+
+    Low-latency mode (r12, the pagerank recipe): on a SMALL canonical edge
+    set (``low_latency=None`` decides from the checkpointed edge RDD's
+    partition count — data-derived, never a core count) the round loop is
+    pure per-job fixed cost — AQE materializes every exchange of every
+    fingerprint materialization as its own stage job (~5-6 jobs/round on
+    rows that fit one partition). With a tiny graph the loop runs with AQE
+    off, every shuffle pinned to the edge RDD's own width, node-sized
+    aggregates broadcast-hinted into the joins, and the final subtract
+    proof as a broadcast anti-join — ONE fingerprint job per round. Large
+    graphs keep the AQE path (skew handling on the star joins matters more
+    than round latency there). The computation is all integer min-label
+    folding — physical layout cannot change a single output row."""
+    spark = pairs.sparkSession
     e = pairs.select(F.col(left).alias("a"), F.col(right).alias("b")).filter(
         F.col("a") != F.col("b")
     )
@@ -463,83 +524,129 @@ def connected_components_lss(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Node universe from the CHECKPOINTED canonical edges, not the raw pairs
-    # input: every (a != b) pair contributes both endpoints to the edge set,
-    # so the two are identical — and deriving it from ``pairs`` re-ran the
-    # whole upstream pair pipeline (the MinHash band self-join, in the
-    # curation callers) a second time just to list vertices (r11, guide
-    # §2.4: one subtree, one computation).
-    nodes = (
-        edges.select(F.col("hi").alias("node"))
-        .union(edges.select(F.col("lo").alias("node")))
-        .distinct()
-    )
-    prev_sig: tuple | None = None
-    converged = False
-    for _ in range(max_iter):
-        # Large-star: every node attaches its larger neighbors to the min of
-        # its full neighborhood (including itself).
-        sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
-            edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    # metadata-only: edges is already materialized, .rdd wraps stored blocks
+    nparts = edges.rdd.getNumPartitions()
+    if low_latency is None:
+        low_latency = nparts <= 4
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    if low_latency:
+        conf.set("spark.sql.adaptive.enabled", "false")
+
+    def _grp(df: DataFrame, *keys: str):
+        # lowlat: pin the exchange to the edge RDD's own width and let the
+        # groupBy reuse it (guide §2.4); AQE mode: AQE sizes it
+        return (
+            df.repartition(nparts, *keys) if low_latency else df
+        ).groupBy(*keys)
+
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if low_latency else df
+
+    try:
+        # Node universe from the CHECKPOINTED canonical edges, not the raw
+        # pairs input: every (a != b) pair contributes both endpoints to the
+        # edge set, so the two are identical — and deriving it from
+        # ``pairs`` re-ran the whole upstream pair pipeline (the MinHash
+        # band self-join, in the curation callers) a second time just to
+        # list vertices (r11, guide §2.4: one subtree, one computation).
+        nodes_u = edges.select(F.col("hi").alias("node")).union(
+            edges.select(F.col("lo").alias("node"))
         )
-        mins = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
-        large = (
-            sym.join(mins, "u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
-            .filter(F.col("hi") != F.col("lo"))
-            # No distinct here: mins2's groupBy-min is duplicate-blind and
-            # new_edges re-distincts — dropping it saves one full shuffle
-            # per round (set semantics restored at the round boundary).
+        nodes = (
+            nodes_u.repartition(nparts, "node") if low_latency else nodes_u
+        ).distinct()
+        prev_sig: tuple | None = None
+        converged = False
+        for _ in range(max_iter):
+            # Large-star: every node attaches its larger neighbors to the
+            # min of its full neighborhood (including itself).
+            sym = edges.select(
+                F.col("hi").alias("u"), F.col("lo").alias("v")
+            ).union(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+            mins = _grp(sym, "u").agg(
+                F.least(F.min("v"), F.col("u")).alias("m")
+            )
+            large = (
+                sym.join(_hint(mins), "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+                .filter(F.col("hi") != F.col("lo"))
+                # No distinct here: mins2's groupBy-min is duplicate-blind
+                # and new_edges re-distincts — dropping it saves one full
+                # shuffle per round (set semantics restored at the round
+                # boundary).
+            )
+            # Small-star: every node rewires its smaller neighbors (and
+            # itself) to the min of those; operates on the (child > parent)
+            # edge list.
+            mins2 = _grp(large, "hi").agg(F.min("lo").alias("m"))
+            rewired = (
+                large.join(_hint(mins2), "hi")
+                .filter(F.col("lo") != F.col("m"))
+                .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            )
+            self_edges = mins2.select("hi", F.col("m").alias("lo"))
+            # LAZY checkpoint, materialized by the fingerprint aggregate
+            # below: the agg job computes the round's edge set once, caches
+            # its blocks and truncates lineage AND returns the 1-row
+            # fingerprint — one job per round where eager-checkpoint + agg
+            # cost two (r11; the round loop is job-latency-bound at every
+            # SF because each round's data volume shrinks while the fixed
+            # job cost does not).
+            ne_u = rewired.union(self_edges).filter(F.col("hi") != F.col("lo"))
+            new_edges = (
+                ne_u.repartition(nparts, "hi", "lo") if low_latency else ne_u
+            ).distinct().localCheckpoint(eager=False)
+            # Convergence test in two tiers: a cheap 1-row (count, sum hi,
+            # sum lo) fingerprint every round, and only when the fingerprint
+            # matches the previous round's, the definitive set-equality
+            # check — so steady-state rounds cost one aggregate, and the
+            # exact proof is paid once at the end, never heuristically
+            # skipped. (lowlat runs the proof as a broadcast anti-join:
+            # same ⊆ test — both sides are distinct and the fingerprint
+            # already pins equal counts, so empty-anti ⟺ set equality.)
+            cur_sig = tuple(
+                new_edges.agg(
+                    F.count("*"), F.sum("hi"), F.sum("lo")
+                ).first()
+            )
+            if cur_sig == prev_sig:
+                if low_latency:
+                    proof = (
+                        new_edges.join(
+                            F.broadcast(edges), ["hi", "lo"], "left_anti"
+                        ).count()
+                        == 0
+                    )
+                else:
+                    proof = new_edges.subtract(edges).count() == 0
+            else:
+                proof = False
+            prev_sig = cur_sig
+            edges = new_edges
+            if proof:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"connected_components_lss did not converge in {max_iter} rounds"
+            )
+        # Converged: depth-1 stars — every child row points at its
+        # component min.
+        child = edges.select(F.col("hi").alias("node"), F.col("lo").alias("root"))
+        out = nodes.join(_hint(child), "node", "left").select(
+            "node", F.coalesce("root", F.col("node")).alias("root")
         )
-        # Small-star: every node rewires its smaller neighbors (and itself)
-        # to the min of those; operates on the (child > parent) edge list.
-        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
-        rewired = (
-            large.join(mins2, "hi")
-            .filter(F.col("lo") != F.col("m"))
-            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
-        )
-        self_edges = mins2.select("hi", F.col("m").alias("lo"))
-        # LAZY checkpoint, materialized by the fingerprint aggregate below:
-        # the agg job computes the round's edge set once, caches its blocks
-        # and truncates lineage AND returns the 1-row fingerprint — one job
-        # per round where eager-checkpoint + agg cost two (r11; the round
-        # loop is job-latency-bound at every SF because each round's data
-        # volume shrinks while the fixed job cost does not).
-        new_edges = (
-            rewired.union(self_edges)
-            .filter(F.col("hi") != F.col("lo"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        # Convergence test in two tiers: a cheap 1-row (count, sum hi,
-        # sum lo) fingerprint every round, and only when the fingerprint
-        # matches the previous round's, the definitive set-equality check
-        # (subtract) — so steady-state rounds cost one aggregate, and the
-        # exact proof is paid once at the end, never heuristically skipped.
-        cur_sig = tuple(
-            new_edges.agg(
-                F.count("*"), F.sum("hi"), F.sum("lo")
-            ).first()
-        )
-        stable = (
-            cur_sig == prev_sig and new_edges.subtract(edges).count() == 0
-        )
-        prev_sig = cur_sig
-        edges = new_edges
-        if stable:
-            converged = True
-            break
-    if not converged:
-        raise RuntimeError(
-            f"connected_components_lss did not converge in {max_iter} rounds"
-        )
-    # Converged: depth-1 stars — every child row points at its component min.
-    child = edges.select(F.col("hi").alias("node"), F.col("lo").alias("root"))
-    return nodes.join(child, "node", "left").select(
-        "node", F.coalesce("root", F.col("node")).alias("root")
-    )
+        if low_latency:
+            # materialize while AQE is still off: the caller's action then
+            # reads stored blocks instead of re-planning the label join
+            out = out.localCheckpoint(eager=False)
+            out.count()
+    finally:
+        if low_latency:
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+    return out
 
 
 def _clusters_oracle() -> str:
@@ -908,13 +1015,25 @@ def incremental_dedup_pairs_served(
     None they are computed here, preserving the standalone call shape.
 
     1. batch band signatures (map-only over the batch);
-    2. the batch's band-bucket list — at most ``n_buckets`` values, a
-       metadata-scale collect — prunes the stored bands scan to matching
-       partitions (PartitionFilters, plan-asserted in
-       ``test_dedup_similarity.py``); candidates come from a broadcast
-       hash join of batch bands onto that pruned scan;
-    3. the candidates' doc-bucket list likewise prunes the stored wordset
-       scan for exact-Jaccard verification.
+    2. candidates come from a broadcast hash join of batch bands onto the
+       stored bands scan; the join carries a ``band_bucket`` equality
+       conjunct (true by construction — both sides hash the same
+       ``band_val``), so DYNAMIC partition pruning trims the scan to the
+       batch's band buckets from the already-built broadcast
+       (PartitionFilters, plan-asserted in ``test_dedup_similarity.py``).
+       r12: this replaces a driver-side distinct+collect of the bucket
+       list — a blocking job per batch that, at steady state, always
+       returned ALL buckets (measured 64/64 at sf1: 0.67 s of pure
+       round-trip buying zero pruning; DPP prunes exactly when pruning
+       helps and costs nothing when it does not);
+    3. the candidates' ``doc_bucket`` (computed map-side from
+       ``corpus_doc``, same crc32 the writer used) rides the candidate
+       broadcast into the wordset-scan join the same way — dynamic
+       pruning instead of a second collected IN-list — and the batch-side
+       wordset broadcast is semi-joined down to the candidate batch docs
+       first (only candidates are ever verified, so shipping the whole
+       batch's word arrays to every executor was dead broadcast weight:
+       12.5 K arrays → |cand| at sf1).
 
     Identical output to the state-free path (pytest parity + the shared
     driver oracle via ``q_dedup_incremental_served``); the difference is
@@ -934,20 +1053,22 @@ def incremental_dedup_pairs_served(
             )
             .localCheckpoint(eager=True)
         )
-    buckets = [
-        r[0] for r in bands_b.select("band_bucket").distinct().collect()
-    ]
-    # log-table read (r11): base (bucket-partitioned, PartitionFilters
-    # pruned) ∪ any live streaming deltas — the builder writes base_1,
-    # the streaming refresher appends deltas on top
-    bands_c = read_log_table(spark, f"{state_path}/bands").filter(
-        F.col("band_bucket").isin(buckets)
-    )
+    # log-table read (r11): base (bucket-partitioned, dynamically pruned
+    # via the join below) ∪ any live streaming deltas — the builder
+    # writes base_1, the streaming refresher appends deltas on top
+    bands_c = read_log_table(spark, f"{state_path}/bands")
+    # band_bucket >= 0 is a no-op (pmod is non-negative): it marks the
+    # broadcast side as carrying a selective predicate, which is what
+    # Spark's PartitionPruning rule requires before it will inject the
+    # dynamic filter (verified: without it DPP never fires here)
     cand = (
         bands_c.alias("c")
         .join(
-            F.broadcast(bands_b.alias("b")),
-            (F.col("c.band_idx") == F.col("b.band_idx"))
+            F.broadcast(
+                bands_b.filter(F.col("band_bucket") >= 0).alias("b")
+            ),
+            (F.col("c.band_bucket") == F.col("b.band_bucket"))
+            & (F.col("c.band_idx") == F.col("b.band_idx"))
             & (F.col("c.band_val") == F.col("b.band_val")),
         )
         .select(
@@ -955,29 +1076,25 @@ def incremental_dedup_pairs_served(
             F.col(f"c.{id_col}").alias("corpus_doc"),
         )
         .distinct()
+        .withColumn(
+            "doc_bucket",
+            F.pmod(
+                F.crc32(F.col("corpus_doc").cast("string")), F.lit(n_buckets)
+            ),
+        )
     )
     if plans_out is not None:
-        # the candidate probe executes eagerly below (its output feeds a
-        # metadata-scale collect), so its pruned-scan plan is not part of
-        # the returned DataFrame's plan — surface it for plan-assertions
+        # the candidate probe executes eagerly below (its output feeds
+        # two verify-join broadcasts), so its pruned-scan plan is not part
+        # of the returned DataFrame's plan — surface it for plan-assertions
         plans_out["probe"] = (
             cand._jdf.queryExecution().executedPlan().toString()
         )
     cand = cand.localCheckpoint(eager=True)
-    doc_buckets = [
-        r[0]
-        for r in cand.select(
-            F.pmod(
-                F.crc32(F.col("corpus_doc").cast("string")), F.lit(n_buckets)
-            ).alias("b")
-        )
-        .distinct()
-        .collect()
-    ]
-    ws_c = (
-        read_log_table(spark, f"{state_path}/wordsets")
-        .filter(F.col("doc_bucket").isin(doc_buckets))
-        .select(F.col(id_col).alias("corpus_doc"), F.col("ws").alias("wsc"))
+    ws_c = read_log_table(spark, f"{state_path}/wordsets").select(
+        F.col(id_col).alias("corpus_doc"),
+        F.col("ws").alias("wsc"),
+        "doc_bucket",
     )
     if wordsets is not None:
         ws_b = wordsets.select(
@@ -988,10 +1105,24 @@ def incremental_dedup_pairs_served(
             F.col(id_col).alias("batch_doc"),
             F.array_distinct(F.split(F.lower(text_col), " ")).alias("wsb"),
         )
+    # broadcast only the word arrays verification will touch
+    ws_b = ws_b.join(
+        F.broadcast(cand.select("batch_doc").distinct()), "batch_doc", "semi"
+    )
     inter = F.size(F.array_intersect("wsb", "wsc"))
     union = F.size("wsb") + F.size("wsc") - inter
+    # doc_bucket >= 0: same no-op selectivity marker as the band probe —
+    # lets DPP prune the wordset scan's partitions from the candidate
+    # broadcast when the candidates concentrate in few buckets
+    cand_v = cand.filter(F.col("doc_bucket") >= 0)
     return (
-        ws_c.join(F.broadcast(cand), "corpus_doc")
+        ws_c.join(
+            F.broadcast(cand_v),
+            (ws_c["corpus_doc"] == cand_v["corpus_doc"])
+            & (ws_c["doc_bucket"] == cand_v["doc_bucket"]),
+        )
+        .drop(ws_c["corpus_doc"])
+        .drop(ws_c["doc_bucket"])
         .join(F.broadcast(ws_b), "batch_doc")
         .select(
             "batch_doc",

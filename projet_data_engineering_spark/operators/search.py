@@ -731,6 +731,12 @@ def build_search_index(
         .mode("overwrite")
         .parquet(f"{path}/vocab")
     )
+    # Stats stay a second tokenize pass DELIBERATELY (r12, measured): a
+    # tokenizer-free variant (column-pruned count + dl fold from the
+    # postings read-back) was tried and measured WORSE — the (doc_id, dl)
+    # distinct is a full |postings| shuffle plus three extra jobs, vs one
+    # map-side-combining pass here (build census 10 jobs / 219 tasks vs
+    # 14 / 301 with the variant). Kept: simplest one-pass aggregate.
     toks.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avg_dl"),
@@ -811,6 +817,7 @@ def bm25_serve_fuzzy(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    plans_out: dict | None = None,
 ) -> DataFrame:
     """T1+T2 over T7 — AUTO-fuzziness BM25 FROM the materialized index:
     the typo-tolerant query path that never touches the document corpus.
@@ -859,7 +866,7 @@ def bm25_serve_fuzzy(
     # reader as a pushed range filter over the term_len-sorted row groups
     lo = min(len(q) - f for q, f in qt)
     hi = max(len(q) + f for q, f in qt)
-    vmatch = (
+    vexp = (
         spark.read.parquet(f"{index_path}/vocab")
         .filter(F.col("term_len").between(F.lit(lo), F.lit(hi)))
         .join(
@@ -871,6 +878,25 @@ def bm25_serve_fuzzy(
         # (term, qterm) pair at most once — no dedup shuffle needed
         .select("term", "qterm", "term_bucket")
     )
+    if plans_out is not None:
+        # the dictionary expansion executes eagerly below (checkpoint), so
+        # its banded-scan plan is not part of the returned scoring frame's
+        # plan — surface it for the pushdown plan-assertions (same
+        # convention as incremental_dedup_pairs_served)
+        plans_out["vmatch"] = (
+            vexp._jdf.queryExecution().executedPlan().toString()
+        )
+    # materialize ONCE (r12): vmatch has two consumers — the bucket
+    # collect below and the scoring join's broadcast — and without a
+    # checkpoint the second consumer re-ran the whole dictionary
+    # expansion (the 64-bucket-dir vocab scan ran ~3x per serve:
+    # measured 2x ~30-task scan jobs of pure re-expansion at sf0.1).
+    # The matched-variant set is query-bounded (|q| terms x edit-
+    # distance neighbors), never dictionary-sized — so the coalesce
+    # collapses every consumer to single-task reads while the scan
+    # itself (the |V|-proportional levenshtein pass) stays parallel
+    # in the checkpoint job's 26-32 split tasks.
+    vmatch = vexp.localCheckpoint(eager=True).coalesce(1)
     # literal bucket list -> PartitionFilter on the postings scan; bounded
     # by n_buckets regardless of how many variants matched
     buckets = sorted(

@@ -4,6 +4,8 @@ Each stage is oracle-checked on its own as a registered query; these tests
 pin that the COMPOSITION computes the same relations and that the funnel
 accounting is self-consistent."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from projet_data_engineering_spark.io import load_table, spread
@@ -45,6 +47,7 @@ def test_funnel_is_monotone_and_consistent(spark):
         out["_contaminated"].unpersist()
 
 
+@pytest.mark.slow
 def test_dedup_stage_matches_standalone_query(spark):
     """Stage-1 survivors equal q_dedup_apply's survivor relation (the
     standalone dedup-applied query) — same drop list, reused labels."""

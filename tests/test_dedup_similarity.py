@@ -123,6 +123,7 @@ def test_connected_components_lineage_bounded(spark):
     assert plan.count("Join") < 6, plan
 
 
+@pytest.mark.slow
 def test_connected_components_refuses_truncated_convergence(spark):
     """A diameter-d component needs ~d min-label rounds; a max_iter below
     that must RAISE, never return silently-wrong labels (at sf5 the giant
@@ -178,6 +179,7 @@ def test_merge_upsert_intra_batch_duplicates_last_write_wins(spark):
     assert got == {1: "second", 2: "y"}
 
 
+@pytest.mark.slow
 def test_lss_components_match_label_propagation(spark):
     """Large-star/small-star must produce the identical (node, root) labels
     as min-label propagation — on a long chain (worst case for propagation,
@@ -211,6 +213,7 @@ def test_lss_components_match_label_propagation(spark):
     assert plan.count("Join") <= 2, plan
 
 
+@pytest.mark.slow
 def test_lss_components_match_union_find_on_random_graphs(spark):
     """Property check: on random graphs, large-star/small-star labels must
     equal a pure-Python union-find's component minima (an oracle with zero
@@ -358,6 +361,7 @@ def test_incremental_dedup_corpus_never_shuffles(spark):
     assert shuffle_count(df) <= 1
 
 
+@pytest.mark.slow
 def test_incremental_dedup_served_matches_statefree_and_prunes(spark, tmp_path):
     """The materialized-state daily-ingest path (build_dedup_state +
     incremental_dedup_pairs_served) must reproduce the state-free path's
@@ -417,6 +421,7 @@ def test_incremental_dedup_served_matches_statefree_and_prunes(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ann_served_matches_inplan_ivf_and_prunes(spark, tmp_path):
     """The materialized IVF index (build_ann_index + ann_serve) must
     reproduce q_ann_ivf's in-plan (query, neighbor, score, rank) rows

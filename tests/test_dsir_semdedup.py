@@ -8,6 +8,8 @@ threshold.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 import pyspark.sql.functions as F
@@ -158,6 +160,7 @@ def test_semdedup_drops_a_planted_duplicate(spark):
     assert 7 not in dropped
 
 
+@pytest.mark.slow
 def test_semdedup_arrow_pair_stage_matches_jvm(spark):
     """The Arrow/BLAS pair stage (the production tier the scale bench
     measures) must produce flag-for-flag the same output as the exact JVM

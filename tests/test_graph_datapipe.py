@@ -704,6 +704,7 @@ BPE_CORPORA = [
 
 @pytest.mark.parametrize("corpus", range(len(BPE_CORPORA)))
 @pytest.mark.parametrize("max_batch", [1, 8])
+@pytest.mark.slow
 def test_bpe_train_matches_python_reference(spark, corpus, max_batch):
     """Exact parity of the distributed BPE trainer — BOTH one-merge-per-round
     (max_batch=1, literally sequential) and batched rounds (max_batch=8,
@@ -928,6 +929,7 @@ def test_containment_finds_inclusion_pairs_jaccard_structurally_misses(spark):
     assert jac == set()  # jaccard ≈ 7/89 — invisible to the symmetric family
 
 
+@pytest.mark.slow
 def test_containment_join_property(spark):
     """Randomized losslessness on dense tiny-vocab corpora (adversarial for
     prefix pruning): containment_join(bigrams, tau=1/2) must return EXACTLY

@@ -4,6 +4,8 @@ A change that silently de-optimizes a plan fails here, not on the cluster."""
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql.functions as F
 
 import __spark_entry__ as entrymod
@@ -471,6 +473,7 @@ def test_pair_join_candidate_stage_is_merge_not_broadcast(spark, monkeypatch):
     ) < hints.CORPUS_MERGE_THRESHOLD
 
 
+@pytest.mark.slow
 def test_no_query_plans_cartesian_or_rowwise_python(spark):
     """Repo-wide lint (tools/plan_audit.py twin): no registered query may
     plan a partitioned CartesianProduct or a row-at-a-time Python UDF

@@ -58,6 +58,7 @@ def test_codebooks_shape_and_determinism(spark, trained):
         assert np.array_equal(books[key], again[key])
 
 
+@pytest.mark.slow
 def test_encode_matches_numpy_argmin_on_trained_books(spark, trained):
     books, vecs = trained
     rows = Q["q_pq_encode"](spark, SF_DIR).collect()
@@ -78,6 +79,7 @@ def test_encode_matches_numpy_argmin_on_trained_books(spark, trained):
         assert r["recon_err"] == pytest.approx(round(err, 6), abs=1e-6)
 
 
+@pytest.mark.slow
 def test_adc_distance_is_sum_of_table_lookups(spark, trained):
     books, vecs = trained
     rows = Q["q_ann_pq"](spark, SF_DIR).collect()
@@ -95,6 +97,7 @@ def test_adc_distance_is_sum_of_table_lookups(spark, trained):
         assert r["adist"] == pytest.approx(round(want, 6), abs=1e-6)
 
 
+@pytest.mark.slow
 def test_rerank_recall_at_least_matches_adc(spark):
     adc = {
         (r["query_id"], r["recall"])
@@ -147,6 +150,7 @@ def test_encode_plan_is_pure_map_work(spark):
     assert "Exchange" not in plan
 
 
+@pytest.mark.slow
 def test_encode_codegen_fallback_is_pinned(spark):
     """pq_encode_with's fused M·K argmin projection exceeds janino's 64 KB
     method limit and runs through Spark's interpreted projection — the
@@ -169,6 +173,7 @@ def test_encode_codegen_fallback_is_pinned(spark):
         spark.conf.set("spark.sql.codegen.fallback", "true")
 
 
+@pytest.mark.slow
 def test_encode_arrow_parity_with_jvm(spark):
     """The vectorized production encode (mapInPandas + numpy) must agree
     with the oracle-contract JVM form code-for-code, and on recon_err to

@@ -268,14 +268,19 @@ def test_bm25_fuzzy_served_prunes_the_dictionary_scan(spark, tmp_path):
     )
     idx = str(tmp_path / "idx")
     build_search_index(docs, "doc_id", "text", idx, n_buckets=16)
-    served = bm25_serve_fuzzy(spark, idx, ["strem"])
+    plans: dict = {}
+    served = bm25_serve_fuzzy(spark, idx, ["strem"], plans_out=plans)
     served.collect()
     plan = served._jdf.queryExecution().executedPlan().toString()
-    # scan locations are truncated in toString — identify scans by schema
+    # r12: the dictionary expansion is checkpointed once (it had two
+    # consumers and re-ran per consumer), so its banded scan lives in the
+    # surfaced vmatch plan, not the scoring frame's plan
     vocab_scans = [
-        seg for seg in plan.split("FileScan") if "term_len" in seg[:700]
+        seg
+        for seg in plans["vmatch"].split("FileScan")[1:]
+        if "term_len" in seg[:700]
     ]
-    assert vocab_scans, plan
+    assert vocab_scans, plans["vmatch"]
     for seg in vocab_scans:
         pushed = seg.split("PushedFilters", 1)[1][:300]
         assert "GreaterThanOrEqual(term_len" in pushed, seg[:900]

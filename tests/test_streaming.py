@@ -198,6 +198,7 @@ def test_stream_stream_join_equals_batch(spark, event_dir):
     assert len(streamed) >= 0.5 * len(expected) > 0
 
 
+@pytest.mark.slow
 def test_stream_upsert_partitioned_prunes_untouched_partitions(spark, tmp_path):
     """ST1 through the partition-pruned MERGE: a later micro-batch touching
     one partition leaves every other partition's files byte-identical, and
@@ -273,6 +274,7 @@ def test_stream_upsert_partitioned_prunes_untouched_partitions(spark, tmp_path):
     assert again == after_first
 
 
+@pytest.mark.slow
 def test_stream_index_refresh_matches_scratch_build_and_replays(spark, tmp_path):
     """ST1 × T7: streaming micro-batches into the BM25 index must yield the
     same served scores as a from-scratch build over the full corpus, and a
@@ -391,6 +393,7 @@ def test_stream_index_refresh_matches_scratch_build_and_replays(spark, tmp_path)
     assert n_vocab == len(vocab_terms)
 
 
+@pytest.mark.slow
 def test_stream_upsert_interleaves_with_compaction(spark, tmp_path):
     """Table maintenance composes with ingest: compaction between streaming
     micro-batches speaks the SAME manifest protocol as the merge, so (a) a
@@ -909,6 +912,7 @@ def test_versioned_duplicate_version_dirs_refuse_to_read(spark, tmp_path):
         vt.read_version(spark, path, "doc_id").collect()
 
 
+@pytest.mark.slow
 def test_versioned_stream_races_concurrent_compactor(spark, tmp_path):
     """VERDICT r9 item 4, the live race: N streamed commits on one thread
     while a compactor loop folds the same table from another. The lock

@@ -70,6 +70,7 @@ def _served(spark, idx, tmp_q):
     }
 
 
+@pytest.mark.slow
 def test_stream_ann_refresh_matches_scratch_build_and_replays(
     spark, tmp_path
 ):
@@ -118,6 +119,7 @@ def test_stream_ann_refresh_matches_scratch_build_and_replays(
     )
 
 
+@pytest.mark.slow
 def test_stream_ann_refresh_bootstraps_from_first_batch(spark, tmp_path):
     """Without a pre-trained quantizer the first micro-batch bootstraps the
     index (train on the first sample, freeze — the production IVF recipe);
@@ -165,6 +167,7 @@ def test_stream_ann_refresh_bootstraps_from_first_batch(spark, tmp_path):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_stream_ann_refresh_crash_windows_replay(
     spark, tmp_path, monkeypatch
 ):

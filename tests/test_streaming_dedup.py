@@ -2,6 +2,8 @@
 semantics against hand-computed ground truth, replay idempotence, and
 crash-window recovery of the state writes."""
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -38,6 +40,7 @@ def _state_ids(spark, state):
     }
 
 
+@pytest.mark.slow
 def test_stream_dedup_ingest_end_to_end(spark, tmp_path):
     """The real stream (3 ordered micro-batch files) produces exactly the
     hand-computed greedy-ingest acceptance, the state tracks accepted docs
@@ -82,6 +85,7 @@ def _ingest(spark, tmp_path, rows, sub=""):
     )
 
 
+@pytest.mark.slow
 def test_dedup_ingest_batch_replay_idempotent(spark, tmp_path):
     """Replaying a fully-committed batch (at-least-once redelivery) is a
     no-op: accepted docs match only THEMSELVES in the state, and the
@@ -98,6 +102,7 @@ def test_dedup_ingest_batch_replay_idempotent(spark, tmp_path):
     assert _state_ids(spark, str(tmp_path / "state")) == EXPECTED
 
 
+@pytest.mark.slow
 def test_dedup_ingest_crash_window_replay(spark, tmp_path, monkeypatch):
     """Kill the batch after each successive state write (accepted-but-no-
     bands, bands-but-no-wordsets): the error propagates (so the stream
@@ -138,6 +143,7 @@ def test_dedup_ingest_crash_window_replay(spark, tmp_path, monkeypatch):
         assert want.exceptAll(got).count() == 0
 
 
+@pytest.mark.slow
 def test_dedup_ingest_dropped_docs_never_enter_state(spark, tmp_path):
     """A doc dropped as a near-dup leaves no trace in bands/wordsets — the
     state is the ACCEPTED corpus's signatures, so later arrivals are never
@@ -149,6 +155,7 @@ def test_dedup_ingest_dropped_docs_never_enter_state(spark, tmp_path):
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 7, 5}
 
 
+@pytest.mark.slow
 def test_bootstrap_batch_built_state_then_stream(spark, tmp_path):
     """ADVICE r6 (medium): ``build_dedup_state``'s bands artifact must carry
     the same ``_pk`` merge key the streaming refresher upserts on — the

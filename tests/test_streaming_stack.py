@@ -94,6 +94,7 @@ def _run(spark, base: str, plan) -> None:
                 )
 
 
+@pytest.mark.slow
 def test_stack_kill_windows_converge_and_redelivery_is_idempotent(
     spark, tmp_path
 ):
@@ -140,6 +141,7 @@ def test_stack_kill_windows_converge_and_redelivery_is_idempotent(
     assert _snapshot(spark, control) == want
 
 
+@pytest.mark.slow
 def test_stack_runner_end_to_end_matches_manual_drive(spark, tmp_path):
     """run_stream_stack over a real file stream (one file per trigger)
     produces the same composed state as driving stack_ingest_batch by
