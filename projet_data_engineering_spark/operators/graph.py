@@ -370,7 +370,13 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     closing join are both equi-joins on part keys (hash-shuffled, AQE
     handles residual skew); the coefficient folds in as an aggregate —
     no driver-side scalars."""
-    e = edges.persist()
+    # localCheckpoint instead of persist (r12): a cached plan keeps its
+    # PRE-AQE partitioning, so the wedge/closing joins below inherited the
+    # session's full shuffle width on however small the edge set is (672
+    # tasks at sf0.1; 200-wide in the driver's vanilla session). The
+    # checkpoint RDD carries the AQE-finalized width — the joins then run
+    # at the data's own scale in both sessions.
+    e = edges.localCheckpoint(eager=True)
     deg = (
         e.select(F.col("p1").alias("node"))
         .unionAll(e.select(F.col("p2").alias("node")))
@@ -393,7 +399,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             .alias("uv")
         )
         .select("uv.u", "uv.v")
-        .persist()
+        # eager checkpoint, not persist: three consumers (both wedge arms
+        # + the closing join) and the same pre-AQE-width cache disease
+        .localCheckpoint(eager=True)
     )
     w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     w2 = oriented.select(F.col("u").alias("b2"), F.col("v").alias("c"))
